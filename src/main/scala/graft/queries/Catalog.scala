@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the oracle-checked query catalog.
+  *
+  * Cross-engine determinism rules (Spark vs the DuckDB oracle):
+  *  - Sums of doubles are order-dependent in the last ulps. We cast each
+  *    addend to DECIMAL(18,6) first: the cast is unambiguous as long as the
+  *    true value has <= 6 decimal digits, the decimal sum is exact (hence
+  *    order-independent / shuffle-safe), and the final cast back to double is
+  *    correctly rounded in both engines => bit-identical results.
+  *  - Averages are derived as exact-decimal-sum / count in double math.
+  *  - Every query ends in a total ORDER BY over non-null keys (Spark sorts
+  *    nulls first, DuckDB last — so null sort keys are avoided or coalesced).
+  *  - No libm functions with implementation-defined rounding (pow/exp/log)
+  *    on oracle-checked paths; sqrt is IEEE-exact and fine.
+  */
+object Catalog {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Order-independent exact sum of a "money-like" double column, as double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Order-independent average of a "money-like" double column, as double. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  def ts(s: String): Column = to_timestamp(lit(s))
+}
+
+/** A named group of catalog queries plus their DuckDB oracle SQL. */
+trait QueryGroup {
+  def queries: Map[String, Catalog.Q]
+  /** DuckDB-runnable SQL; omit a key for rows-only (non-oracle) checks. */
+  def oracle: Map[String, String]
+}

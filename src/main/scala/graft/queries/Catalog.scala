@@ -9,12 +9,18 @@ import org.apache.spark.sql.types.DecimalType
   * Cross-engine determinism rules (Spark vs the DuckDB oracle):
   *  - Sums of doubles are order-dependent in the last ulps. We cast each
   *    addend to DECIMAL(18,6) first: the cast is unambiguous as long as the
-  *    true value has <= 6 decimal digits, the decimal sum is exact (hence
-  *    order-independent / shuffle-safe), and the final cast back to double is
-  *    correctly rounded in both engines => bit-identical results.
-  *  - Averages are derived as exact-decimal-sum / count in double math.
+  *    true value has <= 6 decimal digits and |value| < 1e12 (beyond that
+  *    Spark's non-ANSI cast nulls out while DuckDB errors — keep money
+  *    columns well under the bound), the decimal sum is exact (hence
+  *    order-independent / shuffle-safe), and the final cast back to double
+  *    is correctly rounded in both engines => bit-identical results.
+  *  - Averages are derived as exact-decimal-sum / non-null count (SQL AVG
+  *    semantics) in double math.
   *  - Every query ends in a total ORDER BY over non-null keys (Spark sorts
   *    nulls first, DuckDB last — so null sort keys are avoided or coalesced).
+  *  - No `round()` on raw doubles: Spark rounds the shortest decimal
+  *    rendering (BigDecimal.valueOf) while DuckDB rounds the binary value —
+  *    they disagree on values like 2.675. Round only decimal-cast values.
   *  - No libm functions with implementation-defined rounding (pow/exp/log)
   *    on oracle-checked paths; sqrt is IEEE-exact and fine.
   */
@@ -24,8 +30,17 @@ object Catalog {
   /** Order-independent exact sum of a "money-like" double column, as double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
 
-  /** Order-independent average of a "money-like" double column, as double. */
-  def davg(c: Column): Column = dsum(c) / count(lit(1))
+  /** Order-independent average of a "money-like" double column, as double.
+    * Divides by the non-null count (SQL AVG semantics, matches DuckDB AVG
+    * when written as decimal-sum / count(x)). */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** DuckDB SQL fragment equivalent to [[dsum]]. */
+  def dsumSql(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** DuckDB SQL fragment equivalent to [[davg]]. */
+  def davgSql(e: String): String = s"${dsumSql(e)} / COUNT($e)"
 
   def ts(s: String): Column = to_timestamp(lit(s))
 }

@@ -1,24 +1,73 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, xxhash64}
+
+/** Benchmark main: times every catalog query at SPARK_GRAFT_SF_DIR and
+  * prints one JSON line for the driver (BENCH_r{N}.json).
+  *
+  * Methodology (fixes the round-2 verdict findings):
+  *  - Full evaluation: each query is consumed by `sum(xxhash64(*))` over
+  *    ALL output columns, so Catalyst cannot prune the projections /
+  *    window expressions being measured (a bare `.count()` lets column
+  *    pruning delete the work). The trailing canonicalization ORDER BY is
+  *    still elided under the agg — intentional: production plans don't
+  *    carry an oracle-ordering sort either.
+  *  - One untimed warmup pass first (JVM/JIT + parquet footer caches), so
+  *    session warmup isn't attributed to whichever query runs first.
+  *  - A failing query is reported in an "errors" map, not as a timing.
+  */
 object Bench {
+
+  /** Force end-to-end evaluation of every output column. bit_xor (not sum)
+    * folds the row hashes: hash sums overflow longs within a few thousand
+    * rows under ANSI-default Spark 4. */
+  private def consume(df: DataFrame): Unit = {
+    val h = xxhash64(df.columns.map(col): _*)
+    df.select(h.as("h")).agg(expr("bit_xor(h)")).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Untimed warmup: run everything once (ignore failures here; they are
+    // captured in the timed pass).
+    queries.foreach { case (_, fn) =>
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    var errors = Vector.empty[(String, String)]
+    val results = queries.flatMap { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        consume(fn(spark, sfDir))
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          errors :+= (name -> msg.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120))
+          None
+      }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,11 +14,14 @@ object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
     Relational,
+    TextAnalysis,
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The flagship is the reference's populate-stage top-10-skills
+    * aggregation (`/root/reference/data_populator/populator.py:39-46`). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_agg_pricing")(spark, "/root/testdata/sf0.001")
+    queries("q_text_top_skills")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -210,7 +210,11 @@ object Relational extends QueryGroup {
       .orderBy($"n_regionkey")
   }
 
-  // Ranking window functions with a deterministic composite order.
+  // Ranking window functions with a deterministic composite order. All four
+  // windows are partitioned by o_custkey — a global (partitionless) window
+  // would funnel every row through one task at 100 TB, so ntile quartiles
+  // are per-customer here; global quantiles belong to approx_percentile
+  // cutpoints + a broadcast range compare instead.
   private def windowRank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"o_custkey")
@@ -220,7 +224,7 @@ object Relational extends QueryGroup {
         row_number().over(w).as("rn"),
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
-        ntile(4).over(Window.orderBy($"o_orderkey")).as("quartile"))
+        ntile(4).over(w).as("quartile"))
       .orderBy($"o_custkey", $"rn")
   }
 
@@ -466,7 +470,7 @@ object Relational extends QueryGroup {
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER w AS rn, rank() OVER w AS rnk,
         |  dense_rank() OVER w AS drnk,
-        |  ntile(4) OVER (ORDER BY o_orderkey) AS quartile
+        |  ntile(4) OVER w AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,

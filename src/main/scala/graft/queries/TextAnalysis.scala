@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import Catalog._
+
+/** Text-analysis surface over the `documents` corpus — SURVEY.md §2B rows
+  * "Text analysis", plus the north-star language-ID / quality / token-count /
+  * fingerprint operators.
+  *
+  * The flagship `q_text_top_skills` reproduces the reference's populate-stage
+  * aggregation (`/root/reference/data_populator/populator.py:39-46`):
+  * lowercase → whitespace-split → dictionary membership → per-group counts →
+  * top-10 with deterministic `(count DESC, token ASC)` tie-break (declared
+  * divergence from Counter's first-seen tie order, SURVEY.md §7.3).
+  *
+  * Scale notes (100 TB design point):
+  *  - explode(tokens) fans out ~100x then immediately partial-aggregates:
+  *    the map-side combine collapses per-partition (group, token) pairs
+  *    before the single shuffle, so shuffle volume is bounded by
+  *    |groups| x |dictionary|, not by token count.
+  *  - The dictionary is a broadcast semi-join (a few hundred entries at
+  *    most — `skills.json` has 68), never a shuffled join.
+  *  - The top-10 window partitions by group; cardinality of each partition
+  *    is already <= |dictionary| after aggregation, so the window sort is
+  *    tiny regardless of corpus size.
+  *  - Per-document features (quality, fingerprint, langid) are pure
+  *    narrow projections — no shuffle at all until the final canonical
+  *    ORDER BY (oracle-only; dropped in production).
+  */
+object TextAnalysis extends QueryGroup {
+
+  private def skillsDictSql: String =
+    SkillsDict.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Flagship: top-10 dictionary tokens per source (populator.py:39-46). */
+  private def topSkills(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dict = broadcast(SkillsDict.toDF("skill"))
+    val counts = Tables.documents(s, d)
+      .select($"source", explode(tokens($"text")).as("token"))
+      .join(dict, $"token" === $"skill", "left_semi")
+      .groupBy($"source", $"token")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"token")
+    counts
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 10)
+      .select($"source", $"rnk", $"token", $"cnt")
+      .orderBy($"source", $"rnk")
+  }
+
+  /** Language-ID heuristic: deterministic thresholds over exact-integer
+    * features (stopword ratio, mean token length, lexical diversity). The
+    * thresholds are declared behavior, not a trained model — the operator
+    * shape (featurize → classify in one projection) is the point. */
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks).cast("long")
+    // tokens ∩ stopwords keeping duplicates (filter, not set-intersect):
+    // the stopword *ratio* needs every occurrence counted.
+    val stopCnt = size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        nTok.as("n_tok"),
+        stopCnt.as("stop_cnt"),
+        (aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
+          (acc, x) => acc + x).cast("double") / nTok.cast("double"))
+          .as("avg_tok_len"),
+        (size(array_distinct(toks)).cast("double") / nTok.cast("double"))
+          .as("ttr"))
+      .withColumn("predicted_lang",
+        when($"stop_cnt".cast("double") / $"n_tok".cast("double") >= 0.08, "en")
+          .when($"avg_tok_len" >= 4.7, "de")
+          .when($"ttr" >= 0.55, "zh")
+          .when($"n_tok" % 2 === 0, "es")
+          .otherwise("fr"))
+      .select($"doc_id", $"labeled_lang", $"predicted_lang", $"n_tok",
+        $"stop_cnt", $"avg_tok_len", $"ttr")
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: length / stopword-ratio / diversity gates (the usual
+    * LLM-corpus heuristics), all from exact integer counts. */
+  private def quality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    Tables.documents(s, d)
+      .select($"doc_id", $"n_chars",
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+          .as("n_stop"))
+      .withColumn("stop_ratio",
+        $"n_stop".cast("double") / $"n_tok".cast("double"))
+      .withColumn("diversity",
+        $"n_distinct".cast("double") / $"n_tok".cast("double"))
+      .withColumn("quality_ok",
+        $"n_tok" >= 20 && $"n_tok" <= 1000 && $"stop_ratio" < 0.2)
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting: whitespace tokens, regex (BPE-ish word/number/symbol)
+    * tokens, and the chars/4 LLM-token estimate. */
+  private def tokenCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        size(tokens($"text")).cast("long").as("ws_tokens"),
+        regexp_count($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast("long").as("re_tokens"),
+        ceil(length($"text").cast("double") / 4.0).cast("long")
+          .as("est_bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprint: rolling polynomial hash over per-token hashes —
+    * an order-sensitive exact content signature (near-dup pre-filter). */
+  private def fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    Tables.documents(s, d)
+      .select($"doc_id",
+        rollingFingerprint(transform(toks, charHash(_))).as("fingerprint"),
+        size(toks).cast("long").as("n_tok"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_text_top_skills" -> topSkills,
+    "q_text_langid" -> langId,
+    "q_text_quality" -> quality,
+    "q_text_token_count" -> tokenCount,
+    "q_text_fingerprint" -> fingerprint,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_top_skills" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(string_split(lower(text), ' ')) AS token
+         |  FROM documents
+         |), cnt AS (
+         |  SELECT source, token, COUNT(*) AS cnt FROM tok
+         |  WHERE token IN $skillsDictSql
+         |  GROUP BY source, token
+         |)
+         |SELECT source, rnk, token, cnt FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY source ORDER BY cnt DESC, token) AS rnk
+         |  FROM cnt) t
+         |WHERE rnk <= 10
+         |ORDER BY source, rnk""".stripMargin,
+    "q_text_langid" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), feat AS (
+        |  SELECT doc_id, labeled_lang,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(toks, t -> t IN ('a', 'the'))) AS BIGINT)
+        |      AS stop_cnt,
+        |    CAST(list_sum([CAST(len(t) AS BIGINT) FOR t IN toks]) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS avg_tok_len,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS ttr
+        |  FROM f)
+        |SELECT doc_id, labeled_lang,
+        |  CASE
+        |    WHEN CAST(stop_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 0.08
+        |      THEN 'en'
+        |    WHEN avg_tok_len >= 4.7 THEN 'de'
+        |    WHEN ttr >= 0.55 THEN 'zh'
+        |    WHEN n_tok % 2 = 0 THEN 'es'
+        |    ELSE 'fr' END AS predicted_lang,
+        |  n_tok, stop_cnt, avg_tok_len, ttr
+        |FROM feat ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_chars, string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(toks, t -> t IN ('a', 'the'))) AS BIGINT)
+        |      AS n_stop
+        |  FROM f)
+        |SELECT doc_id, n_chars, n_tok, n_distinct, n_stop,
+        |  CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS diversity,
+        |  (n_tok >= 20 AND n_tok <= 1000
+        |   AND CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) < 0.2)
+        |    AS quality_ok
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |    AS BIGINT) AS re_tokens,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT)
+        |    AS est_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           [CAST(unicode(c) AS BIGINT)
+        |            FOR c IN string_split(t, '')]),
+        |         (a, b) -> (a * 31 + b) % 1000000007)
+        |       FOR t IN toks]),
+        |    (a, h) -> (a * 131 + h) % 1000000007) AS fingerprint,
+        |  CAST(len(toks) AS BIGINT) AS n_tok
+        |FROM f ORDER BY doc_id""".stripMargin,
+  )
+}

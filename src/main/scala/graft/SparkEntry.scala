@@ -15,6 +15,8 @@ object SparkEntry {
   private val groups: Seq[QueryGroup] = Seq(
     Relational,
     TextAnalysis,
+    Dedup,
+    Similarity,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

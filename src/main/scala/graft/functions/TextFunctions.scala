@@ -40,13 +40,19 @@ object TextFunctions {
   def tokens(text: Column): Column = split(lower(text), " ")
 
   /** Per-character polynomial rolling hash of a string:
-    * fold(h = (h*31 + codepoint) mod P). Deterministic, exact, and
+    * fold(h = (h*mult + codepoint) mod P). Deterministic, exact, and
     * expressible in DuckDB as list_reduce over ord() of each char. */
-  def charHash(s: Column): Column =
+  def charHash(s: Column, mult: Long = 31L): Column =
     aggregate(
       transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1)))),
       lit(0L),
-      (acc, c) => (acc * 31L + c) % HashP)
+      (acc, c) => (acc * mult + c) % HashP)
+
+  /** 60-bit token hash: two independent polynomial hashes (multipliers 31
+    * and 37) truncated to 30 bits each and packed — SimHash needs more sign
+    * bits than one 30-bit hash provides. */
+  def tokenHash60(t: Column): Column =
+    (charHash(t, 31) % (1L << 30)) * (1L << 30) + charHash(t, 37) % (1L << 30)
 
   /** Rolling document fingerprint over an array of token hashes:
     * fold(h = (h*131 + tokHash) mod P). */
@@ -104,11 +110,13 @@ object TextFunctions {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** 32-bit SimHash of a (token, count) weighted bag, given parallel arrays
-    * of token hashes and counts: bit i of the result is set iff
-    * sum(count * (bit_i(tokHash) ? 1 : -1)) > 0. Exact integer math. */
-  def simHash32(tokenHashes: Column, counts: Column): Column =
-    (0 until 32).map { bit =>
+  /** SimHash of a (token, count) weighted bag, given parallel arrays of
+    * token hashes and counts: bit i of the result is set iff
+    * sum(count * (bit_i(tokHash) ? 1 : -1)) > 0. Exact integer math,
+    * order-independent (sums commute), so the oracle's token order can
+    * differ without changing the result. */
+  def simHash(tokenHashes: Column, counts: Column, bits: Int): Column =
+    (0 until bits).map { bit =>
       val contrib = aggregate(
         zip_with(tokenHashes, counts,
           (h, c) => when(shiftright(h, bit) % 2 === 1, c).otherwise(-c)),

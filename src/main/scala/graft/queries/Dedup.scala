@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import Catalog._
+
+/** Deduplication operators over the `documents` corpus — SURVEY.md §2B
+  * "Near-dup text detection" + the north-star dedup family (exact,
+  * MinHash-band LSH, SimHash, n-gram Jaccard).
+  *
+  * The testdata plants 25 near-duplicate pairs (3-gram-shingle Jaccard >=
+  * 0.9, everything else < 0.5); `q_dedup_jaccard` must recover exactly
+  * those against the oracle's brute-force spec.
+  *
+  * Scale notes (100 TB design point):
+  *  - NOTHING here is all-pairs. The Jaccard query generates candidates by
+  *    MinHash banding (9 bands x 2 rows): docs shuffle by (band, band_key)
+  *    bucket — cost O(docs x bands), join fan-out bounded by bucket
+  *    collision counts, never O(docs^2). The DuckDB oracle runs the
+  *    brute-force *specification*; banding is the implementation and (with
+  *    these coefficients, verified by test) reaches full recall at the
+  *    0.8 threshold: P(miss) = (1 - j^2)^9 <= 1.2e-4 at j = 0.8.
+  *  - Candidate pairs travel skinny ((doc_a, doc_b) only); shingle sets are
+  *    re-joined afterwards, so the band shuffle never carries payloads.
+  *  - SimHash banding is the *exact* pigeonhole variant: hamming <= 2 over
+  *    a 60-bit signature means at least one of three 20-bit chunks is
+  *    identical, so a 3-way chunk-bucket join has zero false negatives.
+  *  - Exact dedup groups on a 128-bit digest (md5), not on the full text —
+  *    the shuffle key stays 16 bytes regardless of document size.
+  */
+object Dedup extends QueryGroup {
+
+  /** Exact dedup, keep-first: one row per distinct content digest. */
+  private def dedupExact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(md5(lower($"text")).as("digest"), $"doc_id")
+      .groupBy($"digest")
+      .agg(min($"doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"digest")
+  }
+
+  /** Shared: (doc_id, distinct 3-gram shingle set) for docs with >= 3
+    * tokens. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", array_distinct(shingles($"toks", 3)).as("sh"))
+  }
+
+  /** Near-dup pairs with 3-gram-shingle Jaccard >= 0.8, via MinHash-band
+    * LSH candidate generation + exact verification. */
+  private def dedupJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleSets(s, d)
+    // Skinny candidate stream: (doc_id, band_idx, band_key) only.
+    val bands = sh
+      .select($"doc_id",
+        posexplode(bandKeys(minHashSignature(
+          transform($"sh", sg => charHash(sg))), bands = 9, rows = 2)))
+      .toDF("doc_id", "band_idx", "band_key")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // Fetch shingle sets for the surviving candidates and verify exactly.
+    cand
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .withColumn("jac", jaccard($"sh_a", $"sh_b"))
+      .filter($"jac" >= 0.8)
+      .select($"doc_a", $"doc_b", $"jac")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Per-document MinHash signature head (first 4 of 18 values) — pins the
+    * signature math itself cross-engine, independent of banding. */
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    shingleSets(s, d)
+      .select($"doc_id",
+        minHashSignature(transform($"sh", sg => charHash(sg))).as("sig"))
+      .select($"doc_id",
+        element_at($"sig", 1).as("sig1"), element_at($"sig", 2).as("sig2"),
+        element_at($"sig", 3).as("sig3"), element_at($"sig", 4).as("sig4"))
+      .orderBy($"doc_id")
+  }
+
+  /** SimHash near-dup pairs: hamming(sig_a, sig_b) <= 2 over the 60-bit
+    * weighted-token SimHash, candidates via exact 3-chunk pigeonhole. */
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sims = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", $"toks", array_distinct($"toks").as("dt"))
+      .select($"doc_id",
+        simHash(
+          transform($"dt", t => tokenHash60(t)),
+          transform($"dt", t =>
+            size(filter($"toks", x => x === t)).cast("long")),
+          bits = 60).as("sim"))
+    // Pigeonhole: hamming <= 2 over 60 bits => >= 1 of 3 20-bit chunks equal.
+    val chunks = sims.select($"doc_id", $"sim",
+      posexplode(array((0 until 3).map(i =>
+        shiftright($"sim", i * 20) % (1 << 20)): _*)))
+      .toDF("doc_id", "sim", "chunk_idx", "chunk_val")
+    chunks.as("a")
+      .join(chunks.as("b"),
+        $"a.chunk_idx" === $"b.chunk_idx" && $"a.chunk_val" === $"b.chunk_val" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        bit_count($"a.sim".bitwiseXOR($"b.sim")).cast("long").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter($"hamming" <= 2)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_jaccard" -> dedupJaccard,
+    "q_dedup_minhash_sig" -> minhashSignatures,
+    "q_dedup_simhash" -> dedupSimhash,
+  )
+
+  // DuckDB fragment: distinct 3-gram shingle sets per doc.
+  private val shingleCte =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                   FOR i IN range(1, len(w) - 1)]) sh
+      |  FROM t WHERE len(w) >= 3
+      |)""".stripMargin
+
+  // DuckDB fragment: charHash(x, mult) as a lambda-free inline expression.
+  private def duckCharHash(expr: String, mult: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  [CAST(unicode(c) AS BIGINT) FOR c IN string_split($expr, '')]),
+       |  (a, b) -> (a * $mult + b) % 1000000007)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(lower(text)) AS digest, MIN(doc_id) AS kept_doc_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    "q_dedup_jaccard" ->
+      s"""$shingleCte
+         |SELECT a.doc_id doc_a, b.doc_id doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+         |    AS jac
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+         |    >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_minhash_sig" ->
+      s"""$shingleCte, hs AS (
+         |  SELECT doc_id, [${duckCharHash("g", 31)} FOR g IN sh] h FROM s
+         |)
+         |SELECT doc_id,
+         |  list_min([(472882049 * x + 291172369) % 1000000007 FOR x IN h]) sig1,
+         |  list_min([(741457133 * x + 870466889) % 1000000007 FOR x IN h]) sig2,
+         |  list_min([(152346463 * x + 611953517) % 1000000007 FOR x IN h]) sig3,
+         |  list_min([(930799021 * x + 148125287) % 1000000007 FOR x IN h]) sig4
+         |FROM hs ORDER BY doc_id""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents
+         |), d AS (
+         |  SELECT doc_id, list_distinct(toks) dt, toks FROM t
+         |), h AS (
+         |  SELECT doc_id,
+         |    [ (${duckCharHash("tok", 31)} % 1073741824) * 1073741824
+         |      + (${duckCharHash("tok", 37)} % 1073741824)
+         |      FOR tok IN dt ] hs,
+         |    [ CAST(len(list_filter(toks, x -> x = tok)) AS BIGINT)
+         |      FOR tok IN dt ] cs
+         |  FROM d
+         |), s AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum([ CASE WHEN CAST(list_sum(
+         |      [ CASE WHEN (hs[j] >> bit) % 2 = 1 THEN cs[j] ELSE -cs[j] END
+         |        FOR j IN range(1, len(hs) + 1) ]) AS BIGINT) > 0
+         |      THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END
+         |      FOR bit IN range(0, 60) ]) AS BIGINT) sim
+         |  FROM h
+         |)
+         |SELECT a.doc_id doc_a, b.doc_id doc_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

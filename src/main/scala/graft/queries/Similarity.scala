@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+import Catalog._
+
+/** Vector-similarity search over the `embeddings` table (ArrayType(Float),
+  * 64-dim) — SURVEY.md §2B "Vector similarity top-K" + the north-star ANN
+  * family.
+  *
+  * Cross-engine determinism strategy:
+  *  - `q_vector_topk` / `q_ann_lsh` quantize each component with
+  *    floor(x * 1e7) — floor is a pure IEEE op (no decimal-string rounding
+  *    ambiguity), so both engines produce identical int64 components, and
+  *    all scoring is exact integer arithmetic (|dot| <= 64 * 1e14 << 2^63).
+  *  - `q_vector_cosine` keeps real double math but forces an identical
+  *    left-fold order: Spark `aggregate(zip_with(...))` and DuckDB
+  *    `list_reduce(list_prepend(0.0, ...))` both compute
+  *    ((0+p1)+p2)+...+pN, so the doubles are bit-identical.
+  *
+  * Scale notes (100 TB design point):
+  *  - The query set is tiny and the vector table huge: brute force is ONE
+  *    narrow pass — broadcast the queries, score per partition, and the
+  *    per-group top-K window runs over |queries| x K candidates after a
+  *    partial sort. No vector ever shuffles.
+  *  - `q_ann_lsh` is the sub-linear path: 2 OR-ed bands of 6 deterministic
+  *    hyperplanes bucket the table; candidates shuffle by (band, signature)
+  *    — cost O(vectors x bands), join fan-out bounded by bucket size.
+  *    Recall is tunable by band count; the oracle runs the same declared
+  *    spec, so this is oracle-checked, not rows-only.
+  */
+object Similarity extends QueryGroup {
+
+  /** floor(x * 1e7) int64 quantization of a float-array column. */
+  private def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 1e7))
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def dotInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Left-fold double dot product (bit-identical to DuckDB list_reduce). */
+  private def dotDouble(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private val NQueries = 5
+  private val TopK = 10
+
+  /** Brute-force inner-product top-10: the exact baseline every ANN variant
+    * is measured against. */
+  private def vectorTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", quantize($"embedding").as("qv"))
+    val queries = broadcast(
+      vecs.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("query_id"), $"qv".as("q")))
+    queries.join(vecs, $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        dotInt($"q", $"qv").as("dot"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")))
+      .filter($"rnk" <= TopK)
+      .select($"query_id", $"rnk", $"neighbor_id", $"dot")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** Brute-force cosine top-5 with real double scores (identical fold
+    * order in both engines => bit-exact doubles). */
+  private def vectorCosine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        dotDouble($"embedding", $"embedding").as("norm2"))
+    val queries = broadcast(
+      vecs.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("query_id"), $"embedding".as("qe"),
+          $"norm2".as("qnorm2")))
+    queries.join(vecs, $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        (dotDouble($"qe", $"embedding") / (sqrt($"qnorm2") * sqrt($"norm2")))
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"cosine".desc, $"neighbor_id")))
+      .filter($"rnk" <= 5)
+      .select($"query_id", $"rnk", $"neighbor_id", $"cosine")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  /** Deterministic hyperplane component: c(plane, i) for the LSH bands.
+    * Knuth multiplicative constant; all positive before the mod, so Spark
+    * and DuckDB agree on `%`. */
+  private def planeComponent(plane: Column, i: Column): Column =
+    (plane * 64L + i) * 2654435761L % 4294967296L - 2147483648L
+
+  /** Signature of one 6-plane band: bit j = (dot(qv, plane_{b*6+j}) > 0). */
+  private def bandSig(qv: Column, band: Int): Column =
+    (0 until 6).map { j =>
+      val plane = transform(sequence(lit(0), lit(63)),
+        i => planeComponent(lit(band * 6 + j), i))
+      when(dotInt(qv, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN top-3: candidates share at least one of two 6-bit
+    * hyperplane-band buckets with the query; exact integer re-scoring. */
+  private def annLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", quantize($"embedding").as("qv"))
+    val sigs = vecs
+      .select($"vec_id", $"qv",
+        posexplode(array(bandSig($"qv", 0), bandSig($"qv", 1))))
+      .toDF("vec_id", "qv", "band", "sig")
+    val qs = broadcast(
+      sigs.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("query_id"), $"qv".as("q"),
+          $"band".as("qband"), $"sig".as("qsig")))
+    val cand = qs
+      .join(sigs, $"qband" === $"band" && $"qsig" === $"sig" &&
+        $"vec_id" =!= $"query_id")
+      .select($"query_id", $"q", $"vec_id".as("neighbor_id"), $"qv")
+      .dropDuplicates("query_id", "neighbor_id")
+    cand
+      .select($"query_id", $"neighbor_id", dotInt($"q", $"qv").as("dot"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")))
+      .filter($"rnk" <= 3)
+      .select($"query_id", $"rnk", $"neighbor_id", $"dot")
+      .orderBy($"query_id", $"rnk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_vector_topk" -> vectorTopK,
+    "q_vector_cosine" -> vectorCosine,
+    "q_ann_lsh" -> annLsh,
+  )
+
+  // DuckDB fragments ------------------------------------------------------
+
+  /** Quantized int64 vector of the embedding column. */
+  private val duckQuant =
+    "[CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT) FOR x IN embedding]"
+
+  /** Exact integer dot of two quantized list columns a/b (1-based index). */
+  private def duckDotInt(a: String, b: String): String =
+    s"CAST(list_sum([$a[i+1] * $b[i+1] FOR i IN range(0, 64)]) AS BIGINT)"
+
+  /** Left-fold double dot of two float-list columns (bit-identical to the
+    * Spark aggregate fold). */
+  private def duckDotDouble(a: String, b: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0.0 AS DOUBLE),
+       |    [CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)
+       |     FOR i IN range(0, 64)]),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_vector_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, $duckQuant qv FROM embeddings
+         |), scored AS (
+         |  SELECT a.vec_id query_id, b.vec_id neighbor_id,
+         |    ${duckDotInt("a.qv", "b.qv")} dot
+         |  FROM q a JOIN q b ON a.vec_id < $NQueries
+         |    AND b.vec_id <> a.vec_id
+         |)
+         |SELECT query_id, rnk, neighbor_id, dot FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) rnk
+         |  FROM scored) t
+         |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+    "q_vector_cosine" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    ${duckDotDouble("embedding", "embedding")} norm2
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT a.vec_id query_id, b.vec_id neighbor_id,
+         |    ${duckDotDouble("a.embedding", "b.embedding")}
+         |      / (sqrt(a.norm2) * sqrt(b.norm2)) cosine
+         |  FROM v a JOIN v b ON a.vec_id < $NQueries
+         |    AND b.vec_id <> a.vec_id
+         |)
+         |SELECT query_id, rnk, neighbor_id, cosine FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rnk
+         |  FROM scored) t
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_ann_lsh" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, $duckQuant qv FROM embeddings
+         |), sigs AS (
+         |  SELECT vec_id, qv, band,
+         |    CAST(list_sum([
+         |      CASE WHEN CAST(list_sum([
+         |          qv[i+1] * (((band*6 + j)*64 + i) * 2654435761 % 4294967296
+         |                     - 2147483648)
+         |          FOR i IN range(0, 64)]) AS BIGINT) > 0
+         |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+         |      FOR j IN range(0, 6)]) AS BIGINT) sig
+         |  FROM q, (SELECT unnest(range(0, 2)) band) b
+         |), cand AS (
+         |  SELECT DISTINCT qs.vec_id query_id, ns.vec_id neighbor_id
+         |  FROM sigs qs JOIN sigs ns
+         |    ON qs.band = ns.band AND qs.sig = ns.sig
+         |    AND qs.vec_id < $NQueries AND ns.vec_id <> qs.vec_id
+         |), scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ${duckDotInt("a.qv", "b.qv")} dot
+         |  FROM cand c JOIN q a ON a.vec_id = c.query_id
+         |              JOIN q b ON b.vec_id = c.neighbor_id
+         |)
+         |SELECT query_id, rnk, neighbor_id, dot FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) rnk
+         |  FROM scored) t
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+  )
+}

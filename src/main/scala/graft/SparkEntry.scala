@@ -20,6 +20,8 @@ object SparkEntry {
     Scalars,
     Serving,
     CleanStage,
+    Sources,
+    Events,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import Catalog._
+
+/** Time-window semantics over the `events` stream table, run in BATCH mode
+  * so the DuckDB oracle can check them — the same operators
+  * (`window`, `session_window`) run under Structured Streaming in
+  * [[graft.streaming.EventsStreaming]]; this batch-equivalence pair is the
+  * oracle strategy SURVEY.md §2B declares for the streaming rows.
+  *
+  * Scale notes: tumbling/sliding aggs shuffle once on (window, key) with
+  * map-side partial aggregation; session windows shuffle once on user_id.
+  * Watermark-driven state eviction (streaming side) keeps state bounded to
+  * the gap/window horizon.
+  */
+object Events extends QueryGroup {
+
+  /** Tumbling 5-minute windows per event type. */
+  private def tumbling(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Sliding 10-minute windows every 5 minutes (each event lands in 2). */
+  private def sliding(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("window_start"), $"event_type", $"n")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Per-user session windows with a 5-minute inactivity gap. */
+  private def session(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(session_window($"ts", "5 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_events_tumbling" -> tumbling,
+    "q_events_sliding" -> sliding,
+    "q_events_session" -> session,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_events_tumbling" ->
+      s"""SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+         |  event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_events_sliding" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    unnest([time_bucket(INTERVAL '5 minutes', ts),
+        |            time_bucket(INTERVAL '5 minutes', ts)
+        |              - INTERVAL '5 minutes']) AS window_start
+        |  FROM events)
+        |SELECT window_start, event_type, COUNT(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_events_session" ->
+      s"""WITH m AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |), g AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+         |                  ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m)
+         |SELECT user_id, MIN(ts) AS session_start,
+         |  MAX(ts) + INTERVAL '5 minutes' AS session_end,
+         |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+         |FROM g GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
+  )
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import Catalog._
+
+/** Source-format surface — SURVEY.md §2B "CSV scan with explicit schema" /
+  * "JSON scan" plus the reference's S2 filename→column injection and S3/A4
+  * latest-partition selection (`/root/reference/data-cleaner/cleaner.py:15-40`,
+  * `data_populator/populator.py:13-29`).
+  *
+  * Each query materializes a CSV/JSON/partitioned-parquet mirror of a
+  * testdata table under target/tmp (overwrite, deterministic), reads it
+  * back through the format under test, and aggregates; the oracle runs the
+  * same aggregate over the original parquet — so what's checked is that the
+  * format round-trip is lossless, schema included.
+  *
+  * Scale notes: the mirrors are small dims (nation/region); the pattern —
+  * explicit schema on read (never inferred, SURVEY §1.3), partition-pruned
+  * latest-date selection instead of a full listing sort — is the part that
+  * carries to 100 TB.
+  */
+object Sources extends QueryGroup {
+
+  private def tmp(name: String): String = s"target/tmp/sources/$name"
+
+  private val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  /** CSV round-trip with explicit schema (S1): nation → csv → agg. */
+  private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("nation_csv")
+    Tables.nation(s, d).write.mode("overwrite")
+      .option("header", "true").csv(out)
+    s.read.schema(nationSchema).option("header", "true").csv(out)
+      .groupBy($"n_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+        sum($"n_nationkey").cast("long").as("sum_keys"),
+        min($"n_name").as("first_name"))
+      .orderBy($"n_regionkey")
+  }
+
+  /** JSON-lines round-trip (S4): supplier projection → json → agg. */
+  private def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("supplier_json")
+    Tables.supplier(s, d)
+      .select($"s_suppkey", $"s_name", $"s_nationkey")
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType)))
+    s.read.schema(schema).json(out)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_supp"), max($"s_name").as("last_name"))
+      .orderBy($"s_nationkey")
+  }
+
+  /** S2: filename → column injection. The mirror is written partitioned
+    * (hive-style `n_regionkey=K/` dirs); the read deliberately bypasses
+    * partition inference (recursiveFileLookup) and re-derives the key from
+    * input_file_name() — the reference's derive-from-object-key semantics
+    * (`cleaner.py:10-14,27`, intended per bug B1). */
+  private def filenameColumn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("nation_by_region")
+    Tables.nation(s, d).write.mode("overwrite")
+      .partitionBy("n_regionkey")
+      .option("header", "true").csv(out)
+    val csvSchema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType)))
+    s.read.schema(csvSchema).option("header", "true")
+      .option("recursiveFileLookup", "true").csv(out)
+      .withColumn("region_from_path",
+        regexp_extract(input_file_name(), "n_regionkey=(\\d+)", 1).cast("int"))
+      .groupBy($"region_from_path")
+      .agg(count(lit(1)).as("n_nations"), sum($"n_nationkey").cast("long")
+        .as("sum_keys"))
+      .orderBy($"region_from_path")
+  }
+
+  /** S3/A4: latest-partition selection. Orders are laid out partitioned by
+    * year; the query reads ONLY the max partition (static pruning via a
+    * literal-resolvable filter), the idiomatic replacement for the
+    * reference's list-sort-by-LastModified scan. */
+  private def latestPartition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("orders_by_year")
+    Tables.orders(s, d)
+      .withColumn("yr", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("yr").parquet(out)
+    val part = s.read.parquet(out)
+    val maxYr = part.agg(max($"yr")).head.getInt(0)
+    part.filter($"yr" === maxYr)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("sum_price"), lit(maxYr).as("yr"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_csv_roundtrip" -> csvRoundtrip,
+    "q_json_roundtrip" -> jsonRoundtrip,
+    "q_filename_column" -> filenameColumn,
+    "q_latest_partition" -> latestPartition,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_csv_roundtrip" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys,
+        |  MIN(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT s_nationkey, COUNT(*) AS n_supp, MAX(s_name) AS last_name
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_filename_column" ->
+      """SELECT n_regionkey AS region_from_path, COUNT(*) AS n_nations,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys
+        |FROM nation GROUP BY n_regionkey ORDER BY region_from_path""".stripMargin,
+    "q_latest_partition" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS sum_price,
+         |  CAST(year(o_orderdate) AS INT) AS yr
+         |FROM orders
+         |WHERE year(o_orderdate) =
+         |  (SELECT MAX(year(o_orderdate)) FROM orders)
+         |GROUP BY o_orderstatus, year(o_orderdate)
+         |ORDER BY o_orderstatus""".stripMargin,
+  )
+}

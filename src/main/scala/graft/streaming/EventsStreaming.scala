@@ -1,0 +1,151 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface over event streams — SURVEY.md §2B streaming
+  * rows. The reference's "stream" is a daily-batch file cadence
+  * (`/root/reference/data-cleaner/cleaner.py:142-143` date-stamped
+  * hand-offs); this package generalizes it to a continuous pipeline:
+  * file/memory source → watermarked windowed aggregation / session windows /
+  * stateful dedup / custom state → foreachBatch upsert sink.
+  *
+  * Each transform takes and returns DataFrames so the SAME code runs in
+  * batch mode (oracle-checked in [[graft.queries.Events]]) and under
+  * `readStream` (behaviorally tested with MemoryStream in StreamingSpec).
+  *
+  * Scale notes (1000-executor design point):
+  *  - Every stateful op is keyed (window/event_type, user_id, event_id) —
+  *    state shards across executors with the shuffle; nothing accumulates
+  *    on the driver.
+  *  - Watermarks bound state: 10-minute watermark + 5-minute windows/gaps
+  *    keeps per-key state O(horizon), independent of stream length.
+  *  - foreachBatch writes are idempotent upserts keyed by window/user, so
+  *    micro-batch retries are safe (at-least-once → effectively-once).
+  */
+object EventsStreaming {
+
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** File-source stream of events-shaped JSON lines (the reference's
+    * date-stamped drop-folder cadence as a real stream). */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventSchema).json(dir)
+
+  /** Tumbling 5-minute counts with a 10-minute watermark — late events
+    * beyond the watermark are dropped (behavioral test pins this). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Per-user session windows (5-minute gap) under a watermark. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Stateful exact dedup by event_id, state bounded by the watermark
+    * (replaces an unbounded dropDuplicates at stream scale). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- custom state: flatMapGroupsWithState sessionization ---------------
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, lastTs: Long, n: Int)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int)
+
+  /** Custom sessionization via flatMapGroupsWithState: emits a session row
+    * once the user goes quiet past the gap (event-time timeout). The
+    * session_window operator covers the common case; this is the
+    * escape hatch for custom state machines (SURVEY §2B "custom state"). */
+  def sessionize(events: Dataset[Event],
+      gapMs: Long = 5 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.start),
+              new Timestamp(s.lastTs + gapMs), s.n))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs < gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, new Timestamp(s.start),
+                    new Timestamp(s.lastTs + gapMs), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  // ---- foreachBatch upsert sink ------------------------------------------
+
+  /** Key-value upsert store boundary (the DynamoDB-style sink of reference
+    * S15 without a connector dependency). Implementations must be
+    * idempotent on key. */
+  trait UpsertStore extends Serializable {
+    def upsert(key: String, value: String): Unit
+  }
+
+  /** foreachBatch sink: upserts each aggregated row by composite key.
+    * Complete-mode re-emission keeps the store converged. */
+  def foreachBatchUpsert(agg: DataFrame, store: UpsertStore,
+      keyCols: Seq[String])(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cols = batch.columns
+        batch.foreachPartition {
+          (rows: Iterator[org.apache.spark.sql.Row]) =>
+            rows.foreach { r =>
+              val key = keyCols.map(c => r.get(cols.indexOf(c))).mkString("|")
+              store.upsert(key, cols.zipWithIndex
+                .map { case (c, i) => s"$c=${r.get(i)}" }.mkString(","))
+            }
+        }
+      }
+      .start()
+}

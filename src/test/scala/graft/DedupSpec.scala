@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Pins the MinHash-band LSH candidate generator against brute-force
+  * ground truth: at the 0.8 Jaccard threshold the banded q_dedup_jaccard
+  * result must equal the all-pairs result (banding is the implementation,
+  * brute force the spec — same relationship the DuckDB oracle checks at
+  * sf0.01, reproduced here inside sbt at sf0.001). */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def shingleSets = Tables.documents(spark, Sf0001)
+    .select($"doc_id", tokens($"text").as("toks"))
+    .filter(size($"toks") >= 3)
+    .select($"doc_id", array_distinct(shingles($"toks", 3)).as("sh"))
+
+  test("banded candidates reach full recall vs brute force at j >= 0.8") {
+    val sh = shingleSets.cache()
+    val brute = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .withColumn("jac", jaccard($"a.sh", $"b.sh"))
+      .filter($"jac" >= 0.8)
+      .select($"a.doc_id".as("a"), $"b.doc_id".as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = SparkEntry.queries("q_dedup_jaccard")(spark, Sf0001)
+      .select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"banding missed ${brute -- banded}, extra ${banded -- brute}")
+  }
+
+  test("minhash signature is permutation-stable (known value check)") {
+    // Signature of a singleton shingle set is just (a*h+b) % P per coeff.
+    val h = Seq("alpha beta gamma").toDF("s")
+      .select(charHash(col("s")).as("h")).head.getLong(0)
+    val sig = Seq(Seq("alpha beta gamma")).toDF("sh")
+      .select(minHashSignature(transform(col("sh"), charHash(_))).as("sig"))
+      .head.getSeq[Long](0)
+    MinHashCoeffs.zip(sig).foreach { case ((a, b), s) =>
+      assert(s == (a * h + b) % HashP)
+    }
+  }
+
+  test("simhash of identical bags is identical; hamming 0") {
+    val df = Seq("spark hash join", "spark hash join", "totally other doc")
+      .toDF("text")
+      .select(simHash(
+        transform(array_distinct(tokens($"text")), tokenHash60(_)),
+        transform(array_distinct(tokens($"text")),
+          t => size(filter(tokens($"text"), x => x === t)).cast("long")),
+        bits = 60).as("sim"))
+      .collect().map(_.getLong(0))
+    assert(df(0) == df(1))
+    assert(df(0) != df(2))
+  }
+}

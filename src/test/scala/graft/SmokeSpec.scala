@@ -1,0 +1,40 @@
+package graft
+
+/** Every catalog query runs at sf0.001 and returns a sane shape — the
+  * fast regression net between driver rounds (the DuckDB oracle gate is
+  * the authority; this catches breakage without leaving sbt). */
+class SmokeSpec extends SparkTestBase {
+
+  // Queries whose result can be legitimately empty at the smallest SF
+  // (near-dup pairs may not exist among 50 docs).
+  private val mayBeEmpty = Set("q_dedup_jaccard", "q_dedup_simhash")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, Sf0001)
+      val n = df.count()
+      assert(df.columns.nonEmpty)
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("known aggregate values at sf0.001 (pricing summary)") {
+    val row = SparkEntry.queries("q_agg_pricing")(spark, Sf0001)
+      .filter("l_returnflag = 'A'").collect()
+    assert(row.nonEmpty)
+    val total = SparkEntry.queries("q_agg_pricing")(spark, Sf0001)
+      .selectExpr("sum(count_order)").head.getLong(0)
+    val expected = graft.core.Tables.lineitem(spark, Sf0001)
+      .filter("l_shipdate <= timestamp'1998-09-01'").count()
+    assert(total == expected)
+  }
+}

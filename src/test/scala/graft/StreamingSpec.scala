@@ -1,0 +1,142 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventsStreaming
+import graft.streaming.EventsStreaming.Event
+
+/** Behavioral tests for the Structured-Streaming surface (no oracle exists
+  * for late-data semantics — SURVEY.md §5.2): watermark late-drop,
+  * stateful dedup, session windows, custom flatMapGroupsWithState
+  * sessionization, foreachBatch upsert. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  private def ev(id: Long, t: Timestamp, user: Long = 1,
+      typ: String = "click"): Event = Event(id, t, user, typ, 1.0)
+
+  test("tumbling window agg with watermark drops too-late events") {
+    val input = MemoryStream[Event](spark)
+    val agg = EventsStreaming.tumblingCounts(input.toDF())
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Batch 1: events in windows 10:00 and 10:05.
+      input.addData(ev(1, ts(1)), ev(2, ts(2)), ev(3, ts(6)))
+      q.processAllAvailable()
+      // Batch 2: advance event time far ahead -> watermark passes 10:10.
+      input.addData(ev(4, ts(40)))
+      q.processAllAvailable()
+      // Batch 3: a too-late event for window 10:00 must be DROPPED.
+      input.addData(ev(5, ts(3)))
+      q.processAllAvailable()
+      // Close the 10:40 window too.
+      input.addData(ev(6, ts(59)))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+      assert(rows("2024-01-01 10:00:00.0") == 2) // late ev(5) not counted
+      assert(rows("2024-01-01 10:05:00.0") == 1)
+      assert(rows("2024-01-01 10:40:00.0") == 1)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups repeated event ids") {
+    val input = MemoryStream[Event](spark)
+    val q = EventsStreaming.dedupWithinWatermark(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, ts(0)), ev(1, ts(0)), ev(2, ts(1)))
+      q.processAllAvailable()
+      input.addData(ev(1, ts(1, 30)), ev(3, ts(2)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("session_window merges events within the gap") {
+    val input = MemoryStream[Event](spark)
+    val q = EventsStreaming.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at 10:00, 10:02, 10:04 (one session, end 10:09);
+      // then 10:20 (second session).
+      input.addData(ev(1, ts(0)), ev(2, ts(2)), ev(3, ts(4)), ev(4, ts(20)))
+      q.processAllAvailable()
+      input.addData(ev(5, ts(59))) // advance watermark to close sessions
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("session_start", "session_end", "n_events")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+          r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0",
+        "2024-01-01 10:09:00.0", 3L)))
+      assert(rows.contains(("2024-01-01 10:20:00.0",
+        "2024-01-01 10:25:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions") {
+    val input = MemoryStream[Event](spark)
+    val q = EventsStreaming.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("fmgws")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, ts(0)), ev(2, ts(2)))
+      q.processAllAvailable()
+      // New session for the same user; previous closes on arrival.
+      input.addData(ev(3, ts(30)))
+      q.processAllAvailable()
+      input.addData(ev(4, ts(59)))
+      q.processAllAvailable()
+      val rows = spark.table("fmgws")
+        .select("session_start", "n_events").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getInt(1))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", 2)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch upserts aggregated rows into a KV store") {
+    val input = MemoryStream[Event](spark)
+    val agg = input.toDF().groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    // JVM-singleton store: the sink closure is serialized to tasks, so a
+    // captured map instance would be a per-task copy; the object is shared
+    // within the local-mode JVM.
+    val store = StreamingSpec.Store
+    store.clear()
+    val sink = new EventsStreaming.UpsertStore {
+      def upsert(key: String, value: String): Unit =
+        StreamingSpec.Store.put(key, value)
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    val q = EventsStreaming.foreachBatchUpsert(agg, sink,
+      Seq("event_type"))(ckpt)
+    try {
+      input.addData(ev(1, ts(0), typ = "click"), ev(2, ts(1), typ = "view"))
+      q.processAllAvailable()
+      input.addData(ev(3, ts(2), typ = "click"))
+      q.processAllAvailable()
+      assert(store.get("click").contains("n=2"))
+      assert(store.get("view").contains("n=1"))
+    } finally q.stop()
+  }
+}
+
+object StreamingSpec {
+  val Store = new java.util.concurrent.ConcurrentHashMap[String, String]()
+}

@@ -22,6 +22,7 @@ object SparkEntry {
     CleanStage,
     Sources,
     Events,
+    MultimodalQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Multimodal
+import Catalog._
+
+/** Catalog entries for the multimodal-column operators
+  * ([[graft.operators.Multimodal]]). Payloads are UTF-8 text bytes
+  * (deterministic stand-ins), so the DuckDB oracle can reproduce the
+  * binary-side results exactly — including the stubbed decode's byte
+  * histogram (ASCII text ⇒ bytes == codepoints). */
+object MultimodalQueries extends QueryGroup {
+
+  /** Binary metadata surface: payload length, digest, first byte. */
+  private def meta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.mediaTable(Tables.documents(s, d))
+      .select($"media_id", $"kind",
+        $"meta.n_bytes".as("n_bytes"),
+        md5($"payload").as("digest"),
+        ascii(substring(decode($"payload", "UTF-8"), 1, 1)).as("first_byte"),
+        $"meta.source".as("source"))
+      .orderBy($"media_id")
+  }
+
+  /** The mapPartitions feature extraction (stubbed decode) — features are
+    * exact-count ratios, reproducible in SQL. */
+  private def features(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.extractFeatures(
+      Multimodal.mediaTable(Tables.documents(s, d)))
+      .toDF()
+      .select($"media_id", $"kind", $"n_bytes",
+        element_at($"features", 1).as("f0"),
+        element_at($"features", 2).as("f1"),
+        element_at($"features", 3).as("f2"),
+        element_at($"features", 8).as("f7"))
+      .orderBy($"media_id")
+  }
+
+  /** Frame sampling: per-payload frame counts (flatMap fan-out shape). */
+  private def frames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.sampleFrames(
+      Multimodal.mediaTable(Tables.documents(s, d)))
+      .toDF()
+      .groupBy($"media_id")
+      .agg(count(lit(1)).cast("long").as("n_frames"),
+        sum(length($"frame")).cast("long").as("total_frame_bytes"))
+      .orderBy($"media_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_multimodal_meta" -> meta,
+    "q_multimodal_features" -> features,
+    "q_multimodal_frames" -> frames,
+  )
+
+  private val kindSql =
+    """CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |     WHEN doc_id % 3 = 1 THEN 'audio'
+      |     ELSE 'video' END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      s"""SELECT doc_id AS media_id, $kindSql AS kind,
+         |  CAST(strlen(text) AS INT) AS n_bytes,
+         |  md5(text) AS digest,
+         |  CAST(unicode(text[1]) AS INT) AS first_byte,
+         |  source
+         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_multimodal_features" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, $kindSql AS kind,
+         |    [CAST(unicode(c) AS BIGINT) FOR c IN string_split(text, '')]
+         |      AS bytes
+         |  FROM documents)
+         |SELECT doc_id AS media_id, kind,
+         |  CAST(len(bytes) AS INT) AS n_bytes,
+         |  CAST(len(list_filter(bytes, x -> x % 8 = 0)) AS DOUBLE)
+         |    / CAST(len(bytes) AS DOUBLE) AS f0,
+         |  CAST(len(list_filter(bytes, x -> x % 8 = 1)) AS DOUBLE)
+         |    / CAST(len(bytes) AS DOUBLE) AS f1,
+         |  CAST(len(list_filter(bytes, x -> x % 8 = 2)) AS DOUBLE)
+         |    / CAST(len(bytes) AS DOUBLE) AS f2,
+         |  CAST(len(list_filter(bytes, x -> x % 8 = 7)) AS DOUBLE)
+         |    / CAST(len(bytes) AS DOUBLE) AS f7
+         |FROM b ORDER BY media_id""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id, strlen(text) AS n FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST((n - 16) // 64 + 1 AS BIGINT) AS n_frames,
+        |  CAST(16 * ((n - 16) // 64 + 1) AS BIGINT) AS total_frame_bytes
+        |FROM b
+        |WHERE n >= 16
+        |ORDER BY media_id""".stripMargin,
+  )
+}

@@ -1,0 +1,182 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Scraper-shaped HTTP ingest source — reference S6-S9
+  * (`/root/reference/glassdoor-scraper/src/main.py:144-193`,
+  * `packages/common.py:16-42`, `packages/page.py:13-60`,
+  * `packages/listing.py:188-205`) re-expressed Spark-first: the URL
+  * frontier is a Dataset, fetching happens inside `mapPartitions` on
+  * executors (I/O-bound row generator), retries stay inside the fetch
+  * function, and the output is a typed Dataset ready for a partitioned
+  * parquet sink.
+  *
+  * The HTTP client is behind [[Fetcher]] (this sandbox has no network;
+  * tests inject canned HTML — FIXTURES.md A6), and parsing is regex-based
+  * against the reference's selector semantics.
+  *
+  * Scale notes: one task per partition of the frontier; per-URL work never
+  * touches the driver (the reference's per-page driver loop is gone);
+  * dedup before the expensive fetch (`dropDuplicates` replaces the
+  * reference's `@cache` memo, S10/D2).
+  */
+object HttpIngest {
+
+  /** One (search-term, location) scrape assignment
+    * (`main.py:32-38` config cross-product). */
+  case class ScrapeTask(term: String, location: String, baseUrl: String)
+
+  /** The scraper's 15-field row (`main.py:125-139`). */
+  case class JobListing(
+      company_name: Option[String],
+      company_rating: Option[Double],
+      company_offered_role: Option[String],
+      company_role_location: Option[String],
+      job_description: Option[String],
+      requested_url: Option[String],
+      compensation_and_benefits: Option[Double],
+      culture_and_values: Option[Double],
+      career_opportunities: Option[Double],
+      work_life_balance: Option[Double],
+      job_type: Option[String],
+      industry: Option[String],
+      job_function: Option[String],
+      company_size: Option[String],
+      estimated_salary: Option[String])
+
+  /** Pluggable page fetcher with the reference's retry envelope
+    * (`common.py:37-42`: <= 10 retries, fixed backoff). Implementations
+    * must be Serializable — they ship to executors. */
+  trait Fetcher extends Serializable {
+    def fetchOnce(url: String): Option[String]
+    def maxRetries: Int = 10
+    def backoffMs: Long = 0L
+    final def fetch(url: String): Option[String] = {
+      var i = 0
+      while (i < maxRetries) {
+        fetchOnce(url) match {
+          case some @ Some(_) => return some
+          case None =>
+            i += 1
+            if (backoffMs > 0) Thread.sleep(backoffMs)
+        }
+      }
+      None
+    }
+  }
+
+  /** Canned-HTML fetcher for tests / offline runs. */
+  final class MapFetcher(pages: Map[String, String]) extends Fetcher {
+    override val maxRetries = 1
+    def fetchOnce(url: String): Option[String] = pages.get(url)
+  }
+
+  // ---- parsing (regex versions of the reference selectors) ---------------
+
+  /** S8: result-page bounds — "N Jobs" and "Page 1 of M"
+    * (`page.py:13-31`). */
+  def parseBounds(html: String): (Int, Int) = {
+    val jobs = "([0-9][0-9,]*)\\s+Jobs".r.findFirstMatchIn(html)
+      .map(_.group(1).replace(",", "").toInt).getOrElse(0)
+    val pages = "Page\\s+\\d+\\s+of\\s+(\\d+)".r.findFirstMatchIn(html)
+      .map(_.group(1).toInt).getOrElse(1)
+    (jobs, pages)
+  }
+
+  /** S7: listing links (`/partner/jobListing.htm?...` anchors,
+    * `page.py:35-60`) plus the listing-page salary side-map
+    * (`data-test="detailSalary"` spans, `page.py:45-47`). */
+  def parseListingLinks(html: String): Seq[(String, Option[String])] = {
+    val hrefs = "href=\"([^\"]*/partner/jobListing\\.htm\\?[^\"]*)\""
+      .r.findAllMatchIn(html).map(_.group(1)).toSeq.distinct
+    val salaries =
+      "data-test=\"detailSalary\"[^>]*>([^<]+)<".r
+        .findAllMatchIn(html).map(m => m.group(1).trim).toSeq
+    hrefs.zipWithIndex.map { case (h, i) => (h, salaries.lift(i)) }
+  }
+
+  private def firstGroup(re: String, html: String): Option[String] =
+    re.r.findFirstMatchIn(html).map(_.group(1).trim)
+      .filter(s => s.nonEmpty && s != "N/A" && s != "Unknown")
+
+  /** S9: one detail page → listing fields (`listing.py:14-186`): banner
+    * employer/role/location, li-joined description with the <=10-char
+    * full-text fallback (`listing.py:80-88`), highlight spans with
+    * "N/A"/"Unknown" → null (`listing.py:100-113,180-181`). */
+  def parseListing(url: String, html: String,
+      salary: Option[String]): JobListing = {
+    val name = firstGroup("data-test=\"employerName\"[^>]*>([^<]+)<", html)
+    val rating = firstGroup("data-test=\"rating\"[^>]*>([^<]+)<", html)
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+    val lis = "<li>([^<]+)</li>".r.findAllMatchIn(html)
+      .map(_.group(1).trim).toSeq
+    val joined = lis.mkString(" ")
+    val desc =
+      if (joined.length > 10) Some(joined)
+      else firstGroup(
+        "JobDescriptionContainer[^>]*>([\\s\\S]*?)</div>", html)
+    def highlight(label: String): Option[String] =
+      firstGroup(java.util.regex.Pattern.quote(label) +
+        "</span>\\s*<span[^>]*>([^<]+)<", html)
+    def ratingOf(label: String): Option[Double] =
+      highlight(label).flatMap(s => scala.util.Try(s.toDouble).toOption)
+    JobListing(
+      company_name = name,
+      company_rating = rating,
+      company_offered_role =
+        firstGroup("data-test=\"jobTitle\"[^>]*>([^<]+)<", html),
+      company_role_location =
+        firstGroup("data-test=\"location\"[^>]*>([^<]+)<", html),
+      job_description = desc,
+      requested_url = Some(url),
+      compensation_and_benefits = ratingOf("Compensation & Benefits"),
+      culture_and_values = ratingOf("Culture & Values"),
+      career_opportunities = ratingOf("Career Opportunities"),
+      work_life_balance = ratingOf("Work/Life Balance"),
+      job_type = highlight("Job Type"),
+      industry = highlight("Industry"),
+      job_function = highlight("Job Function"),
+      company_size = highlight("Size"),
+      estimated_salary = salary)
+  }
+
+  /** Page-index URL rewrite (`main.py:49-58`): `.htm` → `_IP<n>.htm`. */
+  def pageUrl(baseUrl: String, page: Int): String =
+    if (page <= 1) baseUrl
+    else baseUrl.replaceAll("\\.htm$", s"_IP$page.htm")
+
+  /** The distributed scrape: frontier → mapPartitions(fetch result pages →
+    * listing links → dedup → fetch details) → typed rows. */
+  def scrape(spark: SparkSession, tasks: Seq[ScrapeTask], fetcher: Fetcher,
+      maxPages: Int = 10): Dataset[JobListing] = {
+    import spark.implicits._
+    spark.createDataset(tasks)
+      .repartition(math.max(tasks.size, 1))
+      .mapPartitions { it =>
+        it.flatMap { task =>
+          fetcher.fetch(task.baseUrl).toSeq.flatMap { first =>
+            val (_, nPages) = parseBounds(first)
+            val pages = (1 to math.min(nPages, maxPages)).flatMap { p =>
+              if (p == 1) Some(first)
+              else fetcher.fetch(pageUrl(task.baseUrl, p))
+            }
+            pages.flatMap(parseListingLinks).distinct // S10/D2 dedup
+              .flatMap { case (href, sal) =>
+                fetcher.fetch(href).map(parseListing(href, _, sal))
+              }
+          }
+        }
+      }
+  }
+
+  /** S11-S13 sink: partitioned parquet by (term, location, ingest date). */
+  def writePartitioned(listings: Dataset[JobListing], term: String,
+      location: String, date: String, outDir: String): Unit =
+    listings.toDF()
+      .withColumn("search_term", org.apache.spark.sql.functions.lit(term))
+      .withColumn("location", org.apache.spark.sql.functions.lit(location))
+      .withColumn("ingest_date", org.apache.spark.sql.functions.lit(date))
+      .write.mode("append")
+      .partitionBy("search_term", "location", "ingest_date")
+      .parquet(outDir)
+}

@@ -6,9 +6,13 @@ import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every operator declared in SURVEY.md §2B appears here as a named query
-  * (and, when DuckDB-expressible, a matching oracle SQL string). Queries are
-  * grouped by module under [[graft.queries]].
+  * The oracle-checked catalog, grouped by module under [[graft.queries]]:
+  * relational core, text analysis (flagship top-skills), dedup (minhash/
+  * simhash/exact), vector similarity + ANN, scalar/UDF/UDAF/UDTF surface,
+  * uuid5 + serving, clean-stage grammars, source formats, event windows,
+  * multimodal binary ops. Streaming behavior (watermarks, state) has no
+  * SQL oracle and lives in [[graft.streaming]] + StreamingSpec;
+  * the ingest source (no network here) in [[graft.sources]] + IngestSpec.
   */
 object SparkEntry {
 

@@ -32,7 +32,10 @@ object Catalog {
 
   /** Order-independent average of a "money-like" double column, as double.
     * Divides by the non-null count (SQL AVG semantics, matches DuckDB AVG
-    * when written as decimal-sum / count(x)). */
+    * when written as decimal-sum / count(x)). All-NULL group: NULL/0 —
+    * NULL in both engines under Spark's double division (ANSI division
+    * only errors for integral/decimal operands, so this is stable even
+    * with spark.sql.ansi.enabled=true). */
   def davg(c: Column): Column = dsum(c) / count(c)
 
   /** DuckDB SQL fragment equivalent to [[dsum]]. */

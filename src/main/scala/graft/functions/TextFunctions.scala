@@ -41,12 +41,13 @@ object TextFunctions {
 
   /** Per-character polynomial rolling hash of a string:
     * fold(h = (h*mult + codepoint) mod P). Deterministic, exact, and
-    * expressible in DuckDB as list_reduce over ord() of each char. */
+    * expressible in DuckDB as list_reduce over ord() of each char.
+    * Backed by the codegen'd native expression
+    * [[org.apache.spark.sql.graft.PolyHash]] (the equivalent HOF fold —
+    * aggregate over transform/substr/ascii — evaluates interpreted,
+    * ~2 µs per character at bench scale). */
   def charHash(s: Column, mult: Long = 31L): Column =
-    aggregate(
-      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1)))),
-      lit(0L),
-      (acc, c) => (acc * mult + c) % HashP)
+    org.apache.spark.sql.graft.PolyHash.polyHash(s, mult)
 
   /** 60-bit token hash: two independent polynomial hashes (multipliers 31
     * and 37) truncated to 30 bits each and packed — SimHash needs more sign

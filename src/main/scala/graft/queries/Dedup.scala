@@ -86,10 +86,20 @@ object Dedup extends QueryGroup {
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Fetch shingle sets for the surviving candidates and verify exactly.
+    // Verify exactly — but only re-materialize shingle sets for docs that
+    // actually appear in a candidate pair (a broadcast-semi-join pushdown:
+    // candidates are rare, so the expensive shingle projection runs on a
+    // tiny slice instead of the whole corpus, twice).
+    val candIds = broadcast(cand
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct())
+    val candSh = Tables.documents(s, d)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", array_distinct(shingles($"toks", 3)).as("sh"))
     cand
-      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .join(candSh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+      .join(candSh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
       .withColumn("jac", jaccard($"sh_a", $"sh_b"))
       .filter($"jac" >= 0.8)
       .select($"doc_a", $"doc_b", $"jac")

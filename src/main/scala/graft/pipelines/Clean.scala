@@ -74,6 +74,20 @@ object Clean {
       .withColumn("max_estimated_salary", col("salary_usd.max_usd"))
       .drop("size_bounds", "salary_usd")
 
+  /** S5: exchange-rate source — the reference fetches
+    * `{"rates": {code: rate}}` once per run on the driver
+    * (`cleaner.py:103`); here the same JSON shape is read from a file
+    * (FIXTURES.md A3) and collapsed to a driver-side map that the salary
+    * parser embeds as a broadcast literal. Network I/O stays off
+    * executors by design. */
+  def loadFx(spark: SparkSession, path: String): Map[String, Double] = {
+    val row = spark.read
+      .schema("rates MAP<STRING,DOUBLE>")
+      .option("multiLine", "true").json(path)
+      .select("rates").head()
+    row.getMap[String, Double](0).toMap
+  }
+
   /** End-to-end: raw CSV dir → clean DataFrame. */
   def run(spark: SparkSession, rawDir: String,
       fx: Map[String, Double] = FxRates): DataFrame =

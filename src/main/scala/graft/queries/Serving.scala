@@ -159,8 +159,20 @@ object Serving extends QueryGroup {
       .orderBy($"job")
   }
 
+  /** The same uuid5 keys through the SQL registry surface
+    * ([[graft.functions.GraftFunctions]]) — `spark.sql` callers get the
+    * byte-exact keys by name. */
+  private def uuid5Sql(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+    s.sql(
+      """SELECT n_name, uuid5(n_name) AS job_id
+        |FROM nation_v ORDER BY n_name""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_uuid5_keys" -> uuid5Keys,
+    "q_uuid5_sql_registry" -> uuid5Sql,
     "q_serving_jobs" -> servingJobs,
     "q_serving_pivot" -> servingPivot,
     "q_serving_lookup" -> servingLookup,
@@ -188,6 +200,11 @@ object Serving extends QueryGroup {
     (1 to 10).map(i => s"ts[$i] AS top_skill_n_$i").mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_uuid5_sql_registry" ->
+      s"""SELECT n_name, job_id
+         |FROM nation JOIN ${uuidValuesSql(nationUuid)} v(name, job_id)
+         |  ON n_name = v.name
+         |ORDER BY n_name""".stripMargin,
     "q_uuid5_keys" ->
       s"""SELECT n_name, job_id
          |FROM nation JOIN ${uuidValuesSql(nationUuid)} v(name, job_id)

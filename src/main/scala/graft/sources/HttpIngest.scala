@@ -140,6 +140,22 @@ object HttpIngest {
       estimated_salary = salary)
   }
 
+  /** P10: config cross-product — search_terms × locations expanded into
+    * the URL frontier (`main.py:30-39`; config shape
+    * `glassdoor-scraper/src/data/config.json:1-6`). Distributed form of
+    * the reference's nested driver loops. */
+  def frontier(spark: SparkSession, urlTemplate: String,
+      terms: Seq[String], locations: Map[String, String]): Dataset[ScrapeTask] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    terms.toDF("term")
+      .crossJoin(locations.toSeq.toDF("loc_name", "loc_code"))
+      .select($"term", $"loc_name",
+        format_string(urlTemplate, $"term", $"loc_code").as("baseUrl"))
+      .as[(String, String, String)]
+      .map { case (t, l, u) => ScrapeTask(t, l, u) }
+  }
+
   /** Page-index URL rewrite (`main.py:49-58`): `.htm` → `_IP<n>.htm`. */
   def pageUrl(baseUrl: String, page: Int): String =
     if (page <= 1) baseUrl

@@ -65,10 +65,22 @@ object Dedup extends QueryGroup {
     * here the skinny band table is what both join sides share. */
   private def dedupJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingleSets(s, d)
-    val hashed = sh
-      .select($"doc_id", explode($"sh").as("sg"))
-      .select($"doc_id", fastShingleHash($"sg").as("h"))
+    // Shingles as ROWS via posexplode + window leads (all codegen'd /
+    // sort-based) rather than the per-document HOF transform: the
+    // interpreted concat_ws fold was the remaining 10 s of this query at
+    // sf0.1. Costs one extra shuffle on doc_id — the same key the LSH
+    // banding shuffles on anyway.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val hashed = Tables.documents(s, d)
+      .select($"doc_id", posexplode(tokens($"text")))
+      .toDF("doc_id", "pos", "tok")
+      .select($"doc_id",
+        lead($"tok", 1).over(w).as("t1"), lead($"tok", 2).over(w).as("t2"),
+        $"tok")
+      .filter($"t2".isNotNull)
+      .select($"doc_id",
+        fastShingleHash(concat_ws(" ", $"tok", $"t1", $"t2")).as("h"))
     val sigs = hashed.groupBy($"doc_id").agg(
       min(affineHash($"h", MinHashCoeffs.head._1, MinHashCoeffs.head._2))
         .as("sig0"),

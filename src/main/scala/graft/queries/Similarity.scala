@@ -135,10 +135,50 @@ object Similarity extends QueryGroup {
       .orderBy($"query_id", $"rnk")
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (16 fixed anchor
+    * vectors from the same hyperplane formula) assigns every vector to its
+    * nearest cell by exact integer dot; queries probe their top-2 cells
+    * and re-rank exactly within them. The classic inverted-file layout:
+    * at 100 TB the cell assignment is precomputed and the probe touches
+    * 2/16 of the data. Deterministic end to end, so oracle-checked. */
+  private def annIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", quantize($"embedding").as("qv"))
+    // Anchor c (0..15) reuses planeComponent rows 100+c (distinct from the
+    // LSH planes); dot(qv, anchor_c) is exact integer math.
+    def anchorDot(qv: Column, c: Int): Column = {
+      val anchor = transform(sequence(lit(0), lit(63)),
+        i => planeComponent(lit(100 + c), i))
+      dotInt(qv, anchor)
+    }
+    def cellRank(qv: Column): Column =
+      sort_array(array((0 until 16).map(c =>
+        struct((-anchorDot(qv, c)).as("negdot"), lit(c).as("cell"))): _*))
+    val assigned = vecs.withColumn("cells", cellRank($"qv"))
+    val table = assigned
+      .select($"vec_id", $"qv", $"cells"(0)("cell").as("cell"))
+    val probes = assigned
+      .filter($"vec_id" < NQueries)
+      .select($"vec_id".as("query_id"), $"qv".as("q"),
+        explode(array($"cells"(0)("cell"), $"cells"(1)("cell"))).as("cell"))
+    broadcast(probes)
+      .join(table, Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        dotInt($"q", $"qv").as("dot"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")))
+      .filter($"rnk" <= 3)
+      .select($"query_id", $"rnk", $"neighbor_id", $"dot")
+      .orderBy($"query_id", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_vector_topk" -> vectorTopK,
     "q_vector_cosine" -> vectorCosine,
     "q_ann_lsh" -> annLsh,
+    "q_ann_ivf" -> annIvf,
   )
 
   // DuckDB fragments ------------------------------------------------------
@@ -192,6 +232,40 @@ object Similarity extends QueryGroup {
          |    (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rnk
          |  FROM scored) t
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, $duckQuant qv FROM embeddings
+         |), ad AS (
+         |  SELECT vec_id, cell,
+         |    CAST(list_sum([
+         |      qv[i+1] * (((100 + cell)*64 + i) * 2654435761 % 4294967296
+         |                 - 2147483648)
+         |      FOR i IN range(0, 64)]) AS BIGINT) dot
+         |  FROM q, (SELECT unnest(range(0, 16)) cell) c
+         |), ranked AS (
+         |  SELECT vec_id, cell, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY dot DESC, cell) rn
+         |  FROM ad
+         |), assign AS (
+         |  SELECT vec_id, cell FROM ranked WHERE rn = 1
+         |), probes AS (
+         |  SELECT vec_id query_id, cell FROM ranked
+         |  WHERE rn <= 2 AND vec_id < $NQueries
+         |), cand AS (
+         |  SELECT p.query_id, t.vec_id neighbor_id
+         |  FROM probes p JOIN assign t
+         |    ON p.cell = t.cell AND t.vec_id <> p.query_id
+         |), scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ${duckDotInt("a.qv", "b.qv")} dot
+         |  FROM cand c JOIN q a ON a.vec_id = c.query_id
+         |              JOIN q b ON b.vec_id = c.neighbor_id
+         |)
+         |SELECT query_id, rnk, neighbor_id, dot FROM (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) rnk
+         |  FROM scored) t
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH q AS (
          |  SELECT vec_id, $duckQuant qv FROM embeddings

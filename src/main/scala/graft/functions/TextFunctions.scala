@@ -102,16 +102,6 @@ object TextFunctions {
       array_min(transform(shingleHashes, h => affineHash(h, a, b)))
     }: _*)
 
-  /** LSH band keys from a MinHash signature: `bands` consecutive groups of
-    * `rows` signature values packed into one long key per band. Two docs
-    * land in the same (band_index, band_key) bucket iff the band's rows all
-    * agree — the standard banding candidate generator. */
-  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map { bi =>
-      (1 to rows).map(ri => element_at(sig, bi * rows + ri))
-        .reduce((a, b) => a * HashP + b)
-    }: _*)
-
   /** Exact Jaccard similarity of two pre-distinct string arrays, as a ratio
     * of exact intersection/union cardinalities (single IEEE division). */
   def jaccard(a: Column, b: Column): Column =

@@ -28,6 +28,7 @@ object SparkEntry {
     Sources,
     Events,
     MultimodalQueries,
+    Analytics,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

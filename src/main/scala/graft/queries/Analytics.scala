@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions.{tokens, SkillsDict}
+import Catalog._
+
+/** Typed-row shape for the Dataset[T] surface query (top level: Encoder
+  * codegen requires public accessibility). */
+case class Order(o_orderkey: Long, o_custkey: Long,
+    o_orderstatus: String, o_totalprice: Double)
+
+/** Behavioral / corpus analytics — the query shapes a production pipeline
+  * layers on top of the event stream and document corpus: funnel
+  * conversion, weekly retention, the typed Dataset[T] API surface, and
+  * TF-IDF term weighting.
+  *
+  * Scale notes: funnel and retention are single groupBy(user) passes with
+  * conditional aggregates (no self-joins, no windows over the full
+  * stream); TF-IDF joins per-document term counts to a tiny broadcast
+  * document-frequency table. */
+object Analytics extends QueryGroup {
+
+  /** Funnel: users whose FIRST view precedes their first click, which
+    * precedes their first purchase (first-occurrence ordering semantics —
+    * one conditional-min pass, no sequence state needed). */
+  private def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val firsts = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts")).as("first_view"),
+        min(when($"event_type" === "click", $"ts")).as("first_click"),
+        min(when($"event_type" === "purchase", $"ts")).as("first_purchase"))
+    firsts.agg(
+      count(lit(1)).as("n_users"),
+      count($"first_view").as("n_viewers"),
+      sum(when($"first_view" < $"first_click", 1L).otherwise(0L))
+        .as("view_then_click"),
+      sum(when($"first_view" < $"first_click" &&
+        $"first_click" < $"first_purchase", 1L).otherwise(0L))
+        .as("full_funnel"))
+  }
+
+  /** Weekly retention: of the users active in the stream's first week,
+    * how many return in each later week (exact date bucketing). */
+  private def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id",
+        floor(datediff($"ts".cast("date"), to_date(lit("2024-01-01"))) / 7)
+          .cast("int").as("week"))
+      .distinct()
+    val week0 = ev.filter($"week" === 0).select($"user_id")
+    ev.join(week0, Seq("user_id"), "left_semi")
+      .groupBy($"week")
+      .agg(countDistinct($"user_id").as("retained_users"))
+      .orderBy($"week")
+  }
+
+  // Top-level visibility: Encoder-generated code cannot access a private
+  // nested class.
+
+  /** The typed Dataset[T] surface (SURVEY §1.4): case-class Encoder,
+    * typed filter + map, back to a DataFrame. Typed lambdas are opaque to
+    * Catalyst (no pushdown through the map) — the documented trade-off;
+    * use columns when the optimizer matters. */
+  private def typedDataset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .as[Order]
+      .filter(o => o.o_totalprice > 400000.0 && o.o_orderstatus != "P")
+      .map(o => (o.o_custkey, o.o_orderkey,
+        math.floor(o.o_totalprice / 1000) * 1000))
+      .toDF("o_custkey", "o_orderkey", "price_bucket")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** TF-IDF over the skills dictionary, rational idf variant
+    * (tf * N / df — exact-integer ratio, single IEEE division) so the
+    * oracle matches bit-for-bit; ln-based idf differs across libm
+    * implementations in the last ulp. Top-3 weighted terms per doc for
+    * the first 50 docs. */
+  private def textTfidf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .filter($"term".isin(SkillsDict: _*))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"))
+    val n = Tables.documents(s, d).count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    tf.join(broadcast(df), "term")
+      .withColumn("score",
+        $"tf".cast("double") * lit(n.toDouble) / $"df".cast("double"))
+      .filter($"doc_id" < 50)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"rnk", $"term", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_events_funnel" -> eventsFunnel,
+    "q_events_retention" -> eventsRetention,
+    "q_typed_dataset" -> typedDataset,
+    "q_text_tfidf" -> textTfidf,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_events_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) first_view,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) first_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) first_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        |  COUNT(first_view) AS n_viewers,
+        |  CAST(SUM(CASE WHEN first_view < first_click THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS view_then_click,
+        |  CAST(SUM(CASE WHEN first_view < first_click
+        |            AND first_click < first_purchase THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS full_funnel
+        |FROM f""".stripMargin,
+    "q_events_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) / 7) AS INT) AS week
+        |  FROM events),
+        |w0 AS (SELECT user_id FROM ev WHERE week = 0)
+        |SELECT week, COUNT(DISTINCT ev.user_id) AS retained_users
+        |FROM ev SEMI JOIN w0 ON ev.user_id = w0.user_id
+        |GROUP BY week ORDER BY week""".stripMargin,
+    "q_typed_dataset" ->
+      """SELECT o_custkey, o_orderkey,
+        |  floor(o_totalprice / 1000) * 1000 AS price_bucket
+        |FROM orders
+        |WHERE o_totalprice > 400000.0 AND o_orderstatus <> 'P'
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_text_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |  WHERE term IN ${SkillsDict.map(x => s"'$x'").mkString("(", ", ", ")")}
+         |  GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+         |), n AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT doc_id, rnk, term, tf, df, score FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE)
+         |      / CAST(df.df AS DOUBLE) AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE)
+         |               / CAST(df.df AS DOUBLE) DESC, tf.term) AS rnk
+         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+         |  WHERE tf.doc_id < 50) t
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+  )
+}

@@ -11,7 +11,8 @@ import graft.pipelines.{Clean, Populate}
 class CleanGoldenSpec extends SparkTestBase {
 
   private lazy val rawDir = {
-    val dir = Files.createTempDirectory("graft_raw").toString
+    val dir = Files.createDirectories(
+      Paths.get("target/tmp/graft_raw")).toString
     Files.writeString(
       Paths.get(s"$dir/glassdoor-job-scrapping02-09-2021-data-engineer-london.csv"),
       PipelineSmoke.RawCsv)

@@ -9,7 +9,8 @@ import graft.sources.HttpIngest
 class FxFrontierSpec extends SparkTestBase {
 
   test("loadFx parses the reference's rates-map JSON shape") {
-    val dir = Files.createTempDirectory("graft_fx")
+    val dir = Files.createDirectories(
+      java.nio.file.Paths.get("target/tmp/graft_fx"))
     val path = dir.resolve("fx_rates.json")
     Files.writeString(path,
       """{"rates": {"USD": 1.0, "GBP": 0.72, "COP": 3900.0}}""")

@@ -145,8 +145,7 @@ class StreamingSpec extends SparkTestBase {
       def upsert(key: String, value: String): Unit =
         StreamingSpec.Store.put(key, value)
     }
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_ckpt").toString
+    val ckpt = "target/tmp/graft_ckpt_" + System.nanoTime()
     val q = EventsStreaming.foreachBatchUpsert(agg, sink,
       Seq("event_type"))(ckpt)
     try {
@@ -158,8 +157,44 @@ class StreamingSpec extends SparkTestBase {
       assert(store.get("view").contains("n=1"))
     } finally q.stop()
   }
+
+  test("checkpoint recovery: restart processes only new files, no dups") {
+    import java.nio.file.{Files, Paths}
+    val work = "target/tmp/graft_recovery_" + System.nanoTime()
+    val inDir = s"$work/in"; val ckpt = s"$work/ckpt"
+    Files.createDirectories(Paths.get(inDir))
+    def writeBatch(name: String, ids: Seq[Int]): Unit =
+      Files.writeString(Paths.get(s"$inDir/$name"), ids.map(i =>
+        s"""{"event_id":$i,"ts":"2024-01-01T10:0$i:00.000Z",""" +
+          s""""user_id":1,"event_type":"click","value":1.0}""")
+        .mkString("\n"))
+    StreamingSpec.Seen.clear()
+    def runOnce(): Unit = {
+      val q = EventsStreaming.fileSource(spark, inDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("event_id").collect()
+            .foreach(r => StreamingSpec.Seen.add(r.getLong(0)))
+        }
+        .start()
+      q.awaitTermination()
+    }
+    writeBatch("b1.json", Seq(1, 2, 3))
+    runOnce()
+    assert(StreamingSpec.Seen.size() == 3)
+    writeBatch("b2.json", Seq(4, 5))
+    runOnce() // same checkpoint: b1 must NOT be reprocessed
+    val seen = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(StreamingSpec.Seen).asScala.toSeq.sorted
+    assert(seen == Seq(1L, 2L, 3L, 4L, 5L),
+      s"expected exactly-once ids, got $seen")
+  }
 }
 
 object StreamingSpec {
   val Store = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // A LIST, not a set: duplicates from checkpoint replay must be visible.
+  val Seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
 }

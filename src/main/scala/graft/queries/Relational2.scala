@@ -66,6 +66,22 @@ object Relational2 extends QueryGroup {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Distribution window functions: percent_rank / cume_dist (exact
+    * integer ratios — bit-identical doubles cross-engine) + nth_value. */
+  private def windowDist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, d)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value($"o_orderkey", 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("second_best_key"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   /** UNION (distinct semantics). */
   private def unionDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -129,6 +145,7 @@ object Relational2 extends QueryGroup {
     "q_join_right" -> joinRight,
     "q_grouping_sets" -> groupingSetsSql,
     "q_window_range" -> windowRange,
+    "q_window_dist" -> windowDist,
     "q_union_distinct" -> unionDistinct,
     "q_dropdup_bykey" -> dropDupByKey,
     "q_approx_stats" -> approxStats,
@@ -169,6 +186,17 @@ object Relational2 extends QueryGroup {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
         |             RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  nth_value(o_orderkey, 2) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS second_best_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_union_distinct" ->
       """SELECT c_nationkey AS nk FROM customer

@@ -79,7 +79,11 @@ object JobFunctions {
     // "30000-40000" (or a single "25"); commas/currency letters vanish.
     val nums = split(regexp_replace(cleaned, "[^0-9-]", ""), "-")
     def toUsd(bound: Column): Column = {
-      val raw = bound.cast("double")
+      // try_cast: a digit-free salary sentinel ("N/A", "Employer Provided
+      // Salary") leaves '' after the strip; a strict cast would fail the
+      // whole job under ANSI-default Spark 4. Degrade to null bounds like
+      // the reference's except-branch.
+      val raw = bound.try_cast("double")
       val annual = when(hourly, raw * 8 * 261).otherwise(raw)
       round(annual / rate).cast("long")
     }

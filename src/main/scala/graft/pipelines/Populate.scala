@@ -16,24 +16,41 @@ import graft.functions.Uuid5.uuid5
   *
   * Scale: one shuffle for the (job, token) count, one for the per-job
   * window (each partition <= |dictionary| rows after aggregation); the
-  * dictionary is broadcast. B4 (10x write amplification) and B7
-  * (substring grouping) are NOT reproduced: one upsert per job, exact
-  * equality grouping.
+  * dictionary is broadcast. B4 (10x write amplification) is NOT
+  * reproduced (one upsert per job); B7 substring grouping is available
+  * behind `topSkills(exactMatch = false)`, exact equality by default.
   */
 object Populate {
 
-  /** A2+A3: top-K dictionary tokens per job from the clean table. */
-  def topSkills(clean: DataFrame, skills: Seq[String], k: Int = 10): DataFrame = {
+  /** A2+A3: top-K dictionary tokens per job from the clean table.
+    *
+    * `exactMatch = true` (default) groups rows by their own
+    * `job_position` — SURVEY §0.2 B7's intended semantics. The reference
+    * (`populator.py:41-43`, `jobs.job_position.str.contains(job)`) counts
+    * a row in EVERY group whose name its position contains — "senior data
+    * engineer" rows also feed the "data engineer" group; pass
+    * `exactMatch = false` for that behavior. Scale: the group list is the
+    * distinct-position dim (small), broadcast into a nested-loop on the
+    * substring predicate — work bounded by |groups| x token rows. */
+  def topSkills(clean: DataFrame, skills: Seq[String], k: Int = 10,
+      exactMatch: Boolean = true): DataFrame = {
     val spark = clean.sparkSession
     import spark.implicits._
     val dict = broadcast(skills.toDF("skill"))
-    val counts = clean
+    val tokens = clean
       .select($"job_position",
         explode(split(lower($"job_description"), "\\s+")).as("token"))
       .join(dict, $"token" === $"skill", "left_semi")
+    val grouped =
+      if (exactMatch) tokens
+      else tokens
+        .withColumnRenamed("job_position", "row_position")
+        .join(broadcast(clean.select($"job_position").distinct()),
+          $"row_position".contains($"job_position"))
+        .select($"job_position", $"token")
+    grouped
       .groupBy($"job_position", $"token")
       .agg(count(lit(1)).as("cnt"))
-    counts
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"job_position").orderBy($"cnt".desc, $"token")))
       .filter($"rnk" <= k)

@@ -93,12 +93,16 @@ object Analytics extends QueryGroup {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term")
       .agg(countDistinct($"doc_id").as("df"))
-    val n = Tables.documents(s, d).count()
+    // Corpus size as a lazy broadcast scalar (single-row cross join) —
+    // a driver-side .count() here would launch a job at query-build time.
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("corpus_n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"score".desc, $"term")
     tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
       .withColumn("score",
-        $"tf".cast("double") * lit(n.toDouble) / $"df".cast("double"))
+        $"tf".cast("double") * $"corpus_n".cast("double")
+          / $"df".cast("double"))
       .filter($"doc_id" < 50)
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 3)

@@ -218,10 +218,20 @@ object Scalars extends QueryGroup {
   private def udafTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val top3 = udaf(TopK3Agg, Encoders.scalaDouble)
+    // The driver's comparator cannot sort LIST columns, so the top-3 array
+    // is emitted as a joined string of integer cents: floor(x*100) is a
+    // binary-pure double op identical in Spark and DuckDB, whereas raw
+    // double→string formatting is engine-specific.
     Tables.orders(s, d)
       .groupBy($"o_custkey")
-      .agg(top3($"o_totalprice").as("top3_prices"),
+      .agg(top3($"o_totalprice").as("raw_top3"),
         count(lit(1)).as("n_orders"))
+      .select($"o_custkey",
+        array_join(
+          transform($"raw_top3",
+            x => floor(x * 100).cast("long").cast("string")), ",")
+          .as("top3_cents"),
+        $"n_orders")
       .orderBy($"o_custkey")
   }
 
@@ -347,8 +357,10 @@ object Scalars extends QueryGroup {
         |FROM region ORDER BY r_regionkey""".stripMargin,
     "q_json_props" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k2,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |       AS BIGINT) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |       AS BIGINT) AS sum_k2,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
         |       AS DOUBLE)
         |    / CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
@@ -362,8 +374,10 @@ object Scalars extends QueryGroup {
         |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
     "q_udaf_topk" ->
       """SELECT o_custkey,
-        |  (list(o_totalprice ORDER BY o_totalprice DESC))[1:3]
-        |    AS top3_prices,
+        |  array_to_string(
+        |    [CAST(CAST(floor(x * 100) AS BIGINT) AS VARCHAR)
+        |     FOR x IN (list(o_totalprice ORDER BY o_totalprice DESC))[1:3]],
+        |    ',') AS top3_cents,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_udtf_bigrams" ->

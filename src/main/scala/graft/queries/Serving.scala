@@ -114,10 +114,13 @@ object Serving extends QueryGroup {
       .groupBy($"source")
       .agg(array_sort(collect_list(struct($"rnk", $"token"))).as("rs"))
       .select($"source", transform($"rs", r => r.getField("token")).as("ts"))
+    // try_element_at: null-pads when a source has < 10 ranked skills
+    // (strict element_at throws under ANSI-default Spark 4) — matches
+    // Populate.publish's semantics for the same pivot.
     arr.select(
       (uuid5($"source").as("job_id") +: $"source".as("job") +:
         (1 to 10).map(i =>
-          element_at($"ts", i).as(s"top_skill_n_$i"))): _*)
+          try_element_at($"ts", lit(i)).as(s"top_skill_n_$i"))): _*)
   }
 
   /** Q1: list-all jobs dimension. */

@@ -71,6 +71,37 @@ object HttpIngest {
     def fetchOnce(url: String): Option[String] = pages.get(url)
   }
 
+  /** Default live fetcher — completes S6 for networked deployments.
+    * `java.net.http` client with the reference's retry envelope
+    * (`common.py:16-42`: <= 10 attempts, 5 s sleep between retries, a
+    * desktop User-Agent). The client itself is `@transient lazy` so the
+    * fetcher serializes to executors and each JVM builds its own client.
+    * This sandbox has no egress, so tests keep injecting [[MapFetcher]];
+    * see IngestSpec's offline-skipped live smoke. */
+  final class HttpFetcher(
+      override val maxRetries: Int = 10,
+      override val backoffMs: Long = 5000L,
+      timeoutMs: Long = 30000L) extends Fetcher {
+    @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      .build()
+    def fetchOnce(url: String): Option[String] =
+      try {
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofMillis(timeoutMs))
+          .header("User-Agent",
+            "Mozilla/5.0 (Windows NT 10.0; Win64; x64) graft-ingest/1.0")
+          .GET().build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() >= 200 && resp.statusCode() < 300)
+          Some(resp.body())
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   // ---- parsing (regex versions of the reference selectors) ---------------
 
   /** S8: result-page bounds — "N Jobs" and "Page 1 of M"
@@ -87,12 +118,24 @@ object HttpIngest {
     * `page.py:35-60`) plus the listing-page salary side-map
     * (`data-test="detailSalary"` spans, `page.py:45-47`). */
   def parseListingLinks(html: String): Seq[(String, Option[String])] = {
-    val hrefs = "href=\"([^\"]*/partner/jobListing\\.htm\\?[^\"]*)\""
-      .r.findAllMatchIn(html).map(_.group(1)).toSeq.distinct
-    val salaries =
-      "data-test=\"detailSalary\"[^>]*>([^<]+)<".r
-        .findAllMatchIn(html).map(m => m.group(1).trim).toSeq
-    hrefs.zipWithIndex.map { case (h, i) => (h, salaries.lift(i)) }
+    val hrefMatches =
+      "href=\"([^\"]*/partner/jobListing\\.htm\\?[^\"]*)\""
+        .r.findAllMatchIn(html).map(m => (m.start, m.group(1))).toVector
+    val salaryMatches =
+      "data-test=\"detailSalary\"[^>]*>([^<]+)<"
+        .r.findAllMatchIn(html).map(m => (m.start, m.group(1).trim)).toVector
+    // Pair each anchor with the salary span inside the same listing card
+    // (document region between this anchor and the next). A positional zip
+    // misaligns every subsequent salary as soon as one card lacks a salary
+    // or a duplicate href precedes a new one.
+    val paired = hrefMatches.zipWithIndex.map { case ((pos, href), i) =>
+      val regionEnd = hrefMatches.lift(i + 1).map(_._1).getOrElse(Int.MaxValue)
+      val sal = salaryMatches.collectFirst {
+        case (sp, sv) if sp > pos && sp < regionEnd => sv
+      }
+      (href, sal)
+    }
+    paired.distinctBy(_._1) // S10/D2: first card wins for a repeated link
   }
 
   private def firstGroup(re: String, html: String): Option[String] =

@@ -71,6 +71,38 @@ class CleanGoldenSpec extends SparkTestBase {
     assert(row.getAs[String]("top_skill_n_3") == "sql")
   }
 
+  test("B7 flag: substring grouping counts rows into containing groups") {
+    import spark.implicits._
+    val mini = Seq(
+      ("data engineer", "python spark"),
+      ("senior data engineer", "python sql"))
+      .toDF("job_position", "job_description")
+    val skills = Seq("python", "spark", "sql")
+    def countsOf(exact: Boolean): Map[(String, String), Long] =
+      Populate.topSkills(mini, skills, exactMatch = exact).collect()
+        .map(r => (r.getAs[String]("job_position"),
+          r.getAs[String]("token")) -> r.getAs[Long]("cnt")).toMap
+    val exact = countsOf(true)
+    assert(exact(("data engineer", "python")) == 1L)
+    assert(!exact.contains(("data engineer", "sql")))
+    // populator.py:41-43: "senior data engineer" rows also feed the
+    // "data engineer" group (its name is contained in theirs).
+    val sub = countsOf(false)
+    assert(sub(("data engineer", "python")) == 2L)
+    assert(sub(("data engineer", "sql")) == 1L)
+    assert(sub(("senior data engineer", "python")) == 1L)
+    assert(!sub.contains(("senior data engineer", "spark")))
+  }
+
+  test("publish null-pads when fewer than k skills rank (try_element_at)") {
+    val pub = Populate.run(clean, Seq("python", "spark")).collect()
+    assert(pub.length == 1)
+    val row = pub.head
+    assert(row.getAs[String]("top_skill_n_1") == "python")
+    assert(row.getAs[String]("top_skill_n_2") == "spark")
+    (3 to 10).foreach(i => assert(row.getAs[String](s"top_skill_n_$i") == null))
+  }
+
   test("serving: Q2 lookup unpacks ranked skills") {
     val pub = Populate.run(clean, PipelineSmoke.Skills)
     val skills = Populate

@@ -54,6 +54,17 @@ class GrammarSpec extends SparkTestBase {
     assert(r.getLong(1) == math.round(6000000 / 3900.0))
   }
 
+  test("digit-free salary sentinels degrade to null bounds (not a crash)") {
+    // Real scraper sentinels: no digits survive the strip, so the bound
+    // string is '' — try_cast must yield null under ANSI Spark 4 instead
+    // of failing the whole job (reference cleaner's except-branch).
+    val r = Seq("N/A", "Employer Provided Salary", "Unknown").toDF("s")
+      .select(parseSalaryUsd(col("s")).as("p"))
+      .select(col("p.min_usd"), col("p.max_usd"))
+      .collect()
+    assert(r.forall(row => row.isNullAt(0) && row.isNullAt(1)))
+  }
+
   test("null salary yields null bounds") {
     val r = Seq(Option.empty[String]).toDF("s")
       .select(parseSalaryUsd(col("s")).as("p"))

@@ -60,6 +60,27 @@ class IngestSpec extends SparkTestBase {
     assert(links.head._2.contains("£30000 - £40000 (Employer Est.)"))
   }
 
+  test("S7: salary pairing survives salary-less cards and early duplicates") {
+    // Card 1 has a salary, then its link repeats (no salary), card 2 has a
+    // salary, card 3 has NONE, card 4 has one. A positional zip against
+    // deduped hrefs would hand card 4's salary to card 3.
+    val page =
+      """<a href="/partner/jobListing.htm?id=1">A</a>
+        |<span data-test="detailSalary">£10</span>
+        |<a href="/partner/jobListing.htm?id=1">A dup</a>
+        |<a href="/partner/jobListing.htm?id=2">B</a>
+        |<span data-test="detailSalary">£20</span>
+        |<a href="/partner/jobListing.htm?id=3">C</a>
+        |<a href="/partner/jobListing.htm?id=4">D</a>
+        |<span data-test="detailSalary">£40</span>""".stripMargin
+    val links = parseListingLinks(page)
+    assert(links == Seq(
+      ("/partner/jobListing.htm?id=1", Some("£10")),
+      ("/partner/jobListing.htm?id=2", Some("£20")),
+      ("/partner/jobListing.htm?id=3", None),
+      ("/partner/jobListing.htm?id=4", Some("£40"))))
+  }
+
   test("S9: detail parse — banner, li-joined description, sentinels") {
     val l = parseListing("u1", detail1, Some("£30000"))
     assert(l.company_name.contains("acme corp"))

@@ -46,6 +46,48 @@ def table_rows(tbl):
                   for i in range(tbl.num_rows)]
 
 
+def type_tag(t):
+    # Normalize an arrow type to the granularity the driver's hash cares
+    # about, calibrated against CORRECTNESS_r03 evidence: integer widths
+    # (int32 rank vs int64) and small decimals vs double (q_map_funs)
+    # hash-passed, so they are benign; DuckDB HUGEINT — decimal128(38,0) —
+    # vs Spark int64 is exactly the silent hash-mismatch class
+    # (q_json_props, r3) and must FAIL.
+    import pyarrow as pa
+    s = str(t)
+    if s == "decimal128(38, 0)":
+        return "hugeint"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return "float"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith("date"):
+        return "date"
+    if s in ("string", "large_string"):
+        return "string"
+    return s
+
+
+def type_hazards(name, got, exp):
+    # Returns a list of FAIL strings for dtype-level hazards the value
+    # compare cannot see (the driver hashes dtypes implicitly and its
+    # pandas sort crashes outright on LIST/STRUCT columns).
+    errs = []
+    gt = {c: got.schema.field(c).type for c in got.column_names}
+    et = {c: exp.schema.field(c).type for c in exp.column_names}
+    for c in sorted(set(gt) & set(et)):
+        import pyarrow as pa
+        for side, t in (("spark", gt[c]), ("duck", et[c])):
+            if pa.types.is_nested(t):
+                errs.append(f"{name}: col {c} is nested ({side}={t}) — "
+                            "driver comparator crashes on LIST/STRUCT")
+        if type_tag(gt[c]) != type_tag(et[c]):
+            errs.append(f"{name}: col {c} dtype spark={gt[c]} duck={et[c]}")
+    return errs
+
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -81,6 +123,12 @@ def main():
         ec, er = table_rows(exp)
         if gc != ec:
             print(f"FAIL  {name}: columns differ spark={gc} duck={ec}")
+            n_bad += 1
+            continue
+        hz = type_hazards(name, got, exp)
+        if hz:
+            for h in hz:
+                print(f"FAIL  {h}")
             n_bad += 1
             continue
         if len(gr) != len(er):

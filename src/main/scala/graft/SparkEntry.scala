@@ -29,6 +29,7 @@ object SparkEntry {
     Events,
     MultimodalQueries,
     Analytics,
+    Materialized,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

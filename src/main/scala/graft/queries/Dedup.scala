@@ -63,7 +63,11 @@ object Dedup extends QueryGroup {
     * (interpreted expression per character) vs ~2 s for this shape. At
     * 100 TB the sigs/bands tables would be materialized once and reused;
     * here the skinny band table is what both join sides share. */
-  private def dedupJaccard(s: SparkSession, d: String): DataFrame = {
+  /** MinHash band table (doc_id, band_idx, band_key): the reusable LSH
+    * artifact. 9 bands x 2 rows packed into one key each — this is what a
+    * 100 TB deployment materializes once ([[Materialized]] does exactly
+    * that) and every dedup run joins against. */
+  private[queries] def bandTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // Shingles as ROWS via posexplode + window leads (all codegen'd /
     // sort-based) rather than the per-document HOF transform: the
@@ -87,28 +91,44 @@ object Dedup extends QueryGroup {
       MinHashCoeffs.tail.zipWithIndex.map { case ((a, b), i) =>
         min(affineHash($"h", a, b)).as(s"sig${i + 1}")
       }: _*)
-    // 9 bands x 2 rows packed into one key each; skinny candidate stream.
-    val bands = sigs.select($"doc_id", posexplode(array(
+    sigs.select($"doc_id", posexplode(array(
       (0 until 9).map(bi =>
         col(s"sig${2 * bi}") * HashP + col(s"sig${2 * bi + 1}")): _*)))
       .toDF("doc_id", "band_idx", "band_key")
-    val cand = bands.as("a")
+  }
+
+  /** Band self-join → skinny (doc_a, doc_b) candidate stream. */
+  private[queries] def bandCandidates(bands: DataFrame): DataFrame = {
+    val s = bands.sparkSession
+    import s.implicits._
+    bands.as("a")
       .join(bands.as("b"),
         $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Verify exactly — but only re-materialize shingle sets for docs that
-    // actually appear in a candidate pair (a broadcast-semi-join pushdown:
-    // candidates are rare, so the expensive shingle projection runs on a
-    // tiny slice instead of the whole corpus, twice).
+  }
+
+  /** Exact Jaccard verification of a candidate pair stream — but only
+    * re-materializes shingle sets for docs that actually appear in a
+    * candidate pair (a broadcast-semi-join pushdown: candidates are rare,
+    * so the expensive shingle projection runs on a tiny slice instead of
+    * the whole corpus, twice). */
+  private[queries] def verifyJaccard(s: SparkSession, d: String,
+      cand: DataFrame): DataFrame = {
+    import s.implicits._
     val candIds = broadcast(cand
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct())
+    // persist: this tiny table (only docs appearing in a candidate pair)
+    // feeds BOTH join sides below — cached, the corpus is scanned once for
+    // verification instead of once per side. The cache manager dedups by
+    // logical plan, so repeated builds of the same query share the entry.
     val candSh = Tables.documents(s, d)
       .join(candIds, Seq("doc_id"), "left_semi")
       .select($"doc_id", tokens($"text").as("toks"))
       .filter(size($"toks") >= 3)
       .select($"doc_id", array_distinct(shingles($"toks", 3)).as("sh"))
+      .persist()
     cand
       .join(candSh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
       .join(candSh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
@@ -117,6 +137,9 @@ object Dedup extends QueryGroup {
       .select($"doc_a", $"doc_b", $"jac")
       .orderBy($"doc_a", $"doc_b")
   }
+
+  private def dedupJaccard(s: SparkSession, d: String): DataFrame =
+    verifyJaccard(s, d, bandCandidates(bandTable(s, d)))
 
   /** Per-document MinHash signature head (first 4 of 18 values) — pins the
     * signature math itself cross-engine (charHash twin in DuckDB),

@@ -1,0 +1,82 @@
+package graft.queries
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized-artifact variants of the dedup/ANN operators — the
+  * "at 100 TB the sigs/bands/cells are computed once and reused" design
+  * made real (see the in-code notes in [[Dedup.bandTable]] /
+  * [[Similarity.ivfAssignment]]).
+  *
+  * Each query ensures its artifact exists on disk (a one-time build job,
+  * skipped when the `_SUCCESS` marker is present — the deliberate eager
+  * step; everything after it is a lazy plan over the artifact):
+  *
+  *  - `q_dedup_jaccard_pre`: MinHash band table as parquet. Candidate
+  *    generation reads ONLY the 24-byte-row band table; the corpus is
+  *    scanned once, for exact verification of the rare candidates —
+  *    versus twice (signature build + verify) in the from-scratch query.
+  *  - `q_ann_ivf_pre`: the inverted file partitioned BY CELL on disk.
+  *    The probe join broadcasts the query probes, so dynamic partition
+  *    pruning drops the 14 unprobed cell directories from the scan —
+  *    the probe touches 2/16 of the data on disk, not just logically.
+  *
+  * Both return byte-identical results to their from-scratch twins and are
+  * checked against the same DuckDB oracle SQL. Artifacts land under
+  * `target/artifacts/<sf-dir-slug>/` — derived deterministically from
+  * static testdata, so the marker-file cache is safe; a real deployment
+  * would rebuild on corpus version bumps.
+  */
+object Materialized extends QueryGroup {
+
+  private def artDir(d: String, name: String): String =
+    s"target/artifacts/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/$name"
+
+  private def ensure(path: String)(build: => Unit): Unit =
+    if (!new File(s"$path/_SUCCESS").exists()) build
+
+  /** One-time build: persist the MinHash band table. Plain parquet — the
+    * band self-join shuffles on (band_idx, band_key) either way; the win
+    * is never re-shingling/re-hashing the corpus. */
+  def buildMinhashBands(s: SparkSession, d: String): String = {
+    val path = artDir(d, "minhash_bands")
+    ensure(path) {
+      Dedup.bandTable(s, d).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** One-time build: persist the IVF inverted file, partitioned by cell
+    * so probes prune unprobed cells at the directory level. */
+  def buildIvfCells(s: SparkSession, d: String): String = {
+    val path = artDir(d, "ivf_cells")
+    ensure(path) {
+      Similarity.ivfAssignment(s, d)
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    }
+    path
+  }
+
+  private def dedupJaccardPre(s: SparkSession, d: String): DataFrame = {
+    val bands = s.read.parquet(buildMinhashBands(s, d))
+    Dedup.verifyJaccard(s, d, Dedup.bandCandidates(bands))
+  }
+
+  private def annIvfPre(s: SparkSession, d: String): DataFrame = {
+    val table = s.read.parquet(buildIvfCells(s, d))
+    Similarity.ivfScore(Similarity.ivfProbes(s, d), table)
+  }
+
+  val queries: Map[String, Catalog.Q] = Map(
+    "q_dedup_jaccard_pre" -> dedupJaccardPre,
+    "q_ann_ivf_pre" -> annIvfPre,
+  )
+
+  // Same outputs as the from-scratch twins => same oracle SQL.
+  val oracle: Map[String, String] = Map(
+    "q_dedup_jaccard_pre" -> Dedup.oracle("q_dedup_jaccard"),
+    "q_ann_ivf_pre" -> Similarity.oracle("q_ann_ivf"),
+  )
+}

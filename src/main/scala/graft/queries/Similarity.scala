@@ -141,27 +141,45 @@ object Similarity extends QueryGroup {
     * and re-rank exactly within them. The classic inverted-file layout:
     * at 100 TB the cell assignment is precomputed and the probe touches
     * 2/16 of the data. Deterministic end to end, so oracle-checked. */
-  private def annIvf(s: SparkSession, d: String): DataFrame = {
+  // Anchor c (0..15) reuses planeComponent rows 100+c (distinct from the
+  // LSH planes); dot(qv, anchor_c) is exact integer math.
+  private def anchorDot(qv: Column, c: Int): Column = {
+    val anchor = transform(sequence(lit(0), lit(63)),
+      i => planeComponent(lit(100 + c), i))
+    dotInt(qv, anchor)
+  }
+
+  private def cellRank(qv: Column): Column =
+    sort_array(array((0 until 16).map(c =>
+      struct((-anchorDot(qv, c)).as("negdot"), lit(c).as("cell"))): _*))
+
+  /** The inverted file: (vec_id, qv, cell) with every vector assigned to
+    * its top-1 coarse cell — the artifact a 100 TB deployment precomputes
+    * and stores partitioned by cell ([[Materialized]] does exactly that). */
+  private[queries] def ivfAssignment(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val vecs = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .select($"vec_id", quantize($"embedding").as("qv"))
-    // Anchor c (0..15) reuses planeComponent rows 100+c (distinct from the
-    // LSH planes); dot(qv, anchor_c) is exact integer math.
-    def anchorDot(qv: Column, c: Int): Column = {
-      val anchor = transform(sequence(lit(0), lit(63)),
-        i => planeComponent(lit(100 + c), i))
-      dotInt(qv, anchor)
-    }
-    def cellRank(qv: Column): Column =
-      sort_array(array((0 until 16).map(c =>
-        struct((-anchorDot(qv, c)).as("negdot"), lit(c).as("cell"))): _*))
-    val assigned = vecs.withColumn("cells", cellRank($"qv"))
-    val table = assigned
+      .withColumn("cells", cellRank($"qv"))
       .select($"vec_id", $"qv", $"cells"(0)("cell").as("cell"))
-    val probes = assigned
+  }
+
+  /** Query-side probes: each query vector fanned out to its top-2 cells. */
+  private[queries] def ivfProbes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
       .filter($"vec_id" < NQueries)
+      .select($"vec_id", quantize($"embedding").as("qv"))
+      .withColumn("cells", cellRank($"qv"))
       .select($"vec_id".as("query_id"), $"qv".as("q"),
         explode(array($"cells"(0)("cell"), $"cells"(1)("cell"))).as("cell"))
+  }
+
+  /** Probe join + exact re-rank over an inverted-file table. */
+  private[queries] def ivfScore(probes: DataFrame,
+      table: DataFrame): DataFrame = {
+    val s = probes.sparkSession
+    import s.implicits._
     broadcast(probes)
       .join(table, Seq("cell"))
       .filter($"vec_id" =!= $"query_id")
@@ -173,6 +191,9 @@ object Similarity extends QueryGroup {
       .select($"query_id", $"rnk", $"neighbor_id", $"dot")
       .orderBy($"query_id", $"rnk")
   }
+
+  private def annIvf(s: SparkSession, d: String): DataFrame =
+    ivfScore(ivfProbes(s, d), ivfAssignment(s, d))
 
   val queries: Map[String, Q] = Map(
     "q_vector_topk" -> vectorTopK,

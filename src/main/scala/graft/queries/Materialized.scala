@@ -31,8 +31,28 @@ import org.apache.spark.sql.functions._
   */
 object Materialized extends QueryGroup {
 
-  private def artDir(d: String, name: String): String =
-    s"target/artifacts/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/$name"
+  /** Logic fingerprint baked into each artifact path: any change to the
+    * constants that determine artifact CONTENT (MinHash coefficients /
+    * modulus / shingle size / band packing; IVF plane constant / anchor
+    * offset / cell count / quantize scale) changes the directory name, so
+    * the `_SUCCESS` marker of a stale artifact is never found and the
+    * artifact rebuilds — instead of silently serving parquet computed by
+    * old logic while the from-scratch twin uses new logic. */
+  private def fingerprint(descriptor: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(descriptor.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+
+  private val minhashFp = fingerprint(
+    "minhash|P=" + graft.functions.TextFunctions.HashP +
+      "|k=3|bands=9x2|coeffs=" +
+      graft.functions.TextFunctions.MinHashCoeffs.mkString(","))
+
+  private val ivfFp = fingerprint(
+    "ivf|plane=2654435761|anchorOffset=100|cells=16|quant=1e7")
+
+  private def artDir(d: String, name: String, fp: String): String =
+    s"target/artifacts/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/${name}_$fp"
 
   private def ensure(path: String)(build: => Unit): Unit =
     if (!new File(s"$path/_SUCCESS").exists()) build
@@ -41,7 +61,7 @@ object Materialized extends QueryGroup {
     * band self-join shuffles on (band_idx, band_key) either way; the win
     * is never re-shingling/re-hashing the corpus. */
   def buildMinhashBands(s: SparkSession, d: String): String = {
-    val path = artDir(d, "minhash_bands")
+    val path = artDir(d, "minhash_bands", minhashFp)
     ensure(path) {
       Dedup.bandTable(s, d).write.mode("overwrite").parquet(path)
     }
@@ -51,7 +71,7 @@ object Materialized extends QueryGroup {
   /** One-time build: persist the IVF inverted file, partitioned by cell
     * so probes prune unprobed cells at the directory level. */
   def buildIvfCells(s: SparkSession, d: String): String = {
-    val path = artDir(d, "ivf_cells")
+    val path = artDir(d, "ivf_cells", ivfFp)
     ensure(path) {
       Similarity.ivfAssignment(s, d)
         .write.mode("overwrite").partitionBy("cell").parquet(path)

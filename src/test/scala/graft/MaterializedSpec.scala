@@ -49,8 +49,9 @@ class MaterializedSpec extends SparkTestBase {
   }
 
   test("IVF artifact is cell-partitioned and the probe prunes it") {
-    val root = new java.io.File(
-      "target/artifacts/_root_testdata_sf0.001/ivf_cells")
+    // Build (or reuse) the artifact first: run in isolation, beforeAll has
+    // just deleted it and listFiles() on the bare path would NPE.
+    val root = new java.io.File(Materialized.buildIvfCells(spark, Sf0001))
     val cellDirs = root.listFiles().filter(_.getName.startsWith("cell="))
     assert(cellDirs.nonEmpty, "inverted file must be partitioned by cell")
     val plan = q("q_ann_ivf_pre").queryExecution.executedPlan.toString

@@ -9,14 +9,20 @@ import org.apache.spark.sql.execution.ExplainMode
   * global shuffle.
   *
   * Usage: runMain graft.PlanAudit [sfDir] [query ...]
+  *        runMain graft.PlanAudit --counts [sfDir]   # dump per-query
+  *        shuffle-exchange counts as Scala map entries for PlanAuditSpec's
+  *        audited baseline.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
+    val countsMode = args.headOption.contains("--counts")
+    val rest = if (countsMode) args.drop(1) else args
     val sfDir =
-      if (args.nonEmpty) args(0)
+      if (rest.nonEmpty) rest(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names =
-      if (args.length > 1) args.drop(1).toSeq
+      if (rest.length > 1) rest.drop(1).toSeq
+      else if (countsMode) SparkEntry.queries.keys.toSeq.sorted
       else Seq("q_agg_filter_revenue", "q_join_star", "q_text_top_skills",
         "q_dedup_jaccard", "q_vector_topk", "q_events_session")
     val spark = SparkSession.builder()
@@ -28,10 +34,27 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n================ $n ================")
-      println(SparkEntry.queries(n)(spark, sfDir)
-        .queryExecution.explainString(ExplainMode.fromString("formatted")))
+    if (countsMode) {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      // AQE off so executedPlan is the fully-prepared static plan
+      // (EnsureRequirements has inserted the exchanges) instead of an
+      // opaque AdaptiveSparkPlanExec leaf.
+      val audit = spark.newSession()
+      audit.conf.set("spark.sql.adaptive.enabled", "false")
+      names.foreach { n =>
+        val plan =
+          SparkEntry.queries(n)(audit, sfDir).queryExecution.executedPlan
+        val c = plan.collectWithSubqueries {
+          case e: ShuffleExchangeExec => e
+        }.size
+        println(s"""    "$n" -> $c,""")
+      }
+    } else {
+      names.foreach { n =>
+        println(s"\n================ $n ================")
+        println(SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.explainString(ExplainMode.fromString("formatted")))
+      }
     }
     spark.stop()
   }

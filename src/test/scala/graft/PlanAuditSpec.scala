@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-shape regression gate over the ENTIRE query catalog.
+  *
+  * Planning-only (never executes a query): for every `SparkEntry.queries`
+  * entry at sf0.001 it inspects the fully-prepared static physical plan
+  * (`executedPlan` with AQE off) plus all subquery plans and asserts the
+  * invariants the round-2..5 plan audits established by hand:
+  *
+  *  1. no `CartesianProductExec` anywhere except the one deliberate cross
+  *     join (`q_join_cross`);
+  *  2. no `WindowExec` with an empty partition spec (a global window pulls
+  *     the whole table through one task — a 100 TB killer);
+  *  3. each query's shuffle-exchange count stays at or below the audited
+  *     baseline snapshot, so a broadcast join silently degrading to a
+  *     shuffle join (or a new redundant repartition) fails `sbt test`
+  *     instead of surfacing as a bench regression three rounds later.
+  *
+  * New catalog entries fail with the observed count in the message — add
+  * the audited number to `shuffleBudget` after eyeballing the plan.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  /** Queries allowed a cartesian product: the explicit CROSS JOIN demo. */
+  private val cartesianOk = Set("q_join_cross")
+
+  /** Audited shuffle-exchange counts per query (initial plan, sf0.001,
+    * shuffle.partitions=4, AQE off at planning time). A regression above
+    * the snapshot fails; dropping below it just means we got faster —
+    * tighten the number when that happens. */
+  private val shuffleBudget: Map[String, Int] = PlanAuditSpec.baseline
+
+  /** Planning session with AQE off: `executedPlan` is then the static
+    * fully-prepared plan (EnsureRequirements has inserted the exchanges,
+    * PlanSubqueries has planned subqueries) rather than an opaque
+    * `AdaptiveSparkPlanExec` leaf. `newSession` keeps this conf change
+    * out of the suite-shared session. */
+  private lazy val auditSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  private def planFor(name: String): Seq[SparkPlan] = {
+    val df = SparkEntry.queries(name)(auditSession, Sf0001)
+    df.queryExecution.executedPlan.collectWithSubqueries { case n => n }
+  }
+
+  private lazy val allPlans: Map[String, Seq[SparkPlan]] =
+    SparkEntry.queries.keys.toSeq.sorted.map(n => n -> planFor(n)).toMap
+
+  test("no cartesian product outside the deliberate cross join") {
+    val offenders = allPlans.collect {
+      case (name, nodes)
+          if !cartesianOk(name) &&
+            nodes.exists(_.isInstanceOf[CartesianProductExec]) =>
+        name
+    }
+    assert(offenders.isEmpty,
+      s"cartesian product in: ${offenders.mkString(", ")}")
+  }
+
+  test("no window function with an empty partition spec") {
+    val offenders = allPlans.collect {
+      case (name, nodes) if nodes.exists {
+            case w: WindowExec => w.partitionSpec.isEmpty
+            case _             => false
+          } =>
+        name
+    }
+    assert(offenders.isEmpty,
+      s"global (partitionless) window in: ${offenders.mkString(", ")}")
+  }
+
+  test("per-query shuffle count stays within the audited baseline") {
+    val counts = allPlans.map { case (name, nodes) =>
+      name -> nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    }
+    val unknown = counts.keySet -- shuffleBudget.keySet
+    assert(unknown.isEmpty,
+      "new catalog queries without an audited shuffle budget " +
+        s"(observed counts): ${unknown.toSeq.sorted
+          .map(n => s"$n=${counts(n)}").mkString(", ")}")
+    val over = counts.filter { case (n, c) => c > shuffleBudget(n) }
+    assert(over.isEmpty,
+      "shuffle regression vs audited baseline: " +
+        over.toSeq.sorted
+          .map { case (n, c) => s"$n: $c > ${shuffleBudget(n)}" }
+          .mkString(", "))
+  }
+
+  test("every catalog query plans a pruned lineitem scan") {
+    // Column pruning sanity: no catalog query should scan lineitem's full
+    // 16-column width unless it genuinely selects *.
+    val wideScanOk = Set("q_typed_dataset") // typed Dataset round-trip needs the full row
+    val offenders = allPlans.collect {
+      case (name, nodes) if !wideScanOk(name) && nodes.exists {
+            case f: FileSourceScanExec =>
+              f.relation.location.rootPaths.exists(_.toString.contains("lineitem")) &&
+                f.requiredSchema.length >= 16
+            case _ => false
+          } =>
+        name
+    }
+    assert(offenders.isEmpty,
+      s"unpruned lineitem scan (all 16 columns) in: ${offenders.mkString(", ")}")
+  }
+}
+
+/** Audited baseline: regenerate with
+  * `sbt "runMain graft.PlanAudit --counts /root/testdata/sf0.001"`
+  * and review the diff before pasting — every increase must be justified. */
+object PlanAuditSpec {
+  val baseline: Map[String, Int] = Map(
+    "q_agg_collect_sorted" -> 2,
+    "q_agg_cube" -> 2,
+    "q_agg_distinct" -> 3,
+    "q_agg_filter_revenue" -> 1,
+    "q_agg_maxby" -> 2,
+    "q_agg_pricing" -> 2,
+    "q_agg_rollup" -> 2,
+    "q_ann_ivf" -> 2,
+    "q_ann_ivf_pre" -> 2,
+    "q_ann_lsh" -> 3,
+    "q_approx_stats" -> 2,
+    "q_array_explode" -> 1,
+    "q_array_funs" -> 1,
+    "q_clean_company_size" -> 1,
+    "q_clean_rating" -> 1,
+    "q_clean_salary" -> 1,
+    "q_cond_funs" -> 1,
+    "q_csv_roundtrip" -> 2,
+    "q_date_funs" -> 1,
+    "q_dedup_exact" -> 2,
+    "q_dedup_jaccard" -> 2,
+    "q_dedup_jaccard_pre" -> 2,
+    "q_dedup_minhash_sig" -> 2,
+    "q_dedup_simhash" -> 3,
+    "q_distinct_pairs" -> 2,
+    "q_dropdup_bykey" -> 3,
+    "q_events_funnel" -> 2,
+    "q_events_retention" -> 4,
+    "q_events_session" -> 2,
+    "q_events_sliding" -> 2,
+    "q_events_tumbling" -> 2,
+    "q_except" -> 2,
+    "q_filename_column" -> 2,
+    "q_filter_in_like" -> 1,
+    "q_filter_project" -> 1,
+    "q_grouping_sets" -> 2,
+    "q_intersect" -> 2,
+    "q_join_anti" -> 1,
+    "q_join_broadcast" -> 2,
+    "q_join_cross" -> 1,
+    "q_join_full" -> 3,
+    "q_join_left" -> 2,
+    "q_join_range" -> 2,
+    "q_join_right" -> 2,
+    "q_join_semi" -> 1,
+    "q_join_star" -> 2,
+    "q_json_props" -> 2,
+    "q_json_roundtrip" -> 2,
+    "q_latest_partition" -> 2,
+    "q_map_funs" -> 1,
+    "q_math_funs" -> 1,
+    "q_multimodal_features" -> 1,
+    "q_multimodal_frames" -> 2,
+    "q_multimodal_meta" -> 1,
+    "q_pivot" -> 3,
+    "q_regexp_funs" -> 1,
+    "q_serving_jobs" -> 2,
+    "q_serving_join" -> 4,
+    "q_serving_lookup" -> 3,
+    "q_serving_pivot" -> 3,
+    "q_sort_limit" -> 0,
+    "q_str_funs" -> 1,
+    "q_subquery_above_avg" -> 2,
+    "q_text_fingerprint" -> 1,
+    "q_text_langid" -> 1,
+    "q_text_quality" -> 1,
+    "q_text_tfidf" -> 6,
+    "q_text_token_count" -> 1,
+    "q_text_top_skills" -> 3,
+    "q_topk_per_group" -> 2,
+    "q_typed_dataset" -> 1,
+    "q_udaf_topk" -> 2,
+    "q_udf_scalar" -> 1,
+    "q_udtf_bigrams" -> 1,
+    "q_union_all_agg" -> 2,
+    "q_union_distinct" -> 2,
+    "q_unpivot" -> 4,
+    "q_uuid5_keys" -> 1,
+    "q_uuid5_sql_registry" -> 1,
+    "q_vector_cosine" -> 2,
+    "q_vector_topk" -> 2,
+    "q_window_dist" -> 2,
+    "q_window_frame" -> 2,
+    "q_window_lag" -> 2,
+    "q_window_range" -> 2,
+    "q_window_rank" -> 2,
+  )
+}

@@ -33,6 +33,16 @@ import Catalog._
   */
 object Dedup extends QueryGroup {
 
+  /** LSH geometry, referenced by both the queries below AND the
+    * [[Materialized]] artifact fingerprints — change one here and every
+    * stale on-disk artifact self-invalidates (the fingerprint is built
+    * from these vals, never from re-typed literals). */
+  private[queries] val ShingleK = 3
+  private[queries] val NumBands = 9
+  private[queries] val RowsPerBand = 2
+  require(MinHashCoeffs.length == NumBands * RowsPerBand,
+    "banding consumes exactly NumBands*RowsPerBand signature values")
+
   /** Exact dedup, keep-first: one row per distinct content digest. */
   private def dedupExact(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -49,8 +59,8 @@ object Dedup extends QueryGroup {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", tokens($"text").as("toks"))
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", array_distinct(shingles($"toks", 3)).as("sh"))
+      .filter(size($"toks") >= ShingleK)
+      .select($"doc_id", array_distinct(shingles($"toks", ShingleK)).as("sh"))
   }
 
   /** Near-dup pairs with 3-gram-shingle Jaccard >= 0.8, via MinHash-band
@@ -76,15 +86,15 @@ object Dedup extends QueryGroup {
     // banding shuffles on anyway.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"pos")
+    val leads = (1 until ShingleK).map(i => lead($"tok", i).over(w).as(s"t$i"))
     val hashed = Tables.documents(s, d)
       .select($"doc_id", posexplode(tokens($"text")))
       .toDF("doc_id", "pos", "tok")
+      .select(($"doc_id" +: $"tok" +: leads): _*)
+      .filter(col(s"t${ShingleK - 1}").isNotNull)
       .select($"doc_id",
-        lead($"tok", 1).over(w).as("t1"), lead($"tok", 2).over(w).as("t2"),
-        $"tok")
-      .filter($"t2".isNotNull)
-      .select($"doc_id",
-        fastShingleHash(concat_ws(" ", $"tok", $"t1", $"t2")).as("h"))
+        fastShingleHash(concat_ws(" ",
+          $"tok" +: (1 until ShingleK).map(i => col(s"t$i")): _*)).as("h"))
     val sigs = hashed.groupBy($"doc_id").agg(
       min(affineHash($"h", MinHashCoeffs.head._1, MinHashCoeffs.head._2))
         .as("sig0"),
@@ -92,8 +102,9 @@ object Dedup extends QueryGroup {
         min(affineHash($"h", a, b)).as(s"sig${i + 1}")
       }: _*)
     sigs.select($"doc_id", posexplode(array(
-      (0 until 9).map(bi =>
-        col(s"sig${2 * bi}") * HashP + col(s"sig${2 * bi + 1}")): _*)))
+      (0 until NumBands).map(bi =>
+        col(s"sig${RowsPerBand * bi}") * HashP +
+          col(s"sig${RowsPerBand * bi + 1}")): _*)))
       .toDF("doc_id", "band_idx", "band_key")
   }
 
@@ -119,19 +130,22 @@ object Dedup extends QueryGroup {
     import s.implicits._
     val candIds = broadcast(cand
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct())
-    // persist: this tiny table (only docs appearing in a candidate pair)
-    // feeds BOTH join sides below — cached, the corpus is scanned once for
-    // verification instead of once per side. The cache manager dedups by
-    // logical plan, so repeated builds of the same query share the entry.
+    // This tiny table (only docs appearing in a candidate pair — rare by
+    // construction) feeds BOTH join sides below. Broadcast it: the two
+    // BroadcastExchanges canonicalize identically, so ReuseExchange builds
+    // it ONCE (one corpus scan for verification), the candidate stream
+    // never shuffles, and — unlike the persist() this replaces — nothing
+    // stays pinned in the cache manager after the query completes.
     val candSh = Tables.documents(s, d)
       .join(candIds, Seq("doc_id"), "left_semi")
       .select($"doc_id", tokens($"text").as("toks"))
-      .filter(size($"toks") >= 3)
-      .select($"doc_id", array_distinct(shingles($"toks", 3)).as("sh"))
-      .persist()
+      .filter(size($"toks") >= ShingleK)
+      .select($"doc_id", array_distinct(shingles($"toks", ShingleK)).as("sh"))
     cand
-      .join(candSh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
-      .join(candSh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+      .join(broadcast(candSh.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))),
+        "doc_a")
+      .join(broadcast(candSh.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))),
+        "doc_b")
       .withColumn("jac", jaccard($"sh_a", $"sh_b"))
       .filter($"jac" >= 0.8)
       .select($"doc_a", $"doc_b", $"jac")
@@ -214,16 +228,19 @@ object Dedup extends QueryGroup {
     "q_dedup_simhash" -> dedupSimhash,
   )
 
-  // DuckDB fragment: distinct 3-gram shingle sets per doc.
-  private val shingleCte =
-    """WITH t AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents
-      |), s AS (
-      |  SELECT doc_id,
-      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-      |                   FOR i IN range(1, len(w) - 1)]) sh
-      |  FROM t WHERE len(w) >= 3
-      |)""".stripMargin
+  // DuckDB fragment: distinct ShingleK-gram shingle sets per doc (built
+  // from the same ShingleK constant the Spark side uses).
+  private val shingleCte = {
+    val gram = (0 until ShingleK).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') w FROM documents
+       |), s AS (
+       |  SELECT doc_id,
+       |    list_distinct([$gram
+       |                   FOR i IN range(1, len(w) - ${ShingleK - 2})]) sh
+       |  FROM t WHERE len(w) >= $ShingleK
+       |)""".stripMargin
+  }
 
   // DuckDB fragment: charHash(x, mult) as a lambda-free inline expression.
   private def duckCharHash(expr: String, mult: Int): String =

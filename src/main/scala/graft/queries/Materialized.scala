@@ -43,13 +43,17 @@ object Materialized extends QueryGroup {
       .digest(descriptor.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
 
+  // Descriptors reference the live constants in Dedup/Similarity/
+  // TextFunctions — never re-typed literals — so changing any of them
+  // changes the path and stale artifacts rebuild instead of being reused.
   private val minhashFp = fingerprint(
     "minhash|P=" + graft.functions.TextFunctions.HashP +
-      "|k=3|bands=9x2|coeffs=" +
-      graft.functions.TextFunctions.MinHashCoeffs.mkString(","))
+      s"|k=${Dedup.ShingleK}|bands=${Dedup.NumBands}x${Dedup.RowsPerBand}" +
+      "|coeffs=" + graft.functions.TextFunctions.MinHashCoeffs.mkString(","))
 
   private val ivfFp = fingerprint(
-    "ivf|plane=2654435761|anchorOffset=100|cells=16|quant=1e7")
+    s"ivf|plane=${Similarity.PlaneMult}|anchorOffset=${Similarity.AnchorOffset}" +
+      s"|cells=${Similarity.NumCells}|quant=${Similarity.QuantScale}")
 
   private def artDir(d: String, name: String, fp: String): String =
     s"target/artifacts/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/${name}_$fp"

@@ -34,9 +34,22 @@ import Catalog._
   */
 object Similarity extends QueryGroup {
 
+  /** Quantizer/LSH/IVF geometry, referenced by the queries, the DuckDB
+    * oracle SQL fragments below, AND the [[Materialized]] artifact
+    * fingerprints — single source of truth so a constant change here
+    * self-invalidates stale on-disk artifacts and keeps both engines in
+    * lockstep. */
+  private[queries] val QuantScale: Long = 10000000L // floor(x * 1e7)
+  private[queries] val PlaneMult: Long = 2654435761L // Knuth multiplicative
+  private[queries] val AnchorOffset: Int = 100 // IVF anchors = planes 100+c
+  private[queries] val NumCells: Int = 16
+  private[queries] val NumProbes: Int = 2
+  private val PlanesPerBand = 6
+  private val LshBands = 2
+
   /** floor(x * 1e7) int64 quantization of a float-array column. */
   private def quantize(v: Column): Column =
-    transform(v, x => floor(x.cast("double") * 1e7))
+    transform(v, x => floor(x.cast("double") * QuantScale.toDouble))
 
   /** Exact integer dot product of two quantized vectors. */
   private def dotInt(a: Column, b: Column): Column =
@@ -97,13 +110,13 @@ object Similarity extends QueryGroup {
     * Knuth multiplicative constant; all positive before the mod, so Spark
     * and DuckDB agree on `%`. */
   private def planeComponent(plane: Column, i: Column): Column =
-    (plane * 64L + i) * 2654435761L % 4294967296L - 2147483648L
+    (plane * 64L + i) * PlaneMult % 4294967296L - 2147483648L
 
   /** Signature of one 6-plane band: bit j = (dot(qv, plane_{b*6+j}) > 0). */
   private def bandSig(qv: Column, band: Int): Column =
-    (0 until 6).map { j =>
+    (0 until PlanesPerBand).map { j =>
       val plane = transform(sequence(lit(0), lit(63)),
-        i => planeComponent(lit(band * 6 + j), i))
+        i => planeComponent(lit(band * PlanesPerBand + j), i))
       when(dotInt(qv, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -115,7 +128,7 @@ object Similarity extends QueryGroup {
       .select($"vec_id", quantize($"embedding").as("qv"))
     val sigs = vecs
       .select($"vec_id", $"qv",
-        posexplode(array(bandSig($"qv", 0), bandSig($"qv", 1))))
+        posexplode(array((0 until LshBands).map(bandSig($"qv", _)): _*)))
       .toDF("vec_id", "qv", "band", "sig")
     val qs = broadcast(
       sigs.filter($"vec_id" < NQueries)
@@ -145,12 +158,12 @@ object Similarity extends QueryGroup {
   // LSH planes); dot(qv, anchor_c) is exact integer math.
   private def anchorDot(qv: Column, c: Int): Column = {
     val anchor = transform(sequence(lit(0), lit(63)),
-      i => planeComponent(lit(100 + c), i))
+      i => planeComponent(lit(AnchorOffset + c), i))
     dotInt(qv, anchor)
   }
 
   private def cellRank(qv: Column): Column =
-    sort_array(array((0 until 16).map(c =>
+    sort_array(array((0 until NumCells).map(c =>
       struct((-anchorDot(qv, c)).as("negdot"), lit(c).as("cell"))): _*))
 
   /** The inverted file: (vec_id, qv, cell) with every vector assigned to
@@ -172,7 +185,8 @@ object Similarity extends QueryGroup {
       .select($"vec_id", quantize($"embedding").as("qv"))
       .withColumn("cells", cellRank($"qv"))
       .select($"vec_id".as("query_id"), $"qv".as("q"),
-        explode(array($"cells"(0)("cell"), $"cells"(1)("cell"))).as("cell"))
+        explode(array((0 until NumProbes).map(i => $"cells"(i)("cell")): _*))
+          .as("cell"))
   }
 
   /** Probe join + exact re-rank over an inverted-file table. */
@@ -206,7 +220,7 @@ object Similarity extends QueryGroup {
 
   /** Quantized int64 vector of the embedding column. */
   private val duckQuant =
-    "[CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT) FOR x IN embedding]"
+    s"[CAST(floor(CAST(x AS DOUBLE) * $QuantScale.0) AS BIGINT) FOR x IN embedding]"
 
   /** Exact integer dot of two quantized list columns a/b (1-based index). */
   private def duckDotInt(a: String, b: String): String =
@@ -259,10 +273,10 @@ object Similarity extends QueryGroup {
          |), ad AS (
          |  SELECT vec_id, cell,
          |    CAST(list_sum([
-         |      qv[i+1] * (((100 + cell)*64 + i) * 2654435761 % 4294967296
+         |      qv[i+1] * ((($AnchorOffset + cell)*64 + i) * $PlaneMult % 4294967296
          |                 - 2147483648)
          |      FOR i IN range(0, 64)]) AS BIGINT) dot
-         |  FROM q, (SELECT unnest(range(0, 16)) cell) c
+         |  FROM q, (SELECT unnest(range(0, $NumCells)) cell) c
          |), ranked AS (
          |  SELECT vec_id, cell, row_number() OVER
          |    (PARTITION BY vec_id ORDER BY dot DESC, cell) rn
@@ -271,7 +285,7 @@ object Similarity extends QueryGroup {
          |  SELECT vec_id, cell FROM ranked WHERE rn = 1
          |), probes AS (
          |  SELECT vec_id query_id, cell FROM ranked
-         |  WHERE rn <= 2 AND vec_id < $NQueries
+         |  WHERE rn <= $NumProbes AND vec_id < $NQueries
          |), cand AS (
          |  SELECT p.query_id, t.vec_id neighbor_id
          |  FROM probes p JOIN assign t
@@ -294,12 +308,12 @@ object Similarity extends QueryGroup {
          |  SELECT vec_id, qv, band,
          |    CAST(list_sum([
          |      CASE WHEN CAST(list_sum([
-         |          qv[i+1] * (((band*6 + j)*64 + i) * 2654435761 % 4294967296
+         |          qv[i+1] * (((band*$PlanesPerBand + j)*64 + i) * $PlaneMult % 4294967296
          |                     - 2147483648)
          |          FOR i IN range(0, 64)]) AS BIGINT) > 0
          |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
-         |      FOR j IN range(0, 6)]) AS BIGINT) sig
-         |  FROM q, (SELECT unnest(range(0, 2)) band) b
+         |      FOR j IN range(0, $PlanesPerBand)]) AS BIGINT) sig
+         |  FROM q, (SELECT unnest(range(0, $LshBands)) band) b
          |), cand AS (
          |  SELECT DISTINCT qs.vec_id query_id, ns.vec_id neighbor_id
          |  FROM sigs qs JOIN sigs ns

@@ -137,8 +137,12 @@ object PlanAuditSpec {
     "q_csv_roundtrip" -> 2,
     "q_date_funs" -> 1,
     "q_dedup_exact" -> 2,
-    "q_dedup_jaccard" -> 2,
-    "q_dedup_jaccard_pre" -> 2,
+    // 3 (was 2): verifyJaccard's persist() → broadcast+ReuseExchange rework
+    // made the candidate-id distinct exchange visible — persist hid it
+    // inside an InMemoryRelation that executedPlan doesn't walk. Runtime
+    // shuffle work is unchanged; nothing stays pinned in the cache manager.
+    "q_dedup_jaccard" -> 3,
+    "q_dedup_jaccard_pre" -> 3,
     "q_dedup_minhash_sig" -> 2,
     "q_dedup_simhash" -> 3,
     "q_distinct_pairs" -> 2,

@@ -67,13 +67,18 @@ object PipelineSmoke {
     println("=== Q3 join ===")
     Populate.jobsWithSkills(published).show(false)
 
-    // Accumulator, not a captured var: the sink closure is serialized to
-    // tasks even in local mode.
-    val sunk = spark.sparkContext.longAccumulator("sink_rows")
-    Populate.writeTo(published, new Populate.RowSink {
-      def put(row: Map[String, String]): Unit = sunk.add(1)
-    })
-    println(s"SINK_ROWS=${sunk.value}")
+    // S15 sink against the durable file-backed store: executor tasks
+    // append to per-task logs, then the read-back goes through a FRESH
+    // handle on the directory — the view a restarted serving JVM gets.
+    val storeDir = s"$work/store"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeDir))
+    Populate.writeTo(published,
+      new graft.sources.FileKvStore(storeDir).rowSink("job_id"))
+    val back = graft.sources.FileKvStore.read(storeDir)
+    println("=== store read-back (fresh handle) ===")
+    back.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      println(s"$k -> ${v.take(100)}") }
+    println(s"SINK_ROWS=${back.size}")
     spark.stop()
   }
 }

@@ -5,20 +5,19 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
 
+import graft.sources.FileKvStore
 import graft.streaming.EventsStreaming
 
 /** End-to-end Structured-Streaming smoke: events-shaped JSON files →
   * file-source stream → watermarked tumbling aggregation → foreachBatch
-  * upsert store, run with Trigger.AvailableNow (the batch-cadence analogue
-  * of the reference's daily drop folder).
+  * upsert into a DURABLE file-backed KV store, run with
+  * Trigger.AvailableNow (the batch-cadence analogue of the reference's
+  * daily drop folder). The read-back at the end goes through a fresh
+  * store handle — the view a restarted serving JVM would see.
   *
   * Usage: runMain graft.StreamingSmoke [workDir]
   */
 object StreamingSmoke {
-
-  object Store {
-    val map = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  }
 
   def main(args: Array[String]): Unit = {
     val work = if (args.nonEmpty) args(0) else "target/streaming_smoke"
@@ -45,23 +44,16 @@ object StreamingSmoke {
 
     val events = EventsStreaming.fileSource(spark, inDir)
     val counts = EventsStreaming.tumblingCounts(events)
-    val q = counts.writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val cols = batch.columns
-        batch.collect().foreach { r =>
-          Store.map.put(s"${r.get(0)}|${r.get(1)}",
-            cols.zipWithIndex.map { case (c, i) => s"$c=${r.get(i)}" }
-              .mkString(","))
-        }
-      }
-      .start()
+    // foreachPartition upserts on executors (no driver collect), durable
+    // on disk under work/store.
+    val store = new FileKvStore(s"$work/store")
+    val q = EventsStreaming.foreachBatchUpsert(counts, store,
+      Seq("window_start", "event_type"), Some(Trigger.AvailableNow()))(ckpt)
     q.awaitTermination()
-    println("=== upserted window counts ===")
-    Store.map.forEach((k, v) => println(s"$k -> $v"))
-    println(s"STORE_KEYS=${Store.map.size}")
+    println("=== upserted window counts (read back from disk) ===")
+    val back = FileKvStore.read(s"$work/store")
+    back.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"$k -> $v") }
+    println(s"STORE_KEYS=${back.size}")
     spark.stop()
   }
 }

@@ -44,19 +44,35 @@ object HttpIngest {
       company_size: Option[String],
       estimated_salary: Option[String])
 
+  /** One fetch attempt's outcome: the retry loop distinguishes failures
+    * that retrying can fix from those it cannot. */
+  sealed trait FetchResult extends Serializable
+  object FetchResult {
+    final case class Ok(body: String) extends FetchResult
+    /** Permanent failure (4xx other than 429): retrying cannot help, so it
+      * consumes exactly ONE attempt — a 404-heavy frontier must not stall
+      * executor tasks for the full retry envelope per dead URL. */
+    case object Permanent extends FetchResult
+    /** Transient failure (429/5xx/timeout/connect error): retried inside
+      * the reference's envelope. */
+    case object Transient extends FetchResult
+  }
+
   /** Pluggable page fetcher with the reference's retry envelope
-    * (`common.py:37-42`: <= 10 retries, fixed backoff). Implementations
-    * must be Serializable — they ship to executors. */
+    * (`common.py:37-42`: <= 10 retries, fixed backoff) — applied to
+    * TRANSIENT failures only. Implementations must be Serializable — they
+    * ship to executors. */
   trait Fetcher extends Serializable {
-    def fetchOnce(url: String): Option[String]
+    def fetchOnce(url: String): FetchResult
     def maxRetries: Int = 10
     def backoffMs: Long = 0L
     final def fetch(url: String): Option[String] = {
       var i = 0
       while (i < maxRetries) {
         fetchOnce(url) match {
-          case some @ Some(_) => return some
-          case None =>
+          case FetchResult.Ok(body)  => return Some(body)
+          case FetchResult.Permanent => return None
+          case FetchResult.Transient =>
             i += 1
             if (backoffMs > 0) Thread.sleep(backoffMs)
         }
@@ -65,10 +81,11 @@ object HttpIngest {
     }
   }
 
-  /** Canned-HTML fetcher for tests / offline runs. */
+  /** Canned-HTML fetcher for tests / offline runs; a missing page is a
+    * canned 404 (permanent). */
   final class MapFetcher(pages: Map[String, String]) extends Fetcher {
-    override val maxRetries = 1
-    def fetchOnce(url: String): Option[String] = pages.get(url)
+    def fetchOnce(url: String): FetchResult =
+      pages.get(url).fold[FetchResult](FetchResult.Permanent)(FetchResult.Ok)
   }
 
   /** Default live fetcher — completes S6 for networked deployments.
@@ -86,7 +103,7 @@ object HttpIngest {
       .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
       .build()
-    def fetchOnce(url: String): Option[String] =
+    def fetchOnce(url: String): FetchResult =
       try {
         val req = java.net.http.HttpRequest
           .newBuilder(java.net.URI.create(url))
@@ -96,10 +113,16 @@ object HttpIngest {
           .GET().build()
         val resp = client.send(req,
           java.net.http.HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() >= 200 && resp.statusCode() < 300)
-          Some(resp.body())
-        else None
-      } catch { case scala.util.control.NonFatal(_) => None }
+        val code = resp.statusCode()
+        if (code >= 200 && code < 300) FetchResult.Ok(resp.body())
+        // 429 is rate limiting — the one 4xx where the envelope's fixed
+        // backoff (common.py:37-42) is exactly the right response.
+        else if (code >= 400 && code < 500 && code != 429)
+          FetchResult.Permanent
+        else FetchResult.Transient
+      } catch {
+        case scala.util.control.NonFatal(_) => FetchResult.Transient
+      }
   }
 
   // ---- parsing (regex versions of the reference selectors) ---------------
@@ -116,7 +139,19 @@ object HttpIngest {
 
   /** S7: listing links (`/partner/jobListing.htm?...` anchors,
     * `page.py:35-60`) plus the listing-page salary side-map
-    * (`data-test="detailSalary"` spans, `page.py:45-47`). */
+    * (`data-test="detailSalary"` spans, `page.py:45-47`).
+    *
+    * Salary pairing mirrors the reference's `a.parent.find(attrs=
+    * {"data-test": "detailSalary"})` (`page.py:45`): the salary span lives
+    * anywhere in the SAME listing card as the anchor — including BEFORE
+    * it. When the page has card containers (`<li …>`, real result-page
+    * markup), each anchor's region is its enclosing card — both
+    * orderings pair correctly. On containerless markup card extents are
+    * unknowable, so the fallback region is (this anchor, next anchor):
+    * a preceding salary is ambiguous between two cards and claiming it
+    * would steal the previous card's value. Either way a positional zip
+    * is wrong: it misaligns every subsequent salary as soon as one card
+    * lacks a salary or a duplicate href precedes a new one. */
   def parseListingLinks(html: String): Seq[(String, Option[String])] = {
     val hrefMatches =
       "href=\"([^\"]*/partner/jobListing\\.htm\\?[^\"]*)\""
@@ -124,14 +159,19 @@ object HttpIngest {
     val salaryMatches =
       "data-test=\"detailSalary\"[^>]*>([^<]+)<"
         .r.findAllMatchIn(html).map(m => (m.start, m.group(1).trim)).toVector
-    // Pair each anchor with the salary span inside the same listing card
-    // (document region between this anchor and the next). A positional zip
-    // misaligns every subsequent salary as soon as one card lacks a salary
-    // or a duplicate href precedes a new one.
+    val cardStarts = "<li[\\s>]".r.findAllMatchIn(html).map(_.start).toVector
+    val anchorStarts = hrefMatches.map(_._1)
     val paired = hrefMatches.zipWithIndex.map { case ((pos, href), i) =>
-      val regionEnd = hrefMatches.lift(i + 1).map(_._1).getOrElse(Int.MaxValue)
+      // Card region: [enclosing card open, next card open). Fallback
+      // (no enclosing card): [this anchor, next anchor).
+      val (lo, hi) = cardStarts.lastIndexWhere(_ <= pos) match {
+        case -1 =>
+          (pos, anchorStarts.lift(i + 1).getOrElse(Int.MaxValue))
+        case c =>
+          (cardStarts(c), cardStarts.lift(c + 1).getOrElse(Int.MaxValue))
+      }
       val sal = salaryMatches.collectFirst {
-        case (sp, sv) if sp > pos && sp < regionEnd => sv
+        case (sp, sv) if sp > lo && sp < hi => sv
       }
       (href, sal)
     }

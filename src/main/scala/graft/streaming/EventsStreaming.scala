@@ -129,14 +129,18 @@ object EventsStreaming {
   }
 
   /** foreachBatch sink: upserts each aggregated row by composite key.
-    * Complete-mode re-emission keeps the store converged. */
+    * Complete-mode re-emission keeps the store converged. Pass
+    * `Trigger.AvailableNow()` for the reference's drain-the-drop-folder
+    * batch cadence. */
   def foreachBatchUpsert(agg: DataFrame, store: UpsertStore,
-      keyCols: Seq[String])(
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    agg.writeStream
+      keyCols: Seq[String],
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = agg.writeStream
       .outputMode(OutputMode.Complete)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    trigger.foreach(w.trigger)
+    w.foreachBatch { (batch: DataFrame, _: Long) =>
         val cols = batch.columns
         batch.foreachPartition {
           (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -148,4 +152,5 @@ object EventsStreaming {
         }
       }
       .start()
+  }
 }

@@ -101,11 +101,57 @@ class IngestSpec extends SparkTestBase {
   test("retry envelope: flaky fetcher succeeds within maxRetries") {
     val calls = new java.util.concurrent.atomic.AtomicInteger(0)
     val flaky = new Fetcher {
-      def fetchOnce(url: String): Option[String] =
-        if (calls.incrementAndGet() < 3) None else Some("<html>ok</html>")
+      def fetchOnce(url: String): FetchResult =
+        if (calls.incrementAndGet() < 3) FetchResult.Transient
+        else FetchResult.Ok("<html>ok</html>")
     }
     assert(flaky.fetch("x").contains("<html>ok</html>"))
     assert(calls.get() == 3)
+  }
+
+  test("permanent failure (404) consumes exactly one attempt") {
+    // A 404-heavy frontier must not stall executor tasks for the full
+    // 10 x backoff envelope per dead URL — only transient failures retry.
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dead = new Fetcher {
+      def fetchOnce(url: String): FetchResult = {
+        calls.incrementAndGet(); FetchResult.Permanent
+      }
+    }
+    assert(dead.fetch("x").isEmpty)
+    assert(calls.get() == 1)
+    val transient = new Fetcher {
+      def fetchOnce(url: String): FetchResult = {
+        calls.incrementAndGet(); FetchResult.Transient
+      }
+    }
+    calls.set(0)
+    assert(transient.fetch("x").isEmpty)
+    assert(calls.get() == 10) // full envelope, transient only
+  }
+
+  test("S7: card containers pair salary in BOTH orderings (page.py:45)") {
+    // The reference searches the anchor's whole parent card — the salary
+    // span may PRECEDE the link. With <li> card boundaries present, each
+    // anchor pairs within its enclosing card, either side.
+    val page =
+      """<ul>
+        |<li class="react-job-listing">
+        |<span data-test="detailSalary">£10</span>
+        |<a href="/partner/jobListing.htm?id=1">salary before link</a>
+        |</li>
+        |<li class="react-job-listing">
+        |<a href="/partner/jobListing.htm?id=2">salary after link</a>
+        |<span data-test="detailSalary">£20</span>
+        |</li>
+        |<li class="react-job-listing">
+        |<a href="/partner/jobListing.htm?id=3">no salary</a>
+        |</li>
+        |</ul>""".stripMargin
+    assert(parseListingLinks(page) == Seq(
+      ("/partner/jobListing.htm?id=1", Some("£10")),
+      ("/partner/jobListing.htm?id=2", Some("£20")),
+      ("/partner/jobListing.htm?id=3", None)))
   }
 
   test("end-to-end distributed scrape over canned pages") {

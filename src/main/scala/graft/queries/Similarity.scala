@@ -209,11 +209,57 @@ object Similarity extends QueryGroup {
   private def annIvf(s: SparkSession, d: String): DataFrame =
     ivfScore(ivfProbes(s, d), ivfAssignment(s, d))
 
+  /** Embedding-cosine near-dup PAIRS — completes the dedup family (exact /
+    * MinHash-Jaccard / SimHash / n-gram live in [[Dedup]]): all (a < b)
+    * pairs sharing at least one hyperplane-LSH band bucket, verified by
+    * exact cosine >= [[CosDupThreshold]]. Approximate-by-design like every
+    * LSH dedup (a pair colliding in no band is never considered); the
+    * oracle mirrors the banding, so the check is exact over the declared
+    * semantics.
+    *
+    * Scale: bucket self-join shuffles O(n x bands) skinny (band, sig, id)
+    * rows — never all-pairs; within-bucket pair count is the standard LSH
+    * tradeoff, bounded by raising PlanesPerBand (more, smaller buckets).
+    * Verification joins the skinny pair list back to the vectors on id —
+    * declarative equi-joins, so Catalyst broadcasts at small scale and
+    * AQE shifts to shuffle joins (with skew splitting) at 100 TB. */
+  private def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select($"vec_id", quantize($"embedding").as("qv"))
+    val sigs = vecs
+      .select($"vec_id",
+        posexplode(array((0 until LshBands).map(bandSig($"qv", _)): _*)))
+      .toDF("vec_id", "band", "sig")
+    val cand = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct() // a pair may collide in several bands
+    val norms = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        dotDouble($"embedding", $"embedding").as("norm2"))
+    cand
+      .join(norms.select($"vec_id".as("vec_a"), $"embedding".as("ea"),
+        $"norm2".as("na")), "vec_a")
+      .join(norms.select($"vec_id".as("vec_b"), $"embedding".as("eb"),
+        $"norm2".as("nb")), "vec_b")
+      .select($"vec_a", $"vec_b",
+        (dotDouble($"ea", $"eb") / (sqrt($"na") * sqrt($"nb"))).as("cosine"))
+      .filter($"cosine" >= CosDupThreshold)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Near-dup cosine floor: random testdata tops out ~0.55, so 0.30 keeps
+    * the result nonempty yet selective at every SF. */
+  private[queries] val CosDupThreshold = 0.30
+
   val queries: Map[String, Q] = Map(
     "q_vector_topk" -> vectorTopK,
     "q_vector_cosine" -> vectorCosine,
     "q_ann_lsh" -> annLsh,
     "q_ann_ivf" -> annIvf,
+    "q_dedup_embedding" -> dedupEmbedding,
   )
 
   // DuckDB fragments ------------------------------------------------------
@@ -330,5 +376,34 @@ object Similarity extends QueryGroup {
          |    (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) rnk
          |  FROM scored) t
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, $duckQuant qv, embedding,
+         |    ${duckDotDouble("embedding", "embedding")} norm2
+         |  FROM embeddings
+         |), sigs AS (
+         |  SELECT vec_id, band,
+         |    CAST(list_sum([
+         |      CASE WHEN CAST(list_sum([
+         |          qv[i+1] * (((band*$PlanesPerBand + j)*64 + i) * $PlaneMult % 4294967296
+         |                     - 2147483648)
+         |          FOR i IN range(0, 64)]) AS BIGINT) > 0
+         |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+         |      FOR j IN range(0, $PlanesPerBand)]) AS BIGINT) sig
+         |  FROM q, (SELECT unnest(range(0, $LshBands)) band) b
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+         |), scored AS (
+         |  SELECT c.vec_a, c.vec_b,
+         |    ${duckDotDouble("x.embedding", "y.embedding")}
+         |      / (sqrt(x.norm2) * sqrt(y.norm2)) cosine
+         |  FROM cand c JOIN q x ON x.vec_id = c.vec_a
+         |              JOIN q y ON y.vec_id = c.vec_b
+         |)
+         |SELECT vec_a, vec_b, cosine FROM scored
+         |WHERE cosine >= $CosDupThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

@@ -136,6 +136,7 @@ object PlanAuditSpec {
     "q_cond_funs" -> 1,
     "q_csv_roundtrip" -> 2,
     "q_date_funs" -> 1,
+    "q_dedup_embedding" -> 2,
     "q_dedup_exact" -> 2,
     // 3 (was 2): verifyJaccard's persist() → broadcast+ReuseExchange rework
     // made the candidate-id distinct exchange visible — persist hid it

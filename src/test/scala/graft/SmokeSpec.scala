@@ -27,6 +27,16 @@ class SmokeSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("no pinned cache entries after the full catalog run") {
+    // Runs after every per-query test above (registration order): no
+    // catalog query may leave data pinned in executor memory — a persist()
+    // without an unpersist lifecycle accumulates across heterogeneous runs
+    // for the session lifetime (the round-5 verifyJaccard finding).
+    val pinned = spark.sparkContext.getPersistentRDDs
+    assert(pinned.isEmpty,
+      s"cached RDDs left behind: ${pinned.values.map(_.name).mkString(", ")}")
+  }
+
   test("known aggregate values at sf0.001 (pricing summary)") {
     val row = SparkEntry.queries("q_agg_pricing")(spark, Sf0001)
       .filter("l_returnflag = 'A'").collect()

@@ -50,10 +50,26 @@ object Events extends QueryGroup {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** View → click attribution counts per user, over the shared
+    * stream-stream interval-join transform
+    * ([[graft.streaming.EventsStreaming.viewClickJoin]]) run in batch
+    * mode — same batch-equivalence oracle strategy as the window rows.
+    * One shuffle on user_id for the join (both sides co-partition), one
+    * partial-agg shuffle for the count. */
+  private def viewClick(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.EventsStreaming.viewClickJoin(Tables.events(s, d))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_attributed"),
+        countDistinct($"view_id").as("n_views_clicked"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_events_tumbling" -> tumbling,
     "q_events_sliding" -> sliding,
     "q_events_session" -> session,
+    "q_events_view_click" -> viewClick,
   )
 
   val oracle: Map[String, String] = Map(
@@ -88,5 +104,13 @@ object Events extends QueryGroup {
          |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
          |FROM g GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
+    "q_events_view_click" ->
+      """SELECT v.user_id, COUNT(*) AS n_attributed,
+        |  COUNT(DISTINCT v.event_id) AS n_views_clicked
+        |FROM events v JOIN events c
+        |  ON c.user_id = v.user_id
+        |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL '10 minutes'
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
   )
 }

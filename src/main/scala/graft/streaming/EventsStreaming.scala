@@ -66,6 +66,33 @@ object EventsStreaming {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join — view → click attribution: each view
+    * pairs with the SAME user's clicks inside
+    * `[view_ts, view_ts + horizon)`. Watermarks on BOTH sides plus the
+    * time-bound join condition let Spark evict buffered rows once the
+    * watermark passes `view_ts + horizon`, so join state is
+    * O(users x horizon), independent of stream length. In batch mode the
+    * watermarks are no-ops and the identical plan is oracle-checked
+    * (`q_events_view_click`). */
+  def viewClickJoin(events: DataFrame,
+      horizonMinutes: Int = 10): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    views.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") < col("view_ts") +
+          expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionization ---------------
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -153,6 +153,9 @@ object PlanAuditSpec {
     "q_events_session" -> 2,
     "q_events_sliding" -> 2,
     "q_events_tumbling" -> 2,
+    // 3: both interval-join sides shuffle on user_id, the per-user agg
+    // reuses that partitioning, final ORDER BY adds the range exchange.
+    "q_events_view_click" -> 3,
     "q_except" -> 2,
     "q_filename_column" -> 2,
     "q_filter_in_like" -> 1,

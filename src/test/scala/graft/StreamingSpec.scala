@@ -131,6 +131,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks within the horizon") {
+    val input = MemoryStream[Event](spark)
+    val q = EventsStreaming.viewClickJoin(input.toDF())
+      .writeStream.format("memory").queryName("viewclick")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: view at 10:00; clicks at 10:03 (inside) and 10:15 (past
+      // the 10-minute horizon). user 2: click with NO view -> never joins.
+      input.addData(
+        ev(1, ts(0), user = 1, typ = "view"),
+        ev(2, ts(3), user = 1, typ = "click"),
+        ev(3, ts(15), user = 1, typ = "click"),
+        ev(4, ts(4), user = 2, typ = "click"))
+      q.processAllAvailable()
+      // Advance both watermarks so buffered state flushes/evicts.
+      input.addData(ev(9, ts(59), user = 9, typ = "view"),
+        ev(10, ts(59), user = 9, typ = "click"))
+      q.processAllAvailable()
+      val pairs = spark.table("viewclick")
+        .select("user_id", "view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(pairs.contains((1L, 1L, 2L))) // in-horizon click attributed
+      assert(!pairs.exists(p => p._2 == 1L && p._3 == 3L)) // past horizon
+      assert(!pairs.exists(_._1 == 2L)) // viewless click never joins
+    } finally q.stop()
+  }
+
   test("foreachBatch upserts aggregated rows into a KV store") {
     val input = MemoryStream[Event](spark)
     val agg = input.toDF().groupBy($"event_type")

@@ -51,15 +51,18 @@ object Similarity extends QueryGroup {
   private def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * QuantScale.toDouble))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the codegen'd
+    * [[org.apache.spark.sql.graft.ArrayDotLong]] expression (identical
+    * fold to the HOF formulation `aggregate(zip_with(a,b,_*_),0,_+_)` it
+    * replaced; the interpreted HOF walk cost ~2 µs/element). */
   private def dotInt(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.DotProduct.dotLong(a, b)
 
-  /** Left-fold double dot product (bit-identical to DuckDB list_reduce). */
+  /** Left-fold double dot product (bit-identical to DuckDB list_reduce
+    * AND to the HOF fold: IEEE multiply-then-add per element, in index
+    * order — codegen'd, not reassociated). */
   private def dotDouble(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.DotProduct.dotDouble(a, b)
 
   private val NQueries = 5
   private val TopK = 10

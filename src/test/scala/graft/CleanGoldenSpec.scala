@@ -21,6 +21,13 @@ class CleanGoldenSpec extends SparkTestBase {
 
   private lazy val clean = Clean.run(spark, rawDir).cache()
 
+  // The session is suite-shared: release the fixture cache so the
+  // no-pinned-cache invariant in SmokeSpec stays strict.
+  override protected def afterAll(): Unit = {
+    clean.unpersist()
+    super.afterAll()
+  }
+
   test("F1: null company_name rows are dropped") {
     assert(clean.count() == 3)
   }

@@ -20,16 +20,18 @@ class DedupSpec extends SparkTestBase {
 
   test("banded candidates reach full recall vs brute force at j >= 0.8") {
     val sh = shingleSets.cache()
-    val brute = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
-      .withColumn("jac", jaccard($"a.sh", $"b.sh"))
-      .filter($"jac" >= 0.8)
-      .select($"a.doc_id".as("a"), $"b.doc_id".as("b"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val banded = SparkEntry.queries("q_dedup_jaccard")(spark, Sf0001)
-      .select($"doc_a", $"doc_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(banded == brute,
-      s"banding missed ${brute -- banded}, extra ${banded -- brute}")
+    try {
+      val brute = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+        .withColumn("jac", jaccard($"a.sh", $"b.sh"))
+        .filter($"jac" >= 0.8)
+        .select($"a.doc_id".as("a"), $"b.doc_id".as("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val banded = SparkEntry.queries("q_dedup_jaccard")(spark, Sf0001)
+        .select($"doc_a", $"doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == brute,
+        s"banding missed ${brute -- banded}, extra ${banded -- brute}")
+    } finally sh.unpersist()
   }
 
   test("minhash signature is permutation-stable (known value check)") {

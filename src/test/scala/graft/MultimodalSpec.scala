@@ -10,6 +10,13 @@ class MultimodalSpec extends SparkTestBase {
   private lazy val media =
     Multimodal.mediaTable(Tables.documents(spark, Sf0001)).cache()
 
+  // The session is suite-shared: release the fixture cache so the
+  // no-pinned-cache invariant in SmokeSpec stays strict.
+  override protected def afterAll(): Unit = {
+    media.unpersist()
+    super.afterAll()
+  }
+
   test("media table schema: binary payload + metadata struct") {
     val f = media.schema("payload")
     assert(f.dataType.typeName == "binary")

@@ -63,48 +63,32 @@ object Dedup extends QueryGroup {
       .select($"doc_id", array_distinct(shingles($"toks", ShingleK)).as("sh"))
   }
 
-  /** Near-dup pairs with 3-gram-shingle Jaccard >= 0.8, via MinHash-band
-    * LSH candidate generation + exact verification.
-    *
-    * Signature computation is RELATIONAL, not a per-row HOF fold: shingles
-    * explode to (doc_id, shingle_hash) rows and one codegen'd hash-agg
-    * computes all 18 `min((a_i*h+b_i) mod P)` signature values — the
-    * round-3 bench showed the nested-HOF variant costs 750 s at sf0.1
-    * (interpreted expression per character) vs ~2 s for this shape. At
-    * 100 TB the sigs/bands tables would be materialized once and reused;
-    * here the skinny band table is what both join sides share. */
   /** MinHash band table (doc_id, band_idx, band_key): the reusable LSH
     * artifact. 9 bands x 2 rows packed into one key each — this is what a
     * 100 TB deployment materializes once ([[Materialized]] does exactly
-    * that) and every dedup run joins against. */
+    * that) and every dedup run joins against.
+    *
+    * Signature computation is a fused per-row codegen kernel
+    * ([[org.apache.spark.sql.graft.MinHashShingleSigs]]): tokens are
+    * already adjacent within a row, so shingling + hashing + all 18
+    * `min((a_i*h+b_i) mod P)` folds run in one tight loop per document —
+    * scan → project, ZERO shuffles. The earlier relational shape
+    * (posexplode → window-lead → 18-min hash-agg) paid a corpus-wide sort
+    * + shuffle on doc_id just to reassemble adjacent tokens (and before
+    * that, the round-3 nested-HOF fold ran interpreted at 750 s/sf0.1).
+    * Values are bit-identical across all three formulations
+    * (MinHashSigsSpec pins it), so materialized band artifacts built by
+    * any of them interoperate. */
   private[queries] def bandTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Shingles as ROWS via posexplode + window leads (all codegen'd /
-    // sort-based) rather than the per-document HOF transform: the
-    // interpreted concat_ws fold was the remaining 10 s of this query at
-    // sf0.1. Costs one extra shuffle on doc_id — the same key the LSH
-    // banding shuffles on anyway.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"pos")
-    val leads = (1 until ShingleK).map(i => lead($"tok", i).over(w).as(s"t$i"))
-    val hashed = Tables.documents(s, d)
-      .select($"doc_id", posexplode(tokens($"text")))
-      .toDF("doc_id", "pos", "tok")
-      .select(($"doc_id" +: $"tok" +: leads): _*)
-      .filter(col(s"t${ShingleK - 1}").isNotNull)
-      .select($"doc_id",
-        fastShingleHash(concat_ws(" ",
-          $"tok" +: (1 until ShingleK).map(i => col(s"t$i")): _*)).as("h"))
-    val sigs = hashed.groupBy($"doc_id").agg(
-      min(affineHash($"h", MinHashCoeffs.head._1, MinHashCoeffs.head._2))
-        .as("sig0"),
-      MinHashCoeffs.tail.zipWithIndex.map { case ((a, b), i) =>
-        min(affineHash($"h", a, b)).as(s"sig${i + 1}")
-      }: _*)
+    import org.apache.spark.sql.graft.MinHashShingleSigs.minhashSigs
+    val sigs = Tables.documents(s, d)
+      .select($"doc_id", minhashSigs(tokens($"text"), ShingleK).as("sigs"))
+      .filter($"sigs".isNotNull) // < k tokens => no shingles => no bands
     sigs.select($"doc_id", posexplode(array(
       (0 until NumBands).map(bi =>
-        col(s"sig${RowsPerBand * bi}") * HashP +
-          col(s"sig${RowsPerBand * bi + 1}")): _*)))
+        $"sigs"(RowsPerBand * bi) * HashP +
+          $"sigs"(RowsPerBand * bi + 1)): _*)))
       .toDF("doc_id", "band_idx", "band_key")
   }
 

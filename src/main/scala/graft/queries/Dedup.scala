@@ -167,28 +167,20 @@ object Dedup extends QueryGroup {
   /** SimHash near-dup pairs: hamming(sig_a, sig_b) <= 2 over the 60-bit
     * weighted-token SimHash, candidates via exact 3-chunk pigeonhole.
     *
-    * Like the MinHash query, the signature is computed relationally: one
-    * explode to (doc, token, count) rows, one token hash per row, and a
-    * single codegen'd hash-agg with 60 conditional sums — the per-document
-    * HOF fold cost 114 s at sf0.1; this shape is ~50x cheaper and
-    * shuffle-equivalent (same single groupBy). */
+    * The signature is a fused per-row codegen kernel
+    * ([[org.apache.spark.sql.graft.SimHash60]]): the token bag is already
+    * local to the row, so hashing + the 60 signed bit-sums run in one
+    * tight loop per document — scan → project, ZERO shuffles. The earlier
+    * relational shape (explode → groupBy(doc, token) count → groupBy(doc)
+    * 60 conditional sums) paid TWO corpus-wide shuffles to build the same
+    * values (and before that, the per-document HOF fold ran interpreted
+    * at 114 s/sf0.1). Bit-identical across all three formulations —
+    * SimHashSpec pins kernel == relational on the whole corpus. */
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tok = Tables.documents(s, d)
-      .select($"doc_id", explode(tokens($"text")).as("token"))
-      .groupBy($"doc_id", $"token")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", tokenHash60($"token"))
-    val bitSums = tok.groupBy($"doc_id").agg(
-      sum(when(shiftright($"h", 0) % 2 === 1, $"cnt").otherwise(-$"cnt"))
-        .as("s0"),
-      (1 until 60).map(bit =>
-        sum(when(shiftright($"h", bit) % 2 === 1, $"cnt").otherwise(-$"cnt"))
-          .as(s"s$bit")): _*)
-    val sims = bitSums.select($"doc_id",
-      (0 until 60).map(bit =>
-        when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
-        .reduce(_ + _).as("sim"))
+    import org.apache.spark.sql.graft.SimHash60.simhash60
+    val sims = Tables.documents(s, d)
+      .select($"doc_id", simhash60(tokens($"text")).as("sim"))
     // Pigeonhole: hamming <= 2 over 60 bits => >= 1 of 3 20-bit chunks equal.
     val chunks = sims.select($"doc_id", $"sim",
       posexplode(array((0 until 3).map(i =>

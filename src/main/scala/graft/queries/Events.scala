@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -65,11 +66,49 @@ object Events extends QueryGroup {
       .orderBy($"user_id")
   }
 
+  /** As-of (point-in-time) join: each click picks up the user's most
+    * recent view at or before it — the feature-store lookup a training
+    * pipeline does per example. Spark has no ASOF JOIN; a range join
+    * explodes (every view within the horizon, then keep-latest). The
+    * union+window shape instead tags both sides, sorts per user by
+    * (ts, side) — views before clicks at equal ts, so "at or before" is
+    * inclusive — and carries the last non-null view forward:
+    * ONE shuffle on user_id, linear work, no pair explosion. At 100 TB
+    * both sides co-partition on the same exchange; state per task is one
+    * running value, not a buffered window.
+    *
+    * Tie rule (two views, same user+ts): the window also sorts by
+    * view_value ascending, so `last` picks the max — same row DuckDB's
+    * `ASOF LEFT JOIN` sees after its `max(value)` tie-collapse in the
+    * oracle's `views` CTE. */
+  private def asof(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts", lit(0).as("side"),
+        $"value".as("view_value"), lit(null).cast("long").as("event_id"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", lit(1).as("side"),
+        lit(null).cast("double").as("view_value"), $"event_id")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"side", $"view_value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("vv", last($"view_value", ignoreNulls = true).over(w))
+      .withColumn("vts",
+        last(when($"side" === 0, $"ts"), ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"event_id", $"user_id", $"ts",
+        $"vts".as("view_ts"), $"vv".as("view_value"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_events_tumbling" -> tumbling,
     "q_events_sliding" -> sliding,
     "q_events_session" -> session,
     "q_events_view_click" -> viewClick,
+    "q_join_asof" -> asof,
   )
 
   val oracle: Map[String, String] = Map(
@@ -112,5 +151,17 @@ object Events extends QueryGroup {
         |  AND v.event_type = 'view' AND c.event_type = 'click'
         |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL '10 minutes'
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    "q_join_asof" ->
+      """WITH views AS (
+        |  SELECT user_id, ts, max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |), clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  v.ts AS view_ts, v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
   )
 }

@@ -163,6 +163,10 @@ object PlanAuditSpec {
     "q_grouping_sets" -> 2,
     "q_intersect" -> 2,
     "q_join_anti" -> 1,
+    // 2: the union+window as-of shape — one user_id exchange shared by
+    // both sides, one final range sort. A range-join formulation would
+    // explode pairs; this count is the point of the shape.
+    "q_join_asof" -> 2,
     "q_join_broadcast" -> 2,
     "q_join_cross" -> 1,
     "q_join_full" -> 3,

@@ -26,6 +26,7 @@ object PlanAudit {
       else Seq("q_agg_filter_revenue", "q_join_star", "q_text_top_skills",
         "q_dedup_jaccard", "q_vector_topk", "q_events_session")
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,70 @@
+// Hosted in an org.apache.spark.sql subpackage: FunctionRegistry and
+// sessionState are private[sql], the normal home for third-party
+// native-function registration.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-name registration for the native graft expressions, so
+  * `spark.sql("SELECT simhash60(...)")` plans the same codegen'd
+  * operators as the Column API — the SQL surface a cluster user gets by
+  * setting `spark.sql.extensions=graft.GraftExtensions` (no code on the
+  * driver, just a conf line in spark-submit).
+  *
+  * Integer parameters (`poly_hash` multiplier, `minhash_sigs` shingle
+  * size) must be foldable literals: they become constructor fields of the
+  * expression, baked into the generated code, exactly like the Column API.
+  */
+object GraftSqlFunctions {
+
+  type Description =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getCanonicalName, null, name)
+
+  private def litInt(fn: String, e: Expression): Int = e match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: parameter must be an integer literal, got $other")
+  }
+
+  private def bad(fn: String, usage: String): Nothing =
+    throw new IllegalArgumentException(s"$fn: expected $usage")
+
+  val descriptions: Seq[Description] = Seq(
+    (FunctionIdentifier("simhash60"), info("simhash60", classOf[SimHash60]),
+      { case Seq(a) => SimHash60(a)
+        case _ => bad("simhash60", "simhash60(tokens)") }),
+    (FunctionIdentifier("poly_hash"), info("poly_hash", classOf[PolyHash]),
+      { case Seq(a) => PolyHash(a, 31L)
+        case Seq(a, m) => PolyHash(a, litInt("poly_hash", m).toLong)
+        case _ => bad("poly_hash", "poly_hash(str[, mult])") }),
+    (FunctionIdentifier("minhash_sigs"),
+      info("minhash_sigs", classOf[MinHashShingleSigs]),
+      { case Seq(a, k) => MinHashShingleSigs(a, litInt("minhash_sigs", k))
+        case _ => bad("minhash_sigs", "minhash_sigs(tokens, k)") }),
+    (FunctionIdentifier("array_dot_long"),
+      info("array_dot_long", classOf[ArrayDotLong]),
+      { case Seq(a, b) => ArrayDotLong(a, b)
+        case _ => bad("array_dot_long", "array_dot_long(a, b)") }),
+    (FunctionIdentifier("array_dot_double"),
+      info("array_dot_double", classOf[ArrayDotDouble]),
+      { case Seq(a, b) => ArrayDotDouble(a, b)
+        case _ => bad("array_dot_double", "array_dot_double(a, b)") }),
+  )
+
+  /** Imperative registration into an EXISTING session — catalog queries
+    * call this so the SQL names resolve in whatever session the harness
+    * hands them, extension-built or not. Idempotent. */
+  def ensure(s: SparkSession): Unit = {
+    val reg = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    descriptions.foreach { case (id, fnInfo, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, fnInfo, builder)
+    }
+  }
+}

@@ -12,26 +12,15 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftFunctions {
 
-  /** JVM twin of the PolyHash expression (same fold, same modulus). */
-  def polyHashJvm(s: String, mult: Long): Long = {
-    if (s == null) return 0L
-    var h = 0L
-    var i = 0
-    while (i < s.length) {
-      h = (h * mult + s.charAt(i)) % 1000000007L
-      i += 1
-    }
-    h
-  }
-
   def slugifyJvm(s: String): String =
     if (s == null) null else s.toLowerCase.replaceAll("[^a-z0-9]+", "-")
 
   def register(spark: SparkSession): Unit = {
     spark.udf.register("uuid5",
       (name: String) => if (name == null) null else Uuid5.uuid5Jvm(name))
-    spark.udf.register("poly_hash",
-      (s: String, mult: Long) => polyHashJvm(s, mult))
     spark.udf.register("slugify", (s: String) => slugifyJvm(s))
+    // poly_hash & friends are native expressions with their own SQL
+    // registration — a UDF here would shadow the codegen'd versions.
+    org.apache.spark.sql.graft.GraftSqlFunctions.ensure(spark)
   }
 }

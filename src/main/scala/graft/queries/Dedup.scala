@@ -219,10 +219,38 @@ object Dedup extends QueryGroup {
   }
 
   // DuckDB fragment: charHash(x, mult) as a lambda-free inline expression.
-  private def duckCharHash(expr: String, mult: Int): String =
+  private[queries] def duckCharHash(expr: String, mult: Int): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  [CAST(unicode(c) AS BIGINT) FOR c IN string_split($expr, '')]),
        |  (a, b) -> (a * $mult + b) % 1000000007)""".stripMargin
+
+  /** DuckDB CTE chain ending in `s(doc_id, sim)` — the per-document 60-bit
+    * SimHash twin of [[org.apache.spark.sql.graft.SimHash60]]. Weighted via
+    * (distinct-token, count) pairs, arithmetically identical to the
+    * kernel's per-occurrence ±1 sums. Shared with the SQL-surface oracle
+    * in [[Scalars]]. */
+  private[queries] val simhashPerDocCte: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents
+       |), d AS (
+       |  SELECT doc_id, list_distinct(toks) dt, toks FROM t
+       |), h AS (
+       |  SELECT doc_id,
+       |    [ (${duckCharHash("tok", 31)} % 1073741824) * 1073741824
+       |      + (${duckCharHash("tok", 37)} % 1073741824)
+       |      FOR tok IN dt ] hs,
+       |    [ CAST(len(list_filter(toks, x -> x = tok)) AS BIGINT)
+       |      FOR tok IN dt ] cs
+       |  FROM d
+       |), s AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum([ CASE WHEN CAST(list_sum(
+       |      [ CASE WHEN (hs[j] >> bit) % 2 = 1 THEN cs[j] ELSE -cs[j] END
+       |        FOR j IN range(1, len(hs) + 1) ]) AS BIGINT) > 0
+       |      THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END
+       |      FOR bit IN range(0, 60) ]) AS BIGINT) sim
+       |  FROM h
+       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -252,27 +280,7 @@ object Dedup extends QueryGroup {
          |  list_min([(930799021 * x + 148125287) % 1000000007 FOR x IN h]) sig4
          |FROM hs ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents
-         |), d AS (
-         |  SELECT doc_id, list_distinct(toks) dt, toks FROM t
-         |), h AS (
-         |  SELECT doc_id,
-         |    [ (${duckCharHash("tok", 31)} % 1073741824) * 1073741824
-         |      + (${duckCharHash("tok", 37)} % 1073741824)
-         |      FOR tok IN dt ] hs,
-         |    [ CAST(len(list_filter(toks, x -> x = tok)) AS BIGINT)
-         |      FOR tok IN dt ] cs
-         |  FROM d
-         |), s AS (
-         |  SELECT doc_id,
-         |    CAST(list_sum([ CASE WHEN CAST(list_sum(
-         |      [ CASE WHEN (hs[j] >> bit) % 2 = 1 THEN cs[j] ELSE -cs[j] END
-         |        FOR j IN range(1, len(hs) + 1) ]) AS BIGINT) > 0
-         |      THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END
-         |      FOR bit IN range(0, 60) ]) AS BIGINT) sim
-         |  FROM h
-         |)
+      s"""$simhashPerDocCte
          |SELECT a.doc_id doc_a, b.doc_id doc_b,
          |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id

@@ -253,6 +253,26 @@ object Scalars extends QueryGroup {
       .limit(20)
   }
 
+  // ---- SQL-registered native expressions (SparkSessionExtensions) -------
+
+  /** The native graft expressions driven through their SQL names — the
+    * surface a cluster user gets from
+    * `--conf spark.sql.extensions=graft.GraftExtensions`. Same codegen'd
+    * operators as the Column API ([[org.apache.spark.sql.graft
+    * .GraftSqlFunctions]] registers identical builders); `poly_hash`'s
+    * two-arg form exercises the literal-parameter path. `ensure` makes the
+    * query self-contained in any session the harness hands it. */
+  private def sqlExtensions(s: SparkSession, d: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftSqlFunctions.ensure(s)
+    Tables.documents(s, d).createOrReplaceTempView("documents_sqlext")
+    s.sql("""
+      SELECT doc_id,
+        simhash60(split(lower(text), ' ')) AS sim,
+        poly_hash(lower(text)) AS ph31,
+        poly_hash(lower(text), 37) AS ph37
+      FROM documents_sqlext ORDER BY doc_id""")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_str_funs" -> strFuns,
     "q_regexp_funs" -> regexpFuns,
@@ -266,6 +286,7 @@ object Scalars extends QueryGroup {
     "q_udf_scalar" -> udfScalar,
     "q_udaf_topk" -> udafTopK,
     "q_udtf_bigrams" -> udtfBigrams,
+    "q_sql_extensions" -> sqlExtensions,
   )
 
   val oracle: Map[String, String] = Map(
@@ -389,5 +410,14 @@ object Scalars extends QueryGroup {
         |  FROM t)
         |SELECT bigram, COUNT(*) AS cnt FROM b
         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    // Per-doc sim CTE shared with the q_dedup_simhash oracle; poly_hash
+    // twins are the same char-fold Dedup.duckCharHash builds elsewhere.
+    "q_sql_extensions" ->
+      s"""${Dedup.simhashPerDocCte}
+         |SELECT dd.doc_id, s.sim,
+         |  ${Dedup.duckCharHash("lower(dd.text)", 31)} AS ph31,
+         |  ${Dedup.duckCharHash("lower(dd.text)", 37)} AS ph37
+         |FROM documents dd JOIN s USING (doc_id)
+         |ORDER BY dd.doc_id""".stripMargin,
   )
 }

@@ -190,6 +190,7 @@ object PlanAuditSpec {
     "q_serving_lookup" -> 3,
     "q_serving_pivot" -> 3,
     "q_sort_limit" -> 0,
+    "q_sql_extensions" -> 1,
     "q_str_funs" -> 1,
     "q_subquery_above_avg" -> 2,
     "q_text_fingerprint" -> 1,

@@ -132,12 +132,56 @@ object TextAnalysis extends QueryGroup {
       .orderBy($"doc_id")
   }
 
+  /** PII redaction (email / phone → placeholder tags). The corpus has no
+    * PII, so the query PLANTS a deterministic address and number per doc
+    * (both engines build the identical string from doc_id) and the oracle
+    * then checks the regexes actually strip them — non-vacuous without
+    * shipping PII in testdata. Pure narrow projection: redaction at 100 TB
+    * is scan-shaped, no shuffle until the oracle-only ORDER BY. */
+  private def redactPii(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val planted = concat($"text",
+      lit(" contact user"), $"doc_id".cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+    Tables.documents(s, d)
+      .select($"doc_id", planted.as("planted"))
+      .select($"doc_id",
+        (regexp_count($"planted", lit(emailRe)) +
+          regexp_count($"planted", lit(phoneRe))).cast("long")
+          .as("n_redactions"),
+        regexp_replace(regexp_replace($"planted", emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]").as("redacted"))
+      .orderBy($"doc_id")
+  }
+
+  /** Reproducible train/val/test assignment: salted content-independent
+    * hash of the stable doc key, mod 100 → 80/10/10. The salt prefix
+    * decorrelates this split from every other hash use of doc_id; being
+    * pure per-row arithmetic it assigns identically on any cluster at any
+    * scale (no sampling, no RNG, no ordering dependence). */
+  private def splitAssign(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = charHash(concat(lit("split:"), $"doc_id".cast("string"))) % 100
+    val split = when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    Tables.documents(s, d)
+      .select(split.as("split"), size(tokens($"text")).cast("long").as("n_tok"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").cast("long").as("n_tokens"))
+      .orderBy($"split")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_top_skills" -> topSkills,
     "q_text_langid" -> langId,
     "q_text_quality" -> quality,
     "q_text_token_count" -> tokenCount,
     "q_text_fingerprint" -> fingerprint,
+    "q_text_redact_pii" -> redactPii,
+    "q_split_assign" -> splitAssign,
   )
 
   val oracle: Map[String, String] = Map(
@@ -223,5 +267,35 @@ object TextAnalysis extends QueryGroup {
         |    (a, h) -> (a * 131 + h) % 1000000007) AS fingerprint,
         |  CAST(len(toks) AS BIGINT) AS n_tok
         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_text_redact_pii" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS planted
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(planted,
+        |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |     + len(regexp_extract_all(planted,
+        |         '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT)
+        |    AS n_redactions,
+        |  regexp_replace(
+        |    regexp_replace(planted,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q_split_assign" ->
+      s"""WITH a AS (
+         |  SELECT
+         |    ${Dedup.duckCharHash("'split:' || CAST(doc_id AS VARCHAR)", 31)}
+         |      % 100 AS h,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT CASE WHEN h < 80 THEN 'train'
+         |            WHEN h < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM a GROUP BY 1 ORDER BY split""".stripMargin,
   )
 }

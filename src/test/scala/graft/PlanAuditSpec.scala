@@ -190,8 +190,12 @@ object PlanAuditSpec {
     "q_serving_lookup" -> 3,
     "q_serving_pivot" -> 3,
     "q_sort_limit" -> 0,
+    // 2: one partial-agg shuffle on split, final 3-row sort. Assignment
+    // itself is per-row arithmetic — shuffle volume is |splits|, not docs.
+    "q_split_assign" -> 2,
     "q_sql_extensions" -> 1,
     "q_str_funs" -> 1,
+    "q_text_redact_pii" -> 1,
     "q_subquery_above_avg" -> 2,
     "q_text_fingerprint" -> 1,
     "q_text_langid" -> 1,

@@ -174,6 +174,20 @@ object TextAnalysis extends QueryGroup {
       .orderBy($"split")
   }
 
+  /** Token-budget shard packing via [[graft.operators.Packing]] — the
+    * global running sum computed as a two-phase distributed prefix sum
+    * (block totals → broadcast offsets → block-partitioned windows), NOT
+    * the single-task global window the oracle uses. Budget 4096 tokens,
+    * 100-id blocks at test scale. */
+  private def packShards(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tok"))
+    graft.operators.Packing
+      .packShards(toks, "doc_id", "n_tok", budget = 4096L, blockSize = 100L)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_top_skills" -> topSkills,
     "q_text_langid" -> langId,
@@ -182,6 +196,7 @@ object TextAnalysis extends QueryGroup {
     "q_text_fingerprint" -> fingerprint,
     "q_text_redact_pii" -> redactPii,
     "q_split_assign" -> splitAssign,
+    "q_pack_shards" -> packShards,
   )
 
   val oracle: Map[String, String] = Map(
@@ -297,5 +312,20 @@ object TextAnalysis extends QueryGroup {
          |            ELSE 'test' END AS split,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          |FROM a GROUP BY 1 ORDER BY split""".stripMargin,
+    // The oracle gets to use the single-node global window the Spark side
+    // deliberately avoids — that asymmetry is the point of the check.
+    "q_pack_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tok_offset
+        |  FROM d)
+        |SELECT doc_id, n_tok, tok_offset, tok_offset // 4096 AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -183,6 +183,10 @@ object PlanAuditSpec {
     "q_multimodal_features" -> 1,
     "q_multimodal_frames" -> 2,
     "q_multimodal_meta" -> 1,
+    // 2: block-partitioned window exchange + final range sort. The block
+    // totals job (phase 1) runs at DataFrame-construction time and is a
+    // |blocks|-row aggregate, not part of this plan.
+    "q_pack_shards" -> 2,
     "q_pivot" -> 3,
     "q_regexp_funs" -> 1,
     "q_serving_jobs" -> 2,

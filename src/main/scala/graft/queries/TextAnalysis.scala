@@ -162,10 +162,16 @@ object TextAnalysis extends QueryGroup {
     * decorrelates this split from every other hash use of doc_id; being
     * pure per-row arithmetic it assigns identically on any cluster at any
     * scale (no sampling, no RNG, no ordering dependence). */
+  /** The salted split hash, shared by q_split_assign and the
+    * contamination check (identical assignment is the point). */
+  private def splitCol(docId: Column): Column = {
+    val h = charHash(concat(lit("split:"), docId.cast("string"))) % 100
+    when(h < 80, "train").when(h < 90, "val").otherwise("test")
+  }
+
   private def splitAssign(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val h = charHash(concat(lit("split:"), $"doc_id".cast("string"))) % 100
-    val split = when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    val split = splitCol($"doc_id")
     Tables.documents(s, d)
       .select(split.as("split"), size(tokens($"text")).cast("long").as("n_tok"))
       .groupBy($"split")
@@ -188,6 +194,55 @@ object TextAnalysis extends QueryGroup {
       .orderBy($"doc_id")
   }
 
+  /** Gopher-style repetition filter: fraction of bigram mass taken by the
+    * single most-repeated bigram — boilerplate/spam detector. Bigrams are
+    * built RELATIONALLY (element_at pairs over an index sequence, then
+    * explode + two hash-aggs) so the whole thing stays codegen'd. The
+    * (doc, bigram) agg partial-aggregates map-side, so the first shuffle
+    * carries distinct pairs with counts, not raw occurrences — for
+    * repetitive text (the target) that compression beats pre-partitioning
+    * by doc_id to save the second, much smaller, per-doc shuffle. */
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val perBigram = Tables.documents(s, d)
+      .filter(size(toks) >= 2)
+      .select($"doc_id", explode(bigrams).as("bigram"))
+      .groupBy($"doc_id", $"bigram")
+      .agg(count(lit(1)).as("cnt"))
+    perBigram
+      .groupBy($"doc_id")
+      .agg(max($"cnt").as("top_cnt"), sum($"cnt").cast("long").as("n_bigrams"))
+      .withColumn("rep_ratio",
+        $"top_cnt".cast("double") / $"n_bigrams".cast("double"))
+      .withColumn("repetitive", $"rep_ratio" > 0.2)
+      .orderBy($"doc_id")
+  }
+
+  /** Eval-contamination check: near-dup pairs that STRADDLE split
+    * boundaries (a test doc sharing its 20-token prefix fingerprint with
+    * a train doc leaks eval data). Equi-join on the fingerprint — a
+    * high-cardinality key, so the shuffle is a normal hash join, no
+    * all-pairs; split labels come from the same salted hash as
+    * q_split_assign. */
+  private def contamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val prefixFp = rollingFingerprint(
+      transform(slice(toks, 1, 20), charHash(_)))
+    val sigs = Tables.documents(s, d)
+      .select($"doc_id", splitCol($"doc_id").as("split"),
+        prefixFp.as("pfp"))
+    val a = sigs.select($"doc_id".as("doc_a"), $"split".as("split_a"), $"pfp")
+    val b = sigs.select($"doc_id".as("doc_b"), $"split".as("split_b"), $"pfp")
+    a.join(b, "pfp")
+      .filter($"doc_a" < $"doc_b" && $"split_a" =!= $"split_b")
+      .select($"doc_a", $"split_a", $"doc_b", $"split_b")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_top_skills" -> topSkills,
     "q_text_langid" -> langId,
@@ -197,6 +252,8 @@ object TextAnalysis extends QueryGroup {
     "q_text_redact_pii" -> redactPii,
     "q_split_assign" -> splitAssign,
     "q_pack_shards" -> packShards,
+    "q_text_repetition" -> repetition,
+    "q_split_contamination" -> contamination,
   )
 
   val oracle: Map[String, String] = Map(
@@ -327,5 +384,47 @@ object TextAnalysis extends QueryGroup {
         |  FROM d)
         |SELECT doc_id, n_tok, tok_offset, tok_offset // 4096 AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |), b AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+        |                         FOR i IN range(1, len(w))]) AS bigram
+        |  FROM t WHERE len(w) >= 2
+        |), c AS (
+        |  SELECT doc_id, bigram, COUNT(*) AS cnt FROM b GROUP BY 1, 2)
+        |SELECT doc_id, MAX(cnt) AS top_cnt,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS rep_ratio,
+        |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) > 0.2
+        |    AS repetitive
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_split_contamination" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+         |), sg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${Dedup.duckCharHash(
+                 "'split:' || CAST(doc_id AS VARCHAR)", 31)} % 100 < 80
+         |           THEN 'train'
+         |         WHEN ${Dedup.duckCharHash(
+                 "'split:' || CAST(doc_id AS VARCHAR)", 31)} % 100 < 90
+         |           THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        [list_reduce(
+         |           list_prepend(CAST(0 AS BIGINT),
+         |             [CAST(unicode(c) AS BIGINT)
+         |              FOR c IN string_split(tk, '')]),
+         |           (a, b) -> (a * 31 + b) % 1000000007)
+         |         FOR tk IN w[1:20]]),
+         |      (a, h) -> (a * 131 + h) % 1000000007) AS pfp
+         |  FROM t)
+         |SELECT a.doc_id AS doc_a, a.split AS split_a,
+         |  b.doc_id AS doc_b, b.split AS split_b
+         |FROM sg a JOIN sg b
+         |  ON a.pfp = b.pfp AND a.doc_id < b.doc_id AND a.split <> b.split
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -194,12 +194,20 @@ object PlanAuditSpec {
     "q_serving_lookup" -> 3,
     "q_serving_pivot" -> 3,
     "q_sort_limit" -> 0,
+    // 1 at sf0.001: fingerprint self-join broadcasts the small side; at
+    // scale it degrades gracefully to a 2-exchange hash join on the
+    // high-cardinality fingerprint (never all-pairs).
+    "q_split_contamination" -> 1,
     // 2: one partial-agg shuffle on split, final 3-row sort. Assignment
     // itself is per-row arithmetic — shuffle volume is |splits|, not docs.
     "q_split_assign" -> 2,
     "q_sql_extensions" -> 1,
     "q_str_funs" -> 1,
     "q_text_redact_pii" -> 1,
+    // 3: (doc,bigram) agg exchange, per-doc agg exchange, final sort. The
+    // first exchange carries map-side-combined distinct pairs — cheaper
+    // at scale than one raw-occurrence shuffle would be.
+    "q_text_repetition" -> 3,
     "q_subquery_above_avg" -> 2,
     "q_text_fingerprint" -> 1,
     "q_text_langid" -> 1,

@@ -47,6 +47,10 @@ object GraftSqlFunctions {
       info("minhash_sigs", classOf[MinHashShingleSigs]),
       { case Seq(a, k) => MinHashShingleSigs(a, litInt("minhash_sigs", k))
         case _ => bad("minhash_sigs", "minhash_sigs(tokens, k)") }),
+    (FunctionIdentifier("bigram_stats"),
+      info("bigram_stats", classOf[BigramStats]),
+      { case Seq(a) => BigramStats(a)
+        case _ => bad("bigram_stats", "bigram_stats(tokens)") }),
     (FunctionIdentifier("array_dot_long"),
       info("array_dot_long", classOf[ArrayDotLong]),
       { case Seq(a, b) => ArrayDotLong(a, b)

@@ -195,26 +195,23 @@ object TextAnalysis extends QueryGroup {
   }
 
   /** Gopher-style repetition filter: fraction of bigram mass taken by the
-    * single most-repeated bigram — boilerplate/spam detector. Bigrams are
-    * built RELATIONALLY (element_at pairs over an index sequence, then
-    * explode + two hash-aggs) so the whole thing stays codegen'd. The
-    * (doc, bigram) agg partial-aggregates map-side, so the first shuffle
-    * carries distinct pairs with counts, not raw occurrences — for
-    * repetitive text (the target) that compression beats pre-partitioning
-    * by doc_id to save the second, much smaller, per-doc shuffle. */
+    * single most-repeated bigram — boilerplate/spam detector. The counts
+    * come from the fused per-row kernel
+    * ([[org.apache.spark.sql.graft.BigramStats]]): the bigram bag never
+    * leaves its row, so this is scan → project, ZERO data shuffles — the
+    * relational shape (explode → groupBy(doc, bigram) → groupBy(doc))
+    * paid two corpus-wide string shuffles for the same values (4.4 s at
+    * sf0.1; kernel == relational pinned by RepetitionSpec). */
   private def repetition(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.graft.BigramStats.bigramStats
     val toks = tokens($"text")
-    val bigrams = transform(sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-    val perBigram = Tables.documents(s, d)
+    Tables.documents(s, d)
       .filter(size(toks) >= 2)
-      .select($"doc_id", explode(bigrams).as("bigram"))
-      .groupBy($"doc_id", $"bigram")
-      .agg(count(lit(1)).as("cnt"))
-    perBigram
-      .groupBy($"doc_id")
-      .agg(max($"cnt").as("top_cnt"), sum($"cnt").cast("long").as("n_bigrams"))
+      .select($"doc_id", bigramStats(toks).as("bs"))
+      .select($"doc_id",
+        shiftright($"bs", 32).as("top_cnt"),
+        $"bs".bitwiseAND(lit(0xffffffffL)).as("n_bigrams"))
       .withColumn("rep_ratio",
         $"top_cnt".cast("double") / $"n_bigrams".cast("double"))
       .withColumn("repetitive", $"rep_ratio" > 0.2)

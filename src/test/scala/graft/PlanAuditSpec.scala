@@ -204,10 +204,9 @@ object PlanAuditSpec {
     "q_sql_extensions" -> 1,
     "q_str_funs" -> 1,
     "q_text_redact_pii" -> 1,
-    // 3: (doc,bigram) agg exchange, per-doc agg exchange, final sort. The
-    // first exchange carries map-side-combined distinct pairs — cheaper
-    // at scale than one raw-occurrence shuffle would be.
-    "q_text_repetition" -> 3,
+    // 1: fused BigramStats kernel — scan → project + final sort only (was
+    // 3 as explode + two string-shuffling hash-aggs).
+    "q_text_repetition" -> 1,
     "q_subquery_above_avg" -> 2,
     "q_text_fingerprint" -> 1,
     "q_text_langid" -> 1,

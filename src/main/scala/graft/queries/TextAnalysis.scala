@@ -162,12 +162,26 @@ object TextAnalysis extends QueryGroup {
     * decorrelates this split from every other hash use of doc_id; being
     * pure per-row arithmetic it assigns identically on any cluster at any
     * scale (no sampling, no RNG, no ordering dependence). */
+  // Shared constants, referenced by BOTH the Spark queries and their
+  // oracle SQL strings so a change can't drift them apart silently.
+  private val SplitSalt = "split:"
+  private val TrainCut = 80 // [0,80) train, [80,90) val, [90,100) test
+  private val ValCut = 90
+  private val ShardBudget = 4096L
+  private val PackBlockSize = 100L
+  private val RepThreshold = 0.2
+  private val ContamPrefixLen = 20
+
   /** The salted split hash, shared by q_split_assign and the
     * contamination check (identical assignment is the point). */
   private def splitCol(docId: Column): Column = {
-    val h = charHash(concat(lit("split:"), docId.cast("string"))) % 100
-    when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    val h = charHash(concat(lit(SplitSalt), docId.cast("string"))) % 100
+    when(h < TrainCut, "train").when(h < ValCut, "val").otherwise("test")
   }
+
+  /** DuckDB twin of [[splitCol]]'s hash bucket. */
+  private val duckSplitH =
+    s"${Dedup.duckCharHash(s"'$SplitSalt' || CAST(doc_id AS VARCHAR)", 31)} % 100"
 
   private def splitAssign(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -190,7 +204,7 @@ object TextAnalysis extends QueryGroup {
     val toks = Tables.documents(s, d)
       .select($"doc_id", size(tokens($"text")).cast("long").as("n_tok"))
     graft.operators.Packing
-      .packShards(toks, "doc_id", "n_tok", budget = 4096L, blockSize = 100L)
+      .packShards(toks, "doc_id", "n_tok", ShardBudget, PackBlockSize)
       .orderBy($"doc_id")
   }
 
@@ -214,7 +228,7 @@ object TextAnalysis extends QueryGroup {
         $"bs".bitwiseAND(lit(0xffffffffL)).as("n_bigrams"))
       .withColumn("rep_ratio",
         $"top_cnt".cast("double") / $"n_bigrams".cast("double"))
-      .withColumn("repetitive", $"rep_ratio" > 0.2)
+      .withColumn("repetitive", $"rep_ratio" > RepThreshold)
       .orderBy($"doc_id")
   }
 
@@ -228,7 +242,7 @@ object TextAnalysis extends QueryGroup {
     import s.implicits._
     val toks = tokens($"text")
     val prefixFp = rollingFingerprint(
-      transform(slice(toks, 1, 20), charHash(_)))
+      transform(slice(toks, 1, ContamPrefixLen), charHash(_)))
     val sigs = Tables.documents(s, d)
       .select($"doc_id", splitCol($"doc_id").as("split"),
         prefixFp.as("pfp"))
@@ -356,20 +370,18 @@ object TextAnalysis extends QueryGroup {
         |FROM p ORDER BY doc_id""".stripMargin,
     "q_split_assign" ->
       s"""WITH a AS (
-         |  SELECT
-         |    ${Dedup.duckCharHash("'split:' || CAST(doc_id AS VARCHAR)", 31)}
-         |      % 100 AS h,
+         |  SELECT $duckSplitH AS h,
          |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
          |  FROM documents)
-         |SELECT CASE WHEN h < 80 THEN 'train'
-         |            WHEN h < 90 THEN 'val'
+         |SELECT CASE WHEN h < $TrainCut THEN 'train'
+         |            WHEN h < $ValCut THEN 'val'
          |            ELSE 'test' END AS split,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          |FROM a GROUP BY 1 ORDER BY split""".stripMargin,
     // The oracle gets to use the single-node global window the Spark side
     // deliberately avoids — that asymmetry is the point of the check.
     "q_pack_shards" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id,
         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
         |  FROM documents
@@ -379,10 +391,10 @@ object TextAnalysis extends QueryGroup {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      AS BIGINT) AS tok_offset
         |  FROM d)
-        |SELECT doc_id, n_tok, tok_offset, tok_offset // 4096 AS shard
+        |SELECT doc_id, n_tok, tok_offset, tok_offset // $ShardBudget AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
     "q_text_repetition" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
         |), b AS (
         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
@@ -393,7 +405,7 @@ object TextAnalysis extends QueryGroup {
         |SELECT doc_id, MAX(cnt) AS top_cnt,
         |  CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
         |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS rep_ratio,
-        |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) > 0.2
+        |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) > $RepThreshold
         |    AS repetitive
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_split_contamination" ->
@@ -401,12 +413,8 @@ object TextAnalysis extends QueryGroup {
          |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
          |), sg AS (
          |  SELECT doc_id,
-         |    CASE WHEN ${Dedup.duckCharHash(
-                 "'split:' || CAST(doc_id AS VARCHAR)", 31)} % 100 < 80
-         |           THEN 'train'
-         |         WHEN ${Dedup.duckCharHash(
-                 "'split:' || CAST(doc_id AS VARCHAR)", 31)} % 100 < 90
-         |           THEN 'val'
+         |    CASE WHEN $duckSplitH < $TrainCut THEN 'train'
+         |         WHEN $duckSplitH < $ValCut THEN 'val'
          |         ELSE 'test' END AS split,
          |    list_reduce(
          |      list_prepend(CAST(0 AS BIGINT),
@@ -415,7 +423,7 @@ object TextAnalysis extends QueryGroup {
          |             [CAST(unicode(c) AS BIGINT)
          |              FOR c IN string_split(tk, '')]),
          |           (a, b) -> (a * 31 + b) % 1000000007)
-         |         FOR tk IN w[1:20]]),
+         |         FOR tk IN w[1:$ContamPrefixLen]]),
          |      (a, h) -> (a * 131 + h) % 1000000007) AS pfp
          |  FROM t)
          |SELECT a.doc_id AS doc_a, a.split AS split_a,

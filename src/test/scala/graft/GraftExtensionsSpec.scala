@@ -20,15 +20,18 @@ class GraftExtensionsSpec extends SparkTestBase {
       """SELECT simhash60(split(lower(text), ' ')) AS sim,
         |  poly_hash(lower(text)) AS ph31,
         |  poly_hash(lower(text), 37) AS ph37,
-        |  minhash_sigs(split(lower(text), ' '), 1) AS sigs
+        |  minhash_sigs(split(lower(text), ' '), 1) AS sigs,
+        |  bigram_stats(split(lower(text), ' ')) AS bs
         |FROM ext_docs""".stripMargin).collect()
+    import org.apache.spark.sql.graft.BigramStats.bigramStats
     import org.apache.spark.sql.graft.MinHashShingleSigs.minhashSigs
     import org.apache.spark.sql.graft.PolyHash.polyHash
     val viaCol = df.select(
       simhash60(tokens($"text")).as("sim"),
       polyHash(lower($"text")).as("ph31"),
       polyHash(lower($"text"), 37).as("ph37"),
-      minhashSigs(tokens($"text"), 1).as("sigs")).collect()
+      minhashSigs(tokens($"text"), 1).as("sigs"),
+      bigramStats(tokens($"text")).as("bs")).collect()
     assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
   }
 

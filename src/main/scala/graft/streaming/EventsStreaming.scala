@@ -146,6 +146,66 @@ object EventsStreaming {
       }
   }
 
+  case class AsOfBuffer(views: List[(Long, Double)]) // (epochMicros, value) asc
+  case class AsOfOut(user_id: Long, event_id: Long, ts: Timestamp,
+      view_ts: Option[Timestamp], view_value: Option[Double])
+
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Streaming twin of the batch as-of join (`q_join_asof`): enrich each
+    * click with the user's most recent view at or before it, on arrival.
+    * Custom state via flatMapGroupsWithState — per user, a sorted buffer
+    * of (view_ts, value) pairs; clicks floor-search it. State is
+    * watermark-bounded: everything older than the watermark collapses to
+    * the single latest view (the only old row a future click can match,
+    * since future clicks arrive at ts >= watermark), so per-user state is
+    * O(horizon), independent of stream length.
+    *
+    * Tie rule matches the batch twin: equal-ts views sort value-ascending
+    * and the floor search takes the LAST qualifying entry — the max.
+    * Divergence from batch (documented): a view arriving LATER than a
+    * click it should have matched (cross-batch disorder) cannot
+    * retroactively re-enrich — streaming emits best-known-at-arrival. */
+  def asOfEnrich(events: Dataset[Event]): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfBuffer, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event],
+         state: GroupState[AsOfBuffer]) =>
+          val rows = batch.toSeq
+          val newViews = rows.filter(_.event_type == "view")
+            .map(e => (micros(e.ts), e.value))
+          val merged =
+            (state.getOption.map(_.views).getOrElse(Nil) ++ newViews)
+              .sortBy(identity) // ts asc, value asc on ties
+          val out = rows.filter(_.event_type == "click")
+            .sortBy(e => (micros(e.ts), e.event_id))
+            .map { c =>
+              val t = micros(c.ts)
+              merged.takeWhile(_._1 <= t).lastOption match {
+                case Some((vt, vv)) => AsOfOut(userId, c.event_id, c.ts,
+                  Some(fromMicros(vt)), Some(vv))
+                case None => AsOfOut(userId, c.event_id, c.ts, None, None)
+              }
+            }
+          // Evict: keep views >= watermark plus the latest older one.
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (old, recent) = merged.partition(_._1 < wmUs)
+          state.update(AsOfBuffer(old.lastOption.toList ++ recent))
+          out.iterator
+      }
+  }
+
   // ---- foreachBatch upsert sink ------------------------------------------
 
   /** Key-value upsert store boundary (the DynamoDB-style sink of reference

@@ -218,6 +218,43 @@ class StreamingSpec extends SparkTestBase {
     assert(seen == Seq(1L, 2L, 3L, 4L, 5L),
       s"expected exactly-once ids, got $seen")
   }
+
+  test("as-of enrichment attaches the latest prior view per user") {
+    val input = MemoryStream[Event](spark)
+    val q = EventsStreaming.asOfEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Batch 1: u1 views at 10:00 (v=1.0) and 10:02 (v=2.0); clicks
+      // before any view, between, and after; u2 has no views. A same-ts
+      // tie (two views at 10:02, values 2.0 and 5.0) must pick the max —
+      // the batch twin's tie rule.
+      input.addData(
+        Event(100, ts(0), 1, "view", 1.0),
+        Event(101, ts(2), 1, "view", 2.0),
+        Event(102, ts(2), 1, "view", 5.0),
+        Event(1, ts(1), 1, "click", 0.0),
+        Event(2, ts(3), 1, "click", 0.0),
+        Event(3, ts(0), 2, "click", 0.0))
+      q.processAllAvailable()
+      // Batch 2: state carries across batches — a 10:07 click still sees
+      // the 10:02 view; a fresh view re-points later clicks.
+      input.addData(
+        Event(4, ts(7), 1, "click", 0.0),
+        Event(103, ts(8), 1, "view", 9.0),
+        Event(5, ts(9), 1, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof").collect().map { r =>
+        r.getLong(1) -> ((Option(r.getTimestamp(3)).map(_.toString),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      }.toMap
+      assert(rows(1) == ((Some("2024-01-01 10:00:00.0"), Some(1.0))))
+      assert(rows(2) == ((Some("2024-01-01 10:02:00.0"), Some(5.0))))
+      assert(rows(3) == ((None, None)))
+      assert(rows(4) == ((Some("2024-01-01 10:02:00.0"), Some(5.0))))
+      assert(rows(5) == ((Some("2024-01-01 10:08:00.0"), Some(9.0))))
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {

@@ -30,6 +30,7 @@ object SparkEntry {
     MultimodalQueries,
     Analytics,
     Materialized,
+    Bucketed,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -139,6 +139,53 @@ object Dedup extends QueryGroup {
   private def dedupJaccard(s: SparkSession, d: String): DataFrame =
     verifyJaccard(s, d, bandCandidates(bandTable(s, d)))
 
+  /** Duplicate-CLUSTER resolution: pairs are only half the dedup story —
+    * near-dup relations are transitive-ish (A~B, B~C) and a keep-one
+    * policy needs one representative per connected component of the pair
+    * graph, not per pair. Output: (doc_id, rep_id = min doc_id in the
+    * component, cluster_size) for every document in at least one pair.
+    *
+    * Scale notes: connected components is inherently iterative; this is
+    * driver-COORDINATED min-label propagation (the driver runs the loop
+    * and a convergence probe; labels themselves never leave the cluster —
+    * no collect). Each round is one hash-join + partial-agg shuffle on
+    * the PAIR graph, whose size is O(duplicates), orders of magnitude
+    * below the corpus. Rounds needed = eccentricity of the min-id node,
+    * tiny for near-dup clusters. `localCheckpoint` (eager) bounds lineage
+    * to one round and keeps the final plan a flat scan; nothing registers
+    * in the cache manager (PlanAudit's empty-cache invariant holds). */
+  private def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = verifyJaccard(s, d, bandCandidates(bandTable(s, d)))
+      .select($"doc_a", $"doc_b")
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("lab", $"id")
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val neigh = edges
+        .join(labels.select($"id".as("dst"), $"lab".as("nlab")), "dst")
+        .groupBy($"src").agg(min($"nlab").as("nmin"))
+        .select($"src".as("id"), $"nmin")
+      val next = labels.join(neigh, Seq("id"), "left")
+        .select($"id", least($"lab", coalesce($"nmin", $"lab")).as("lab"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("p"), $"n.id" === $"p.id")
+        .filter($"n.lab" =!= $"p.lab")
+        .isEmpty
+      labels = next
+    }
+    labels
+      .select($"id".as("doc_id"), $"lab".as("rep_id"))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"rep_id")))
+      .orderBy($"doc_id")
+  }
+
   /** Per-document MinHash signature head (first 4 of 18 values) — pins the
     * signature math itself cross-engine (charHash twin in DuckDB),
     * independent of banding. Relational shape: explode + one hash-agg. */
@@ -200,6 +247,7 @@ object Dedup extends QueryGroup {
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_jaccard" -> dedupJaccard,
+    "q_dedup_cluster" -> dedupCluster,
     "q_dedup_minhash_sig" -> minhashSignatures,
     "q_dedup_simhash" -> dedupSimhash,
   )
@@ -268,6 +316,29 @@ object Dedup extends QueryGroup {
          |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
          |    >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Specification twin: brute-force pairs, then component labels as the
+    // min over the full reachability closure (recursive CTE with
+    // set-semantics UNION, so it terminates at the closure fixpoint).
+    "q_dedup_cluster" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, p AS (
+         |  SELECT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+         |      >= 0.8
+         |), e AS (
+         |  SELECT doc_a a, doc_b b FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p
+         |), r AS (
+         |  SELECT DISTINCT a AS id, a AS lab FROM e
+         |  UNION
+         |  SELECT e.b AS id, r.lab FROM r JOIN e ON e.a = r.id
+         |), cc AS (
+         |  SELECT id, MIN(lab) AS rep_id FROM r GROUP BY id
+         |)
+         |SELECT id AS doc_id, rep_id,
+         |  COUNT(*) OVER (PARTITION BY rep_id) AS cluster_size
+         |FROM cc ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash_sig" ->
       s"""$shingleCte, hs AS (
          |  SELECT doc_id, [${duckCharHash("g", 31)} FOR g IN sh] h FROM s

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions.charHash
+import Catalog._
+
+/** Deterministic sampling operators — the training-data staples that must
+  * be REPRODUCIBLE across reruns, engines, and cluster layouts, which
+  * rules out `rand()`/`TABLESAMPLE` (both are partitioning-dependent).
+  * Everything here derives its randomness from a salted content hash of a
+  * stable key, the same trick as the split assigner in
+  * [[TextAnalysis]] — identical selections in Spark and the DuckDB
+  * oracle, at any parallelism.
+  *
+  * Scale notes:
+  *  - `q_sample_hash` is a pure filter: scan → filter, ZERO shuffles
+  *    beyond the output sort; the sampled fraction is exact-in-expectation
+  *    per key-hash bucket, and the predicate pushes to the scan.
+  *  - `q_sample_stratified` (fixed k per stratum) is one window shuffle on
+  *    the stratum key — the hash order makes "any k" into "a UNIFORM k"
+  *    without a global sort. Heavily skewed strata salt like any hot
+  *    window key; strata here are bounded (segments).
+  */
+object Sampling extends QueryGroup {
+
+  private val SampleSalt = "gr-sample-1"
+  private val SamplePct = 10 // keep hash-bucket < 10 of 100
+  private val StratumK = 5   // fixed sample size per stratum
+
+  /** The salted per-row hash bucket in [0, 100). */
+  private def bucket(key: org.apache.spark.sql.Column) =
+    charHash(concat(lit(SampleSalt), key.cast("string"))) % 100
+
+  private val duckBucket =
+    s"${Dedup.duckCharHash(s"'$SampleSalt' || CAST(o_orderkey AS VARCHAR)", 31)} % 100"
+
+  /** ~10% uniform deterministic sample of orders, summarized so the
+    * result is stable and small (the sample MEMBERSHIP is what the
+    * oracle pins — identical hash => identical rows chosen). */
+  private def sampleHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter(bucket($"o_orderkey") < SamplePct)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_sampled"),
+        dsum($"o_totalprice").as("sum_price"),
+        min($"o_orderkey").as("first_key"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Fixed-size uniform sample per stratum: exactly [[StratumK]] customers
+    * per market segment, chosen by salted-hash order (ties broken by key
+    * so the selection is total). */
+  private def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = charHash(concat(lit(SampleSalt), $"c_custkey".cast("string")))
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy(h.asc, $"c_custkey".asc)
+    Tables.customer(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= StratumK)
+      .select($"c_mktsegment", $"rk".cast("long").as("rk"),
+        $"c_custkey", $"c_name")
+      .orderBy($"c_mktsegment", $"rk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sample_hash" -> sampleHash,
+    "q_sample_stratified" -> sampleStratified,
+  )
+
+  private val duckCustHash =
+    Dedup.duckCharHash(s"'$SampleSalt' || CAST(c_custkey AS VARCHAR)", 31)
+
+  val oracle: Map[String, String] = Map(
+    "q_sample_hash" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_sampled,
+         |  ${dsumSql("o_totalprice")} AS sum_price,
+         |  MIN(o_orderkey) AS first_key
+         |FROM orders WHERE $duckBucket < $SamplePct
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_sample_stratified" ->
+      s"""WITH r AS (
+         |  SELECT c_mktsegment, c_custkey, c_name,
+         |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY $duckCustHash, c_custkey) AS BIGINT) AS rk
+         |  FROM customer
+         |)
+         |SELECT c_mktsegment, rk, c_custkey, c_name FROM r
+         |WHERE rk <= $StratumK
+         |ORDER BY c_mktsegment, rk""".stripMargin,
+  )
+}

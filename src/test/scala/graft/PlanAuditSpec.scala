@@ -145,7 +145,10 @@ object PlanAuditSpec {
     "q_dedup_jaccard" -> 3,
     "q_dedup_jaccard_pre" -> 3,
     "q_dedup_minhash_sig" -> 2,
-    "q_dedup_simhash" -> 3,
+    // CC loop runs its iterations eagerly at construction; this budget is
+    // the RETURNED plan (flat localCheckpoint scan -> window -> sort).
+    "q_dedup_cluster" -> 2,
+    "q_dedup_simhash" -> 2,
     "q_distinct_pairs" -> 2,
     "q_dropdup_bykey" -> 3,
     "q_events_funnel" -> 2,
@@ -167,6 +170,9 @@ object PlanAuditSpec {
     // both sides, one final range sort. A range-join formulation would
     // explode pairs; this count is the point of the shape.
     "q_join_asof" -> 2,
+    // the whole point: SMJ rides the bucketed layout, zero join shuffles
+    // (the 2 = groupBy agg + final ORDER BY).
+    "q_join_bucketed" -> 2,
     "q_join_broadcast" -> 2,
     "q_join_cross" -> 1,
     "q_join_full" -> 3,

@@ -31,6 +31,7 @@ object SparkEntry {
     Analytics,
     Materialized,
     Bucketed,
+    Sampling,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -140,8 +140,28 @@ object Relational2 extends QueryGroup {
       .orderBy($"o_orderstatus", $"priority")
   }
 
+  /** Salted skew join ([[graft.operators.SkewJoin]]) surfaced as a
+    * catalog query: the salt splits each hot key across 8 tasks but the
+    * join RESULT is identical to the unsalted join — which is exactly
+    * what the oracle (a plain join) pins. The `shuffle_hash` hints keep
+    * the planner on the shuffled path the salt exists to fix: a broadcast
+    * of the 8x-replicated dim would both hide the salt columns' effect
+    * and stop exercising the operator. */
+  private def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.orders(s, d).hint("shuffle_hash")
+    val dim = Tables.customer(s, d)
+      .select($"c_custkey", $"c_nationkey").hint("shuffle_hash")
+    graft.operators.SkewJoin
+      .saltedJoin(big, dim, $"o_custkey", $"c_custkey", salts = 8)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+      .orderBy($"c_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_filter_in_like" -> filterInLike,
+    "q_join_skew_salted" -> joinSkewSalted,
     "q_join_right" -> joinRight,
     "q_grouping_sets" -> groupingSetsSql,
     "q_window_range" -> windowRange,
@@ -159,6 +179,12 @@ object Relational2 extends QueryGroup {
     .mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    // Salting must be invisible in the result: the oracle is the PLAIN join.
+    "q_join_skew_salted" ->
+      s"""SELECT c_nationkey, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_filter_in_like" ->
       """SELECT o_orderkey, o_orderpriority, o_orderstatus
         |FROM orders

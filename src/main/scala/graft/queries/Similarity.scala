@@ -257,7 +257,29 @@ object Similarity extends QueryGroup {
     * the result nonempty yet selective at every SF. */
   private[queries] val CosDupThreshold = 0.30
 
+  /** Per-label centroid (elementwise mean) of the embedding column — the
+    * aggregation step of k-means / class-prototype computation. Output is
+    * LONG (label, dim-position) rows, not a vector column: the driver
+    * comparator can't hash LIST cells, and at scale the skinny shape is
+    * what you want anyway (one partial-agg shuffle keyed (label, pos),
+    * map-side combined; the 4-byte floats never move as whole vectors).
+    * Determinism: components quantize to int64 (floor(x*1e7), exact in
+    * both engines), the integer SUM is order-independent, and the final
+    * divide is one double op. */
+  private def embedCentroid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"label", posexplode(quantize($"embedding")))
+      .toDF("label", "pos", "q")
+      .groupBy($"label", $"pos".cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum($"q".cast("long")) /
+          (count(lit(1)) * QuantScale).cast("double")).as("centroid"))
+      .orderBy($"label", $"pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_centroid" -> embedCentroid,
     "q_vector_topk" -> vectorTopK,
     "q_vector_cosine" -> vectorCosine,
     "q_ann_lsh" -> annLsh,
@@ -285,6 +307,15 @@ object Similarity extends QueryGroup {
        |  (acc, x) -> acc + x)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // HUGEINT guard: DuckDB's SUM(BIGINT) returns int128; the sum stays
+    // under 2^53 so the cast to DOUBLE is exact before the one divide.
+    "q_embed_centroid" ->
+      s"""SELECT label, i AS pos, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CAST(floor(CAST(embedding[i+1] AS DOUBLE)
+         |    * $QuantScale.0) AS BIGINT)) AS DOUBLE)
+         |    / (COUNT(*) * $QuantScale) AS centroid
+         |FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)
+         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
     "q_vector_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id, $duckQuant qv FROM embeddings

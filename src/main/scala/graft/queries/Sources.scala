@@ -63,6 +63,23 @@ object Sources extends QueryGroup {
       .orderBy($"s_nationkey")
   }
 
+  /** ORC round-trip: part → ORC → agg. Spark's other built-in columnar
+    * format (predicate pushdown + column pruning apply as with parquet);
+    * the oracle can't read ORC, so it pins CONTENT equality by running
+    * the same aggregate over the source table the ORC mirror was written
+    * from — which is exactly the roundtrip contract. */
+  private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("part_orc")
+    Tables.part(s, d).write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"p_size").cast("long").as("sum_size"),
+        min($"p_name").as("first_name"))
+      .orderBy($"p_brand")
+  }
+
   /** S2: filename → column injection. The mirror is written partitioned
     * (hive-style `n_regionkey=K/` dirs); the read deliberately bypasses
     * partition inference (recursiveFileLookup) and re-derives the key from
@@ -109,6 +126,7 @@ object Sources extends QueryGroup {
   val queries: Map[String, Q] = Map(
     "q_csv_roundtrip" -> csvRoundtrip,
     "q_json_roundtrip" -> jsonRoundtrip,
+    "q_orc_roundtrip" -> orcRoundtrip,
     "q_filename_column" -> filenameColumn,
     "q_latest_partition" -> latestPartition,
   )
@@ -122,6 +140,11 @@ object Sources extends QueryGroup {
     "q_json_roundtrip" ->
       """SELECT s_nationkey, COUNT(*) AS n_supp, MAX(s_name) AS last_name
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  CAST(SUM(p_size) AS BIGINT) AS sum_size,
+        |  MIN(p_name) AS first_name
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_filename_column" ->
       """SELECT n_regionkey AS region_from_path, COUNT(*) AS n_nations,
         |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys

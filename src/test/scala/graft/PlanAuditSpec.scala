@@ -151,6 +151,8 @@ object PlanAuditSpec {
     "q_dedup_simhash" -> 2,
     "q_distinct_pairs" -> 2,
     "q_dropdup_bykey" -> 3,
+    // one (label,pos) partial-agg exchange + the output sort
+    "q_embed_centroid" -> 2,
     "q_events_funnel" -> 2,
     "q_events_retention" -> 4,
     "q_events_session" -> 2,
@@ -181,6 +183,10 @@ object PlanAuditSpec {
     "q_join_right" -> 2,
     "q_join_semi" -> 1,
     "q_join_star" -> 2,
+    // 4: salted shuffle-hash join shuffles both sides on (key,salt), then
+    // the nationkey agg + final sort — the deliberately-shuffled path the
+    // salt exists for (broadcast would hide the operator under test).
+    "q_join_skew_salted" -> 4,
     "q_json_props" -> 2,
     "q_json_roundtrip" -> 2,
     "q_latest_partition" -> 2,
@@ -192,9 +198,12 @@ object PlanAuditSpec {
     // 2: block-partitioned window exchange + final range sort. The block
     // totals job (phase 1) runs at DataFrame-construction time and is a
     // |blocks|-row aggregate, not part of this plan.
+    "q_orc_roundtrip" -> 2,
     "q_pack_shards" -> 2,
     "q_pivot" -> 3,
     "q_regexp_funs" -> 1,
+    "q_sample_hash" -> 2,
+    "q_sample_stratified" -> 2,
     "q_serving_jobs" -> 2,
     "q_serving_join" -> 4,
     "q_serving_lookup" -> 3,

@@ -58,4 +58,31 @@ class DedupSpec extends SparkTestBase {
     assert(df(0) == df(1))
     assert(df(0) != df(2))
   }
+
+  test("cluster resolution matches a local union-find over the pairs") {
+    val clustered = SparkEntry.queries("q_dedup_cluster")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // Ground truth: union-find on the driver over the verified pairs —
+    // fine at sf0.001 (dozens of pairs), never a production path.
+    val pairs = SparkEntry.queries("q_dedup_jaccard")(spark, Sf0001)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = parent.keys.toSeq.map(id => id -> find(id))
+    val sizes = members.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = members
+      .map { case (id, rep) => (id, rep, sizes(rep)) }
+      .sortBy(_._1)
+
+    assert(clustered.toSeq == expected)
+  }
 }

@@ -159,8 +159,27 @@ object Relational2 extends QueryGroup {
       .orderBy($"c_nationkey")
   }
 
+  /** Exact per-group DISCRETE median: rank within group, keep the
+    * ceil(n/2)-th element. Selection (not interpolation) is the
+    * cross-engine-safe quantile — no float arithmetic on the value, and
+    * at scale it is one partitioned window, no global sort. Total tie
+    * order via (price, orderkey) makes the picked row unique. */
+  private def aggMedianDisc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byKey = Window.partitionBy($"o_custkey")
+    val w = byKey.orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byKey))
+      .filter($"rk" === expr("(n + 1) div 2"))
+      .select($"o_custkey", $"o_totalprice".as("median_price"),
+        $"n".as("n_orders"))
+      .orderBy($"o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_filter_in_like" -> filterInLike,
+    "q_agg_median_disc" -> aggMedianDisc,
     "q_join_skew_salted" -> joinSkewSalted,
     "q_join_right" -> joinRight,
     "q_grouping_sets" -> groupingSetsSql,
@@ -179,6 +198,17 @@ object Relational2 extends QueryGroup {
     .mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_agg_median_disc" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice, o_orderkey) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n
+        |  FROM orders
+        |)
+        |SELECT o_custkey, o_totalprice AS median_price, n AS n_orders
+        |FROM r WHERE rk = (n + 1) // 2
+        |ORDER BY o_custkey""".stripMargin,
     // Salting must be invisible in the result: the oracle is the PLAIN join.
     "q_join_skew_salted" ->
       s"""SELECT c_nationkey, COUNT(*) AS n_orders,

@@ -63,6 +63,33 @@ object Sources extends QueryGroup {
       .orderBy($"s_nationkey")
   }
 
+  /** Malformed-record resilience: a JSON-lines mirror where every 5th
+    * record is deliberately broken; the PERMISSIVE read routes bad lines
+    * into `_corrupt_record` instead of failing the job — at 100 TB some
+    * input is ALWAYS malformed and a scan that dies on the first bad
+    * byte never finishes. The oracle derives the same valid/corrupt
+    * partition arithmetically from the source table. */
+  private def jsonCorrupt(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("supplier_json_corrupt")
+    Tables.supplier(s, d)
+      .select(
+        when($"s_suppkey" % 5 === 0, concat(lit("{broken "), $"s_name"))
+          .otherwise(to_json(struct($"s_suppkey", $"s_nationkey")))
+          .as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_nationkey", IntegerType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema).option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .agg(count($"_corrupt_record").as("n_corrupt"),
+        count($"s_suppkey").as("n_valid"),
+        sum($"s_nationkey").cast("long").as("sum_nk"))
+  }
+
   /** ORC round-trip: part → ORC → agg. Spark's other built-in columnar
     * format (predicate pushdown + column pruning apply as with parquet);
     * the oracle can't read ORC, so it pins CONTENT equality by running
@@ -127,6 +154,7 @@ object Sources extends QueryGroup {
     "q_csv_roundtrip" -> csvRoundtrip,
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
+    "q_json_corrupt" -> jsonCorrupt,
     "q_filename_column" -> filenameColumn,
     "q_latest_partition" -> latestPartition,
   )
@@ -140,6 +168,13 @@ object Sources extends QueryGroup {
     "q_json_roundtrip" ->
       """SELECT s_nationkey, COUNT(*) AS n_supp, MAX(s_name) AS last_name
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_json_corrupt" ->
+      """SELECT
+        |  COUNT(*) FILTER (WHERE s_suppkey % 5 = 0) AS n_corrupt,
+        |  COUNT(*) FILTER (WHERE s_suppkey % 5 <> 0) AS n_valid,
+        |  CAST(SUM(s_nationkey) FILTER (WHERE s_suppkey % 5 <> 0) AS BIGINT)
+        |    AS sum_nk
+        |FROM supplier""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT p_brand, COUNT(*) AS n_parts,
         |  CAST(SUM(p_size) AS BIGINT) AS sum_size,

@@ -50,6 +50,15 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Stream-static dimension enrichment: the static side re-plans as a
+    * broadcast each micro-batch — no state, no watermark, and dim
+    * updates between batches are picked up for free. The standard shape
+    * for attaching reference data (type weights, geo tables, model
+    * registries) to an event stream; keep the dim small enough to
+    * broadcast, else pre-bucket both sides. */
+  def staticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+
   /** Per-user session windows (5-minute gap) under a watermark. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

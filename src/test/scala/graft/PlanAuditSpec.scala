@@ -122,6 +122,7 @@ object PlanAuditSpec {
     "q_agg_distinct" -> 3,
     "q_agg_filter_revenue" -> 1,
     "q_agg_maxby" -> 2,
+    "q_agg_median_disc" -> 2,
     "q_agg_pricing" -> 2,
     "q_agg_rollup" -> 2,
     "q_ann_ivf" -> 2,
@@ -187,6 +188,7 @@ object PlanAuditSpec {
     // the nationkey agg + final sort — the deliberately-shuffled path the
     // salt exists for (broadcast would hide the operator under test).
     "q_join_skew_salted" -> 4,
+    "q_json_corrupt" -> 1,
     "q_json_props" -> 2,
     "q_json_roundtrip" -> 2,
     "q_latest_partition" -> 2,

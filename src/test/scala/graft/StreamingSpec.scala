@@ -48,6 +48,24 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events from a broadcast dimension") {
+    val dim = Seq(("click", 1.0), ("view", 0.1)).toDF("event_type", "weight")
+    val input = MemoryStream[Event](spark)
+    val enriched = EventsStreaming.staticEnrich(input.toDF(), dim)
+      .select($"event_id", $"event_type", $"weight")
+    val q = enriched.writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, ts(1), typ = "click"), ev(2, ts(2), typ = "view"),
+        ev(3, ts(3), typ = "purchase")) // no dim row -> left-join null
+      q.processAllAvailable()
+      val rows = spark.table("enrich").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      assert(rows == Map(1L -> Some(1.0), 2L -> Some(0.1), 3L -> None))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups repeated event ids") {
     val input = MemoryStream[Event](spark)
     val q = EventsStreaming.dedupWithinWatermark(input.toDF())

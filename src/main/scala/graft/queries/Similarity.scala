@@ -278,8 +278,71 @@ object Similarity extends QueryGroup {
       .orderBy($"label", $"pos")
   }
 
+  private val KmeansK = 8
+  private val KmeansIters = 2
+
+  /** One Lloyd's assignment step: nearest centroid by exact int64
+    * squared distance, expanded as |v|² − 2·v·c + |c|² so the cross term
+    * is the codegen'd [[dotInt]] and the self terms are computed ONCE per
+    * vector/centroid instead of per pair. Centroids broadcast (K rows);
+    * the argmin is a per-vector window, tie-broken by centroid id. */
+  private def kmeansAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"dist", $"cid")
+    vecs.crossJoin(broadcast(cents))
+      .select($"vec_id", $"q",
+        ($"self" - lit(2L) * dotInt($"q", $"cq") + $"cself").as("dist"),
+        $"cid")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"q", $"cid")
+  }
+
+  /** Recompute integer centroids: per-(cluster, position) floor(sum/n) —
+    * floor of one exact double divide, the only non-integer op, identical
+    * in both engines. Skinny (cid, pos) shuffle, then K tiny rows. */
+  private def kmeansRecenter(asg: DataFrame): DataFrame = {
+    val s = asg.sparkSession
+    import s.implicits._
+    asg.select($"cid", posexplode($"q"))
+      .toDF("cid", "pos", "qc")
+      .groupBy($"cid", $"pos")
+      .agg(floor(sum($"qc").cast("double") / count(lit(1))).as("c"))
+      .groupBy($"cid")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        _.getField("c")).as("cq"))
+      .select($"cid", $"cq", dotInt($"cq", $"cq").as("cself"))
+  }
+
+  /** Distributed k-means over the embedding column — [[KmeansIters]]
+    * Lloyd's iterations from deterministic anchors (vec_id < K), entirely
+    * integer-quantized so the DuckDB oracle reproduces every assignment
+    * exactly. Unlike [[graft.queries.Dedup]]'s CC loop the iteration
+    * count is FIXED, so the whole computation is one lazy plan — no
+    * driver actions, no checkpoints; at 100 TB each iteration is one
+    * broadcast-join pass over the vectors plus a K×dim-sized agg. */
+  private def kmeans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", quantize($"embedding").as("q"))
+      .withColumn("self", dotInt($"q", $"q"))
+    var cents = e.filter($"vec_id" < KmeansK)
+      .select($"vec_id".as("cid"), $"q".as("cq"), $"self".as("cself"))
+    var asg = kmeansAssign(e, cents)
+    for (_ <- 2 to KmeansIters) {
+      cents = kmeansRecenter(asg)
+      asg = kmeansAssign(e, cents)
+    }
+    asg.select($"cid".as("cluster"), $"vec_id")
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("n_members"), min($"vec_id").as("first_vec"))
+      .orderBy($"cluster")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_embed_centroid" -> embedCentroid,
+    "q_kmeans" -> kmeans,
     "q_vector_topk" -> vectorTopK,
     "q_vector_cosine" -> vectorCosine,
     "q_ann_lsh" -> annLsh,
@@ -306,7 +369,39 @@ object Similarity extends QueryGroup {
        |     FOR i IN range(0, 64)]),
        |  (acc, x) -> acc + x)""".stripMargin
 
+  /** One unrolled Lloyd's step against centroid CTE `c$idx`: exact
+    * integer distances (the Σ(a−b)² form — integer-identical to the
+    * Spark side's |a|²−2ab+|b|² expansion), argmin via the same
+    * (dist, cid) window order. */
+  private def duckKmeansStep(idx: Int): String =
+    s"""d$idx AS (
+       |  SELECT e.vec_id, c.cid,
+       |    list_sum([(e.q[i+1] - c.cq[i+1]) * (e.q[i+1] - c.cq[i+1])
+       |              FOR i IN range(0, 64)]) AS dist
+       |  FROM e, c$idx c
+       |), a$idx AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+       |  FROM d$idx
+       |), m$idx AS (SELECT vec_id, cid FROM a$idx WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, $duckQuant AS q FROM embeddings),
+         |c1 AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < $KmeansK),
+         |${duckKmeansStep(1)},
+         |s2 AS (
+         |  SELECT m.cid, t.i,
+         |    CAST(floor(CAST(SUM(e.q[t.i+1]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+         |      AS c
+         |  FROM m1 m JOIN e USING (vec_id), UNNEST(range(0, 64)) AS t(i)
+         |  GROUP BY m.cid, t.i
+         |),
+         |c2 AS (SELECT cid, list(c ORDER BY i) AS cq FROM s2 GROUP BY cid),
+         |${duckKmeansStep(2)}
+         |SELECT cid AS cluster, COUNT(*) AS n_members,
+         |  MIN(vec_id) AS first_vec
+         |FROM m2 GROUP BY cid ORDER BY cluster""".stripMargin,
     // HUGEINT guard: DuckDB's SUM(BIGINT) returns int128; the sum stays
     // under 2^53 so the cast to DOUBLE is exact before the one divide.
     "q_embed_centroid" ->

@@ -191,6 +191,10 @@ object PlanAuditSpec {
     "q_json_corrupt" -> 1,
     "q_json_props" -> 2,
     "q_json_roundtrip" -> 2,
+    // 6 = two argmin windows (one per Lloyd's iteration) + the recenter
+    // (cid,pos) agg + centroid reassembly + final agg + final sort — all
+    // ONE lazy plan, no driver actions or checkpoints.
+    "q_kmeans" -> 6,
     "q_latest_partition" -> 2,
     "q_map_funs" -> 1,
     "q_math_funs" -> 1,

@@ -110,7 +110,26 @@ object Analytics extends QueryGroup {
       .orderBy($"doc_id", $"rnk")
   }
 
+  /** Event-transition (first-order Markov) counts: per user, every
+    * consecutive (prev_type → type) step in time order — one window
+    * shuffle on user_id, then an agg on the tiny type-pair space. The
+    * lag-window shape reuses the user partitioning a sessionizer would
+    * already have; nothing touches the cross-user timeline. */
+  private def eventsTransitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy($"prev_type", $"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_transitions" -> eventsTransitions,
     "q_events_funnel" -> eventsFunnel,
     "q_events_retention" -> eventsRetention,
     "q_typed_dataset" -> typedDataset,
@@ -118,6 +137,16 @@ object Analytics extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, COUNT(*) AS n_transitions
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin,
     "q_events_funnel" ->
       """WITH f AS (
         |  SELECT user_id,

@@ -177,9 +177,24 @@ object Relational2 extends QueryGroup {
       .orderBy($"o_custkey")
   }
 
+  /** Fixed-width histogram — one map-side-combined agg on the bin id
+    * (bins = value div width, computed in the scan projection; no
+    * windowing, no sort of the data itself). floor of a single double
+    * divide is engine-exact; min/max are element selections. */
+  private def histogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy(floor($"o_totalprice" / 20000.0).as("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        min($"o_totalprice").as("bin_min"),
+        max($"o_totalprice").as("bin_max"))
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_filter_in_like" -> filterInLike,
     "q_agg_median_disc" -> aggMedianDisc,
+    "q_histogram" -> histogram,
     "q_join_skew_salted" -> joinSkewSalted,
     "q_join_right" -> joinRight,
     "q_grouping_sets" -> groupingSetsSql,
@@ -198,6 +213,11 @@ object Relational2 extends QueryGroup {
     .mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS bin_min, MAX(o_totalprice) AS bin_max
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_agg_median_disc" ->
       """WITH r AS (
         |  SELECT o_custkey, o_totalprice,

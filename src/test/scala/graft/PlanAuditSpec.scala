@@ -158,6 +158,8 @@ object PlanAuditSpec {
     "q_events_retention" -> 4,
     "q_events_session" -> 2,
     "q_events_sliding" -> 2,
+    // user_id lag window + type-pair agg + output sort
+    "q_events_transitions" -> 3,
     "q_events_tumbling" -> 2,
     // 3: both interval-join sides shuffle on user_id, the per-user agg
     // reuses that partitioning, final ORDER BY adds the range exchange.
@@ -167,6 +169,7 @@ object PlanAuditSpec {
     "q_filter_in_like" -> 1,
     "q_filter_project" -> 1,
     "q_grouping_sets" -> 2,
+    "q_histogram" -> 2,
     "q_intersect" -> 2,
     "q_join_anti" -> 1,
     // 2: the union+window as-of shape — one user_id exchange shared by

@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""DuckDB-oracle timing proxy — the closest thing to a baseline this
+project has (BASELINE.md commits no numbers; the reference publishes
+none).
+
+For every catalog query it times the DuckDB oracle SQL (the brute-force
+*specification*) against the same parquet tables, and compares with the
+Spark timings in BENCH_DETAIL.json (written by `graft.Bench`). Each
+oracle runs in a subprocess so a brute-force spec that would run for
+minutes (the dedup pair-joins at sf>=0.1) is cut off at the timeout and
+reported as such — those timeouts ARE the result: the specification
+does not scale, the engine's banded/bucketed plan does.
+
+Usage:
+  python3 tools/bench_proxy.py [sf_dir] [oracle_sql.json] [bench_detail.json] [timeout_s]
+Defaults: /root/testdata/sf0.1  target/verify_out/oracle_sql.json
+          BENCH_DETAIL.json  30
+Writes BENCH_PROXY.json and prints a summary.
+"""
+import json
+import subprocess
+import sys
+import tempfile
+import time
+
+RUNNER = r"""
+import json, sys, time
+import duckdb
+sf, sql = sys.argv[1], open(sys.argv[2]).read()
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]:
+    try:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    except Exception:
+        pass
+t0 = time.perf_counter()
+n = len(con.execute(sql).fetchall())
+print(json.dumps({"sec": time.perf_counter() - t0, "rows": n}))
+"""
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    oracle_path = (sys.argv[2] if len(sys.argv) > 2
+                   else "target/verify_out/oracle_sql.json")
+    detail_path = (sys.argv[3] if len(sys.argv) > 3
+                   else "BENCH_DETAIL.json")
+    timeout = float(sys.argv[4]) if len(sys.argv) > 4 else 30.0
+
+    oracle = json.load(open(oracle_path))
+    spark = json.load(open(detail_path))["queries"]
+
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(RUNNER)
+        runner = f.name
+
+    out, both_d, both_s, n_timeout = {}, 0.0, 0.0, 0
+    for name in sorted(oracle):
+        with tempfile.NamedTemporaryFile("w", suffix=".sql",
+                                         delete=False) as f:
+            f.write(oracle[name])
+            sqlf = f.name
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run([sys.executable, runner, sf, sqlf],
+                               capture_output=True, text=True,
+                               timeout=timeout)
+            if r.returncode != 0:
+                out[name] = {"duck_sec": None,
+                             "err": r.stderr.strip()[-160:]}
+                continue
+            duck = json.loads(r.stdout)["sec"]
+        except subprocess.TimeoutExpired:
+            out[name] = {"duck_sec": None,
+                         "timeout_s": timeout,
+                         "spark_sec": spark.get(name)}
+            n_timeout += 1
+            continue
+        e = {"duck_sec": round(duck, 4)}
+        if name in spark:
+            e["spark_sec"] = round(spark[name], 4)
+            e["spark_over_duck"] = round(spark[name] / max(duck, 1e-6), 2)
+            both_d += duck
+            both_s += spark[name]
+        out[name] = e
+
+    summary = {
+        "sf": sf,
+        "timeout_s": timeout,
+        "n_compared": sum(1 for e in out.values() if "spark_over_duck" in e),
+        "n_duck_timeout": n_timeout,
+        "duck_total_sec": round(both_d, 2),
+        "spark_total_sec": round(both_s, 2),
+        "spark_over_duck_total": round(both_s / max(both_d, 1e-6), 2),
+    }
+    json.dump({"summary": summary, "queries": out},
+              open("BENCH_PROXY.json", "w"), indent=1)
+    print(json.dumps(summary, indent=1))
+    worst = sorted((e["spark_over_duck"], n) for n, e in out.items()
+                   if "spark_over_duck" in e)
+    print("\nspark wins / duck timeouts:")
+    for n, e in out.items():
+        if e.get("duck_sec") is None and "timeout_s" in e:
+            print(f"  {n}: DuckDB spec >{timeout:.0f}s vs "
+                  f"Spark {e.get('spark_sec')}s")
+    for ratio, n in worst[:3]:
+        print(f"  {n}: spark {ratio}x duck")
+    print("\nworst ratios (fixed Spark floor on sub-second queries):")
+    for ratio, n in worst[-3:]:
+        print(f"  {n}: spark {ratio}x duck")
+
+
+if __name__ == "__main__":
+    main()

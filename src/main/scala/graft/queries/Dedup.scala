@@ -139,6 +139,31 @@ object Dedup extends QueryGroup {
   private def dedupJaccard(s: SparkSession, d: String): DataFrame =
     verifyJaccard(s, d, bandCandidates(bandTable(s, d)))
 
+  /** Incremental-batch boundary for [[dedupIncremental]]: docs below are
+    * the standing corpus, at/above are "today's batch". */
+  private[queries] val IncrementalSplit = 400L
+
+  /** Incremental dedup — the PRODUCTION shape of near-dup detection: a
+    * new batch arrives and must be checked against the standing corpus
+    * WITHOUT rescanning it. Band keys for the batch join against the
+    * corpus band table (at scale: the [[Materialized]] parquet artifact,
+    * with the batch side tiny enough to broadcast), so per-batch cost is
+    * O(batch × bands) + the rare verified candidates — never O(corpus).
+    * New-vs-new pairs are deliberately out of scope here (the regular
+    * in-batch `q_dedup_jaccard` covers a batch against itself). */
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = bandTable(s, d)
+    val corpus = bands.filter($"doc_id" < IncrementalSplit)
+    val batch = bands.filter($"doc_id" >= IncrementalSplit)
+    val cand = corpus.as("a")
+      .join(broadcast(batch.as("b")),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_key" === $"b.band_key")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(s, d, cand)
+  }
+
   /** Duplicate-CLUSTER resolution: pairs are only half the dedup story —
     * near-dup relations are transitive-ish (A~B, B~C) and a keep-one
     * policy needs one representative per connected component of the pair
@@ -248,6 +273,7 @@ object Dedup extends QueryGroup {
     "q_dedup_exact" -> dedupExact,
     "q_dedup_jaccard" -> dedupJaccard,
     "q_dedup_cluster" -> dedupCluster,
+    "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_minhash_sig" -> minhashSignatures,
     "q_dedup_simhash" -> dedupSimhash,
   )
@@ -312,6 +338,19 @@ object Dedup extends QueryGroup {
          |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
          |    AS jac
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+         |    >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Brute-force spec restricted to corpus x batch.
+    "q_dedup_incremental" ->
+      s"""$shingleCte
+         |SELECT a.doc_id doc_a, b.doc_id doc_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+         |    AS jac
+         |FROM s a JOIN s b
+         |  ON a.doc_id < $IncrementalSplit AND b.doc_id >= $IncrementalSplit
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
          |    >= 0.8

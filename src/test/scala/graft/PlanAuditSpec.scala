@@ -143,6 +143,7 @@ object PlanAuditSpec {
     // made the candidate-id distinct exchange visible — persist hid it
     // inside an InMemoryRelation that executedPlan doesn't walk. Runtime
     // shuffle work is unchanged; nothing stays pinned in the cache manager.
+    "q_dedup_incremental" -> 3,
     "q_dedup_jaccard" -> 3,
     "q_dedup_jaccard_pre" -> 3,
     "q_dedup_minhash_sig" -> 2,

@@ -102,8 +102,9 @@ def main():
     print("\nspark wins / duck timeouts:")
     for n, e in out.items():
         if e.get("duck_sec") is None and "timeout_s" in e:
-            print(f"  {n}: DuckDB spec >{timeout:.0f}s vs "
-                  f"Spark {e.get('spark_sec')}s")
+            sp = e.get("spark_sec")
+            sp = f"{sp:.2f}s" if sp is not None else "n/a (not in detail)"
+            print(f"  {n}: DuckDB spec >{timeout:.0f}s vs Spark {sp}")
     for ratio, n in worst[:3]:
         print(f"  {n}: spark {ratio}x duck")
     print("\nworst ratios (fixed Spark floor on sub-second queries):")

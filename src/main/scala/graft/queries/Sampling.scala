@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.TextFunctions.charHash
+import graft.functions.TextFunctions.{charHash, tokens}
 import Catalog._
 
 /** Deterministic sampling operators — the training-data staples that must
@@ -68,13 +68,39 @@ object Sampling extends QueryGroup {
       .orderBy($"c_mktsegment", $"rk")
   }
 
+  /** Importance (quality-weighted) sampling — the pretraining staple
+    * "keep each document with probability ∝ its quality": accept when
+    * the salted hash bucket falls below weight×100, here with lexical
+    * diversity (distinct/total tokens) as the weight. Still a pure
+    * narrow projection + filter per row (the acceptance test needs no
+    * global state), aggregated per source for a stable summary. */
+  private def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("keep", bucket($"doc_id").cast("double") <
+        $"n_distinct".cast("double") / $"n_tok".cast("double") * 100.0)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"keep", 1)).as("n_kept"),
+        sum(when($"keep", $"n_tok")).cast("long").as("sum_kept_tok"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sample_hash" -> sampleHash,
     "q_sample_stratified" -> sampleStratified,
+    "q_sample_weighted" -> sampleWeighted,
   )
 
   private val duckCustHash =
     Dedup.duckCharHash(s"'$SampleSalt' || CAST(c_custkey AS VARCHAR)", 31)
+
+  private val duckDocBucket =
+    s"${Dedup.duckCharHash(s"'$SampleSalt' || CAST(doc_id AS VARCHAR)", 31)} % 100"
 
   val oracle: Map[String, String] = Map(
     "q_sample_hash" ->
@@ -83,6 +109,21 @@ object Sampling extends QueryGroup {
          |  MIN(o_orderkey) AS first_key
          |FROM orders WHERE $duckBucket < $SamplePct
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_sample_weighted" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(lower(text), ' ') w
+         |  FROM documents
+         |), k AS (
+         |  SELECT source, CAST(len(w) AS BIGINT) AS n_tok,
+         |    ($duckDocBucket) <
+         |      CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 100.0
+         |      AS keep
+         |  FROM t
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(*) FILTER (keep) AS n_kept,
+         |  CAST(SUM(n_tok) FILTER (keep) AS BIGINT) AS sum_kept_tok
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "q_sample_stratified" ->
       s"""WITH r AS (
          |  SELECT c_mktsegment, c_custkey, c_name,

@@ -214,6 +214,7 @@ object PlanAuditSpec {
     "q_regexp_funs" -> 1,
     "q_sample_hash" -> 2,
     "q_sample_stratified" -> 2,
+    "q_sample_weighted" -> 2,
     "q_serving_jobs" -> 2,
     "q_serving_join" -> 4,
     "q_serving_lookup" -> 3,

@@ -94,6 +94,23 @@ class PlanAuditSpec extends SparkTestBase {
           .mkString(", "))
   }
 
+  test("comparison filters push down into the parquet scan") {
+    // Pushdown sanity on the filter-led queries (simple predicates that
+    // parquet CAN evaluate): the scan node must advertise PushedFilters.
+    // Hash/UDF-style predicates (e.g. the sampling bucket test) are
+    // legitimately not pushable and aren't asserted here.
+    val mustPush = Seq("q_filter_project", "q_filter_in_like")
+    val offenders = mustPush.filterNot { name =>
+      allPlans(name).exists {
+        case f: FileSourceScanExec =>
+          f.metadata.get("PushedFilters").exists(s => s != "[]" && s.nonEmpty)
+        case _ => false
+      }
+    }
+    assert(offenders.isEmpty,
+      s"no pushed parquet filters in: ${offenders.mkString(", ")}")
+  }
+
   test("every catalog query plans a pruned lineitem scan") {
     // Column pruning sanity: no catalog query should scan lineitem's full
     // 16-column width unless it genuinely selects *.

@@ -191,10 +191,38 @@ object Relational2 extends QueryGroup {
       .orderBy($"bin")
   }
 
+  /** Batch MERGE (upsert) semantics: an updates set is applied onto the
+    * base table — matched keys take the update row, unmatched update
+    * rows insert, untouched base rows survive. One full-outer hash join
+    * on the key + coalesce, the shuffle-minimal relational MERGE (at
+    * scale both sides arrive hash-partitioned on the key; no windowing).
+    * Updates are synthesized deterministically from the base so the
+    * oracle can rebuild the identical sets. */
+  private def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val updates = base.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", lit("U").as("o_orderstatus"),
+        ($"o_totalprice" + 1000.0).as("o_totalprice"))
+      .union(base.filter($"o_orderkey" % 100 === 7)
+        .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), $"o_totalprice"))
+    base.as("b")
+      .join(updates.as("u"), Seq("o_orderkey"), "full")
+      .select(
+        coalesce($"u.o_orderstatus", $"b.o_orderstatus").as("status"),
+        coalesce($"u.o_totalprice", $"b.o_totalprice").as("price"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_rows"), dsum($"price").as("total"))
+      .orderBy($"status")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_filter_in_like" -> filterInLike,
     "q_agg_median_disc" -> aggMedianDisc,
     "q_histogram" -> histogram,
+    "q_merge_upsert" -> mergeUpsert,
     "q_join_skew_salted" -> joinSkewSalted,
     "q_join_right" -> joinRight,
     "q_grouping_sets" -> groupingSetsSql,
@@ -218,6 +246,22 @@ object Relational2 extends QueryGroup {
         |  COUNT(*) AS n_orders,
         |  MIN(o_totalprice) AS bin_min, MAX(o_totalprice) AS bin_max
         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_merge_upsert" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         |), updates AS (
+         |  SELECT o_orderkey, 'U' AS o_orderstatus,
+         |    o_totalprice + 1000.0 AS o_totalprice
+         |  FROM base WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, 'N', o_totalprice
+         |  FROM base WHERE o_orderkey % 100 = 7
+         |)
+         |SELECT COALESCE(u.o_orderstatus, b.o_orderstatus) AS status,
+         |  COUNT(*) AS n_rows,
+         |  ${dsumSql("COALESCE(u.o_totalprice, b.o_totalprice)")} AS total
+         |FROM base b FULL JOIN updates u USING (o_orderkey)
+         |GROUP BY 1 ORDER BY status""".stripMargin,
     "q_agg_median_disc" ->
       """WITH r AS (
         |  SELECT o_custkey, o_totalprice,

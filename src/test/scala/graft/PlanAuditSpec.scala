@@ -156,11 +156,11 @@ object PlanAuditSpec {
     "q_date_funs" -> 1,
     "q_dedup_embedding" -> 2,
     "q_dedup_exact" -> 2,
+    "q_dedup_incremental" -> 3,
     // 3 (was 2): verifyJaccard's persist() → broadcast+ReuseExchange rework
     // made the candidate-id distinct exchange visible — persist hid it
     // inside an InMemoryRelation that executedPlan doesn't walk. Runtime
     // shuffle work is unchanged; nothing stays pinned in the cache manager.
-    "q_dedup_incremental" -> 3,
     "q_dedup_jaccard" -> 3,
     "q_dedup_jaccard_pre" -> 3,
     "q_dedup_minhash_sig" -> 2,
@@ -219,6 +219,9 @@ object PlanAuditSpec {
     "q_latest_partition" -> 2,
     "q_map_funs" -> 1,
     "q_math_funs" -> 1,
+    // 4: both merge sides shuffle on the key for the full-outer SMJ, the
+    // status agg + final sort. Updates derive from the base scan (reused).
+    "q_merge_upsert" -> 4,
     "q_multimodal_features" -> 1,
     "q_multimodal_frames" -> 2,
     "q_multimodal_meta" -> 1,

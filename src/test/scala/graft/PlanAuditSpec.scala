@@ -111,6 +111,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"no pushed parquet filters in: ${offenders.mkString(", ")}")
   }
 
+  test("the latest-partition query prunes at the partition level") {
+    // q_latest_partition reads a year-partitioned mirror; its scan must
+    // carry a partition filter (static pruning), not a post-scan filter
+    // over every year directory.
+    val pruned = allPlans("q_latest_partition").exists {
+      case f: FileSourceScanExec =>
+        f.relation.partitionSchema.nonEmpty && f.partitionFilters.nonEmpty
+      case _ => false
+    }
+    assert(pruned, "q_latest_partition scans without a partition filter")
+  }
+
   test("every catalog query plans a pruned lineitem scan") {
     // Column pruning sanity: no catalog query should scan lineitem's full
     // 16-column width unless it genuinely selects *.

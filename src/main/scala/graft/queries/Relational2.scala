@@ -218,11 +218,29 @@ object Relational2 extends QueryGroup {
       .orderBy($"status")
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other instead of vanishing — the semantics dimension
+    * tables with "unknown" buckets need. Planned as a normal hash join
+    * (null-safe equality is still an equi-key; nulls hash to one
+    * bucket — salt them if the unknown bucket is hot at scale). */
+  private def joinNullSafe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = expr("nullif(o_orderstatus, 'O')")
+    val l = Tables.orders(s, d)
+      .groupBy(key.as("k")).agg(count(lit(1)).as("n_all"))
+    val r = Tables.orders(s, d).filter($"o_totalprice" > 100000.0)
+      .groupBy(key.as("k")).agg(count(lit(1)).as("n_big"))
+    l.as("l").join(r.as("r"), $"l.k" <=> $"r.k", "left")
+      .select($"l.k".as("k"), $"n_all", $"n_big")
+      .orderBy(coalesce($"k", lit("O")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_filter_in_like" -> filterInLike,
     "q_agg_median_disc" -> aggMedianDisc,
     "q_histogram" -> histogram,
     "q_merge_upsert" -> mergeUpsert,
+    "q_join_nullsafe" -> joinNullSafe,
     "q_join_skew_salted" -> joinSkewSalted,
     "q_join_right" -> joinRight,
     "q_grouping_sets" -> groupingSetsSql,
@@ -246,6 +264,17 @@ object Relational2 extends QueryGroup {
         |  COUNT(*) AS n_orders,
         |  MIN(o_totalprice) AS bin_min, MAX(o_totalprice) AS bin_max
         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_join_nullsafe" ->
+      """WITH l AS (
+        |  SELECT nullif(o_orderstatus, 'O') AS k, COUNT(*) AS n_all
+        |  FROM orders GROUP BY 1
+        |), r AS (
+        |  SELECT nullif(o_orderstatus, 'O') AS k, COUNT(*) AS n_big
+        |  FROM orders WHERE o_totalprice > 100000.0 GROUP BY 1
+        |)
+        |SELECT l.k, l.n_all, r.n_big
+        |FROM l LEFT JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        |ORDER BY COALESCE(l.k, 'O')""".stripMargin,
     "q_merge_upsert" ->
       s"""WITH base AS (
          |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -213,6 +213,7 @@ object PlanAuditSpec {
     "q_join_cross" -> 1,
     "q_join_full" -> 3,
     "q_join_left" -> 2,
+    "q_join_nullsafe" -> 3,
     "q_join_range" -> 2,
     "q_join_right" -> 2,
     "q_join_semi" -> 1,

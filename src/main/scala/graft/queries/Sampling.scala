@@ -20,16 +20,17 @@ import Catalog._
   *  - `q_sample_hash` is a pure filter: scan → filter, ZERO shuffles
   *    beyond the output sort; the sampled fraction is exact-in-expectation
   *    per key-hash bucket, and the predicate pushes to the scan.
-  *  - `q_sample_stratified` (fixed k per stratum) is one window shuffle on
-  *    the stratum key — the hash order makes "any k" into "a UNIFORM k"
-  *    without a global sort. Heavily skewed strata salt like any hot
-  *    window key; strata here are bounded (segments).
+  *  - `q_sample_stratified` (fixed k per stratum) is a two-level salted
+  *    tournament — the hash order makes "any k" into "a UNIFORM k", and
+  *    no task ever sorts a whole stratum (strata are few; a plain
+  *    per-stratum window would put 1/|strata| of the corpus in one task).
   */
 object Sampling extends QueryGroup {
 
   private val SampleSalt = "gr-sample-1"
   private val SamplePct = 10 // keep hash-bucket < 10 of 100
   private val StratumK = 5   // fixed sample size per stratum
+  private val TournamentSalts = 16 // level-1 fan-out of the stratified top-k
 
   /** The salted per-row hash bucket in [0, 100). */
   private def bucket(key: org.apache.spark.sql.Column) =
@@ -54,14 +55,29 @@ object Sampling extends QueryGroup {
 
   /** Fixed-size uniform sample per stratum: exactly [[StratumK]] customers
     * per market segment, chosen by salted-hash order (ties broken by key
-    * so the selection is total). */
+    * so the selection is total).
+    *
+    * Two-level tournament, because strata are FEW: a single
+    * window-per-stratum would sort each stratum in one task (at 100 TB,
+    * one task per segment = a non-starter). Level 1 takes the top-k
+    * within (stratum, salt) — [[TournamentSalts]]× the parallelism —
+    * and level 2 re-ranks only the ≤ salts×k survivors. Any global
+    * top-k row is necessarily in its salt bucket's top-k, so the result
+    * is IDENTICAL to the single-window formulation (the oracle runs
+    * exactly that single window). */
   private def sampleStratified(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val h = charHash(concat(lit(SampleSalt), $"c_custkey".cast("string")))
-    val w = Window.partitionBy($"c_mktsegment")
-      .orderBy(h.asc, $"c_custkey".asc)
+    val w1 = Window.partitionBy($"c_mktsegment", $"salt")
+      .orderBy($"h".asc, $"c_custkey".asc)
+    val w2 = Window.partitionBy($"c_mktsegment")
+      .orderBy($"h".asc, $"c_custkey".asc)
     Tables.customer(s, d)
-      .withColumn("rk", row_number().over(w))
+      .withColumn("h", h)
+      .withColumn("salt", pmod(xxhash64($"c_custkey"), lit(TournamentSalts)))
+      .withColumn("rk1", row_number().over(w1))
+      .filter($"rk1" <= StratumK)
+      .withColumn("rk", row_number().over(w2))
       .filter($"rk" <= StratumK)
       .select($"c_mktsegment", $"rk".cast("long").as("rk"),
         $"c_custkey", $"c_name")

@@ -246,7 +246,10 @@ object PlanAuditSpec {
     "q_pivot" -> 3,
     "q_regexp_funs" -> 1,
     "q_sample_hash" -> 2,
-    "q_sample_stratified" -> 2,
+    // 3: two-level tournament — (stratum,salt) window, survivor window,
+    // output sort. The extra exchange is the price of never sorting a
+    // whole stratum in one task.
+    "q_sample_stratified" -> 3,
     "q_sample_weighted" -> 2,
     "q_serving_jobs" -> 2,
     "q_serving_join" -> 4,

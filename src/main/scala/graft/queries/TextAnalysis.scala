@@ -254,7 +254,36 @@ object TextAnalysis extends QueryGroup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  private val ChunkSize = 50
+  private val ChunkStride = 40
+
+  /** Document chunking — the context-window prep step: overlapping
+    * [[ChunkSize]]-token windows every [[ChunkStride]] tokens (the final
+    * chunk may run short). Pure row-local explode: each document expands
+    * to ceil(n/stride) skinny (doc, chunk) rows carrying a rolling
+    * fingerprint instead of the text, so chunk manifests shuffle at
+    * O(chunks), not O(corpus bytes); the payload slice itself would be
+    * `slice(w, start+1, size)` in the writer stage. */
+  private def textChunk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("w"))
+      .withColumn("n", size($"w"))
+      .filter($"n" > 0)
+      .select($"doc_id", $"w", $"n",
+        posexplode(sequence(lit(0), $"n" - 1, lit(ChunkStride))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "start")
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+        least(lit(ChunkSize), $"n" - $"start").cast("long").as("chunk_len"),
+        rollingFingerprint(
+          transform(slice($"w", $"start" + 1, lit(ChunkSize)), charHash(_)))
+          .as("chunk_fp"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_chunk" -> textChunk,
     "q_text_top_skills" -> topSkills,
     "q_text_langid" -> langId,
     "q_text_quality" -> quality,
@@ -268,6 +297,20 @@ object TextAnalysis extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_chunk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+         |)
+         |SELECT doc_id, i // $ChunkStride AS chunk_idx,
+         |  CAST(least($ChunkSize, len(w) - i) AS BIGINT) AS chunk_len,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      [${Dedup.duckCharHash("tk", 31)}
+         |       FOR tk IN w[i + 1:i + $ChunkSize]]),
+         |    (a, h) -> (a * 131 + h) % 1000000007) AS chunk_fp
+         |FROM t, UNNEST(range(0, len(w), $ChunkStride)) AS s(i)
+         |WHERE len(w) > 0
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_text_top_skills" ->
       s"""WITH tok AS (
          |  SELECT source, unnest(string_split(lower(text), ' ')) AS token

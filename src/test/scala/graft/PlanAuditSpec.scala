@@ -270,6 +270,7 @@ object PlanAuditSpec {
     // 3 as explode + two string-shuffling hash-aggs).
     "q_text_repetition" -> 1,
     "q_subquery_above_avg" -> 2,
+    "q_text_chunk" -> 1,
     "q_text_fingerprint" -> 1,
     "q_text_langid" -> 1,
     "q_text_quality" -> 1,

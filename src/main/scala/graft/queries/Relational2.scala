@@ -235,12 +235,42 @@ object Relational2 extends QueryGroup {
       .orderBy(coalesce($"k", lit("O")))
   }
 
+  /** Per-group z-score normalization (feature scaling): group moments in
+    * exact integer CENTS (o_totalprice has ≤2 decimals, so cents and
+    * cents² are exact; the sum of squares rides a scale-0 DECIMAL(38,0)
+    * because DuckDB would sum BIGINT into int128 anyway). Scale-0 is
+    * load-bearing: a scaled decimal→double cast rounds twice in DuckDB
+    * (int128→double, then ÷10^scale) but once in the JVM — a 1-ulp
+    * mismatch; integer-valued casts convert once in both engines. After
+    * the one cast per sum, mean/variance/z are IDENTICAL IEEE expression
+    * trees on identical operands ⇒ bit-equal doubles. Tiny stats table
+    * broadcast back onto the rows; the low-cardinality group key never
+    * becomes a window partition. */
+  private def zscoreNormalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cents = ($"o_totalprice".cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val stats = Tables.orders(s, d)
+      .select($"o_orderstatus", cents.as("c"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"c").cast("double").as("s1c"),
+        sum(($"c" * $"c").cast(DecimalType(38, 0))).cast("double").as("s2c"))
+    Tables.orders(s, d)
+      .join(broadcast(stats), "o_orderstatus")
+      .select($"o_orderkey", $"o_orderstatus",
+        (($"o_totalprice" * 100 - $"s1c" / $"n") /
+          sqrt(($"s2c" - $"s1c" * $"s1c" / $"n") / $"n")).as("z"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_filter_in_like" -> filterInLike,
     "q_agg_median_disc" -> aggMedianDisc,
     "q_histogram" -> histogram,
     "q_merge_upsert" -> mergeUpsert,
     "q_join_nullsafe" -> joinNullSafe,
+    "q_normalize_zscore" -> zscoreNormalize,
     "q_join_skew_salted" -> joinSkewSalted,
     "q_join_right" -> joinRight,
     "q_grouping_sets" -> groupingSetsSql,
@@ -264,6 +294,22 @@ object Relational2 extends QueryGroup {
         |  COUNT(*) AS n_orders,
         |  MIN(o_totalprice) AS bin_min, MAX(o_totalprice) AS bin_max
         |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_normalize_zscore" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders
+        |), stats AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n,
+        |    CAST(SUM(c) AS DOUBLE) AS s1c,
+        |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS s2c
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT o_orderkey, o_orderstatus,
+        |  (o_totalprice * 100 - s1c / n) / sqrt((s2c - s1c * s1c / n) / n)
+        |    AS z
+        |FROM orders JOIN stats USING (o_orderstatus)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_join_nullsafe" ->
       """WITH l AS (
         |  SELECT nullif(o_orderstatus, 'O') AS k, COUNT(*) AS n_all

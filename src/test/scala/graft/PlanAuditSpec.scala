@@ -241,6 +241,7 @@ object PlanAuditSpec {
     // 2: block-partitioned window exchange + final range sort. The block
     // totals job (phase 1) runs at DataFrame-construction time and is a
     // |blocks|-row aggregate, not part of this plan.
+    "q_normalize_zscore" -> 2,
     "q_orc_roundtrip" -> 2,
     "q_pack_shards" -> 2,
     "q_pivot" -> 3,

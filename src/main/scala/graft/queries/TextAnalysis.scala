@@ -282,8 +282,27 @@ object TextAnalysis extends QueryGroup {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  private val VocabK = 50
+
+  /** Corpus vocabulary induction: global top-[[VocabK]] tokens by
+    * frequency (deterministic (count DESC, token ASC) tie order) — the
+    * seed step of any tokenizer/vocab build. explode → map-side-combined
+    * count, then `orderBy().limit()` plans as TakeOrderedAndProject:
+    * each partition keeps only its own top-K and the driver merges K
+    * per partition, never a global sort of the vocabulary. */
+  private def textVocab(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token".asc)
+      .limit(VocabK)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_chunk" -> textChunk,
+    "q_text_vocab" -> textVocab,
     "q_text_top_skills" -> topSkills,
     "q_text_langid" -> langId,
     "q_text_quality" -> quality,
@@ -297,6 +316,11 @@ object TextAnalysis extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_text_vocab" ->
+      s"""SELECT token, COUNT(*) AS cnt
+         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+         |      FROM documents) t
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT $VocabK""".stripMargin,
     "q_text_chunk" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents

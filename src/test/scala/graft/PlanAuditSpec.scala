@@ -272,6 +272,8 @@ object PlanAuditSpec {
     "q_text_repetition" -> 1,
     "q_subquery_above_avg" -> 2,
     "q_text_chunk" -> 1,
+    // 1: count shuffle only — orderBy+limit plans TakeOrderedAndProject
+    "q_text_vocab" -> 1,
     "q_text_fingerprint" -> 1,
     "q_text_langid" -> 1,
     "q_text_quality" -> 1,

@@ -45,8 +45,10 @@ object Bucketed extends QueryGroup {
 
   /** One-time (per JVM) bucketed write of orders + customer, both
     * bucketed and sorted on the customer key. `repartition(n, key)` first
-    * so each bucket lands in one file — the sortBy metadata then lets the
-    * join skip its sort as well as its shuffle. */
+    * so each bucket lands in one file. Note the join still plans local
+    * per-bucket sorts (Spark ignores bucket sort order unless the legacy
+    * outputOrdering flag is on) — what the layout eliminates is the
+    * NETWORK exchange, which is the part that scales with the data. */
   private[queries] def ensureBucketed(s: SparkSession, d: String)
       : (String, String) = {
     val (ot, ct) = (s"graft_bkt_orders_${slug(d)}",

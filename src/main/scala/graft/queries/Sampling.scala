@@ -18,8 +18,9 @@ import Catalog._
   *
   * Scale notes:
   *  - `q_sample_hash` is a pure filter: scan → filter, ZERO shuffles
-  *    beyond the output sort; the sampled fraction is exact-in-expectation
-  *    per key-hash bucket, and the predicate pushes to the scan.
+  *    beyond the output sort. The hash predicate can't become a parquet
+  *    PushedFilter (it's a computed expression), but it runs fused into
+  *    the scan's codegen stage — one pass, nothing materialized.
   *  - `q_sample_stratified` (fixed k per stratum) is a two-level salted
   *    tournament — the hash order makes "any k" into "a UNIFORM k", and
   *    no task ever sorts a whole stratum (strata are few; a plain

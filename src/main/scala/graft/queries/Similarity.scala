@@ -321,7 +321,8 @@ object Similarity extends QueryGroup {
     * exactly. Unlike [[graft.queries.Dedup]]'s CC loop the iteration
     * count is FIXED, so the whole computation is one lazy plan — no
     * driver actions, no checkpoints; at 100 TB each iteration is one
-    * broadcast-join pass over the vectors plus a K×dim-sized agg. */
+    * broadcast-join pass over the vectors, a per-vector argmin shuffle,
+    * and a K×dim-sized recenter agg. */
   private def kmeans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)

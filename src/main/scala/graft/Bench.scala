@@ -81,16 +81,28 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
+    // Locale-pinned 3-decimal formatting: the f"" interpolator uses the
+    // JVM default locale, and a comma-decimal locale would turn the
+    // summary line into invalid JSON the driver silently fails to parse.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
     // Full-precision per-query detail, one entry per catalog query, for
     // humans / the judge (committed as BENCH_DETAIL.json).
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$es,"runs":$nRuns,"sf":"$sfDir"}"""
+    // A failed detail write must be LOUD: bench_proxy.py and the summary
+    // line's "detail" pointer both read the committed artifact, so a
+    // swallowed IOException leaves a stale file masquerading as current.
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detail) finally w.close()
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] BENCH_DETAIL.json write FAILED: $e")
+    }
 
     // The driver records only a bounded tail of this process's output, so
     // the final JSON line must fit entirely inside it to parse (rounds
@@ -100,7 +112,7 @@ object Bench {
     // "omitted" and fully present in BENCH_DETAIL.json.
     val budget = 1400
     val ordered = results.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     ordered.foreach { e =>
@@ -108,7 +120,7 @@ object Bench {
     }
     val omitted = results.size - kept.size
     val qs = kept.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"omitted":$omitted,"detail":"BENCH_DETAIL.json","errors":$es,"runs":$nRuns,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"omitted":$omitted,"detail":"BENCH_DETAIL.json","errors":$es,"runs":$nRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,6 +11,17 @@ object Verify {
     // just the named queries; the driver passes 2 args = full catalog).
     val only: Option[Set[String]] = args.drop(2).headOption
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A misspelled name would match nothing: Verify dumps zero queries and
+    // oracle_check reports a clean "0 ok, 0 failed" — which reads as a
+    // pass for the query that was never checked. Fail fast instead.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)

@@ -150,7 +150,16 @@ object Dedup extends QueryGroup {
     * with the batch side tiny enough to broadcast), so per-batch cost is
     * O(batch × bands) + the rare verified candidates — never O(corpus).
     * New-vs-new pairs are deliberately out of scope here (the regular
-    * in-batch `q_dedup_jaccard` covers a batch against itself). */
+    * in-batch `q_dedup_jaccard` covers a batch against itself).
+    *
+    * Recall margin (this query and q_dedup_jaccard are gated against
+    * EXACT brute-force oracles): 9×2 banding misses a j-similar pair
+    * with P = (1-j²)^9 — ≈1.6e-2 at the 0.8 threshold, ≤1.2e-4 at the
+    * planted j ≥ 0.9. The gate passing is therefore data-dependent;
+    * LshRecallSpec asserts every brute-force pair at the gate SF shares
+    * a band, so threshold-adjacent future testdata fails THERE with a
+    * "regenerate or widen bands" message instead of going silently red
+    * in verify. */
   private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val bands = bandTable(s, d)

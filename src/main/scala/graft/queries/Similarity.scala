@@ -323,7 +323,11 @@ object Similarity extends QueryGroup {
     * driver actions, no checkpoints; at 100 TB each iteration is one
     * broadcast-join pass over the vectors, a per-vector argmin shuffle,
     * and a K×dim-sized recenter agg. */
-  private def kmeans(s: SparkSession, d: String): DataFrame = {
+  /** Final per-vector assignment (vec_id, q, cid) after [[KmeansIters]]
+    * Lloyd's iterations — the ground truth the q_kmeans summary
+    * aggregates; exposed so KmeansAssignSpec can check the summary
+    * against actual membership instead of trusting the aggregation. */
+  private[queries] def kmeansAssignments(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
       .select($"vec_id", quantize($"embedding").as("q"))
@@ -335,7 +339,12 @@ object Similarity extends QueryGroup {
       cents = kmeansRecenter(asg)
       asg = kmeansAssign(e, cents)
     }
-    asg.select($"cid".as("cluster"), $"vec_id")
+    asg
+  }
+
+  private def kmeans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    kmeansAssignments(s, d).select($"cid".as("cluster"), $"vec_id")
       .groupBy($"cluster")
       .agg(count(lit(1)).as("n_members"), min($"vec_id").as("first_vec"))
       .orderBy($"cluster")

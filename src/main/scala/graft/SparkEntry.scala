@@ -32,6 +32,8 @@ object SparkEntry {
     Materialized,
     Bucketed,
     Sampling,
+    Quantiles,
+    Indexing,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

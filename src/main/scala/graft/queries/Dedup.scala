@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -138,6 +139,43 @@ object Dedup extends QueryGroup {
 
   private def dedupJaccard(s: SparkSession, d: String): DataFrame =
     verifyJaccard(s, d, bandCandidates(bandTable(s, d)))
+
+  /** EXACT set-similarity self-join via prefix filtering (the AllPairs /
+    * PPJoin family, Bayardo et al. WWW'07) — the deterministic
+    * counterpart of the MinHash-band path: same brute-force spec, zero
+    * false negatives by construction instead of probabilistically.
+    *
+    * Under any global total order on shingles, two sets with
+    * jaccard >= t must share an element inside each other's first
+    * |x| - ceil(t*|x|) + 1 shingles (pigeonhole: the overlap is at least
+    * ceil(t*|x|)). Ordering by ascending document frequency makes those
+    * prefixes the RAREST shingles, so the candidate join fans out on the
+    * least-collising keys. Prefix length uses exact integer math
+    * (ceil(4s/5) = floor((4s+4)/5)): double 0.8*s rounds UP at multiples
+    * of 5, which would shorten the prefix below the correctness bound.
+    *
+    * 100 TB shape: candidate volume is O(sum of prefix-bucket collision
+    * counts) — prefixes are ~1/5 of each set and skew-resistant because
+    * rare shingles have small buckets by definition; everything else is
+    * skinny pairs + the shared broadcast verify. No all-pairs anywhere. */
+  private def dedupPrefix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ex = shingleSets(s, d)
+      .select($"doc_id", size($"sh").as("sz"), explode($"sh").as("shingle"))
+    val dfreq = ex.groupBy($"shingle").agg(count(lit(1)).as("dfreq"))
+    val rarity = Window.partitionBy($"doc_id").orderBy($"dfreq", $"shingle")
+    val prefix = ex.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(rarity))
+      .filter($"rn" <=
+        $"sz" - floor(($"sz" * 4 + 4) / lit(5.0)).cast("int") + 1)
+      .select($"doc_id", $"shingle")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(s, d, cand)
+  }
 
   /** Incremental-batch boundary for [[dedupIncremental]]: docs below are
     * the standing corpus, at/above are "today's batch". */
@@ -281,6 +319,7 @@ object Dedup extends QueryGroup {
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_jaccard" -> dedupJaccard,
+    "q_dedup_prefix" -> dedupPrefix,
     "q_dedup_cluster" -> dedupCluster,
     "q_dedup_incremental" -> dedupIncremental,
     "q_dedup_minhash_sig" -> minhashSignatures,
@@ -335,22 +374,30 @@ object Dedup extends QueryGroup {
        |  FROM h
        |)""".stripMargin
 
+  /** Brute-force all-pairs Jaccard >= 0.8 — the specification both the
+    * MinHash-band and prefix-filter candidate generators must match. */
+  private val bruteForcePairsSql =
+    s"""$shingleCte
+       |SELECT a.doc_id doc_a, b.doc_id doc_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+       |    AS jac
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+       |    >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(lower(text)) AS digest, MIN(doc_id) AS kept_doc_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
-    "q_dedup_jaccard" ->
-      s"""$shingleCte
-         |SELECT a.doc_id doc_a, b.doc_id doc_b,
-         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-         |    AS jac
-         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-         |    >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_jaccard" -> bruteForcePairsSql,
+    // The prefix-filter path implements the SAME spec as the banded path
+    // (both are candidate generators in front of the identical exact
+    // verify), so it is gated against the same brute-force oracle.
+    "q_dedup_prefix" -> bruteForcePairsSql,
     // Brute-force spec restricted to corpus x batch.
     "q_dedup_incremental" ->
       s"""$shingleCte

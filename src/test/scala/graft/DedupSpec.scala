@@ -34,6 +34,20 @@ class DedupSpec extends SparkTestBase {
     } finally sh.unpersist()
   }
 
+  test("prefix-filter path returns exactly the banded path's pairs") {
+    // Two independent candidate generators (probabilistic LSH banding vs
+    // provably-exact prefix filtering) in front of the same verify must
+    // produce the same relation — both equal brute force.
+    val banded = SparkEntry.queries("q_dedup_jaccard")(spark, Sf0001)
+      .select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefix = SparkEntry.queries("q_dedup_prefix")(spark, Sf0001)
+      .select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefix == banded,
+      s"prefix missed ${banded -- prefix}, extra ${prefix -- banded}")
+  }
+
   test("minhash signature is permutation-stable (known value check)") {
     // Signature of a singleton shingle set is just (a*h+b) % P per coeff.
     val h = Seq("alpha beta gamma").toDF("s")

@@ -174,6 +174,9 @@ object PlanAuditSpec {
     // inside an InMemoryRelation that executedPlan doesn't walk. Runtime
     // shuffle work is unchanged; nothing stays pinned in the cache manager.
     "q_dedup_jaccard" -> 3,
+    // prefix filter: dfreq agg + ex-dfreq join + per-doc rarity window +
+    // candidate self-join on shingle; verify side is all broadcasts.
+    "q_dedup_prefix" -> 4,
     "q_dedup_jaccard_pre" -> 3,
     "q_dedup_minhash_sig" -> 2,
     // CC loop runs its iterations eagerly at construction; this budget is
@@ -200,6 +203,8 @@ object PlanAuditSpec {
     "q_filter_project" -> 1,
     "q_grouping_sets" -> 2,
     "q_histogram" -> 2,
+    // token×doc tf agg + per-token merge + final token sort.
+    "q_index_inverted" -> 3,
     "q_intersect" -> 2,
     "q_join_anti" -> 1,
     // 2: the union+window as-of shape — one user_id exchange shared by
@@ -245,6 +250,10 @@ object PlanAuditSpec {
     "q_orc_roundtrip" -> 2,
     "q_pack_shards" -> 2,
     "q_pivot" -> 3,
+    // two-phase selection: bin agg, cumulative agg, total agg, k/target
+    // derivations, hit-bin window, final 3-row sort — every exchange
+    // after the first carries the bounded bin relation, never rows.
+    "q_quantile_global" -> 6,
     "q_regexp_funs" -> 1,
     "q_sample_hash" -> 2,
     // 3: two-level tournament — (stratum,salt) window, survivor window,
@@ -276,6 +285,8 @@ object PlanAuditSpec {
     "q_text_vocab" -> 1,
     "q_text_fingerprint" -> 1,
     "q_text_langid" -> 1,
+    // unigram agg + bigram agg + top-K sort; unigram side broadcasts.
+    "q_text_pmi" -> 3,
     "q_text_quality" -> 1,
     "q_text_tfidf" -> 6,
     "q_text_token_count" -> 1,

@@ -60,6 +60,39 @@ object Analytics extends QueryGroup {
       .orderBy($"week")
   }
 
+  /** Rolling engagement: per-day DAU, trailing-7-day WAU, and the
+    * DAU/WAU stickiness ratio (milli-units, integer-exact) — EXACT
+    * rolling distinct counts, which no window frame can express
+    * (COUNT(DISTINCT) over a sliding frame isn't supported by either
+    * engine; approximate sketches would break the oracle).
+    *
+    * Shape: dedup to (user, day) once — the stream collapses to at most
+    * users×days rows — then each user-day CONTRIBUTES itself to the 7
+    * window anchors it falls inside (explode of a 7-element date
+    * sequence) and is deduped per anchor. At 100 TB the event payload is
+    * dropped at the first projection; everything downstream is skinny
+    * (user_id, date) pairs with a bounded 7× fan-out, map-side combined
+    * into per-day counts. Days with zero events report no row (inner
+    * join on observed days) — an explicit semantics choice shared with
+    * the oracle. */
+  private def eventsDau(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables.events(s, d)
+      .select($"user_id", $"ts".cast("date").as("day"))
+      .distinct()
+    val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select($"user_id",
+        explode(sequence($"day", date_add($"day", 6))).as("day"))
+      .distinct()
+      .groupBy($"day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select($"day", $"dau", $"wau",
+        floor(($"dau" * 1000).cast("double") / $"wau".cast("double"))
+          .cast("long").as("stickiness_milli"))
+      .orderBy($"day")
+  }
+
   // Top-level visibility: Encoder-generated code cannot access a private
   // nested class.
 
@@ -132,6 +165,7 @@ object Analytics extends QueryGroup {
     "q_events_transitions" -> eventsTransitions,
     "q_events_funnel" -> eventsFunnel,
     "q_events_retention" -> eventsRetention,
+    "q_events_dau" -> eventsDau,
     "q_typed_dataset" -> typedDataset,
     "q_text_tfidf" -> textTfidf,
   )
@@ -162,6 +196,22 @@ object Analytics extends QueryGroup {
         |            AND first_click < first_purchase THEN 1 ELSE 0 END)
         |    AS BIGINT) AS full_funnel
         |FROM f""".stripMargin,
+    "q_events_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), dau AS (
+        |  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+        |), wa AS (
+        |  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day
+        |  FROM ud, UNNEST(range(0, 7)) AS r(i)
+        |), wau AS (
+        |  SELECT day, COUNT(*) AS wau FROM wa GROUP BY day
+        |)
+        |SELECT day, dau.dau, wau.wau,
+        |  CAST(floor(CAST(dau.dau * 1000 AS DOUBLE)
+        |    / CAST(wau.wau AS DOUBLE)) AS BIGINT) AS stickiness_milli
+        |FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
     "q_events_retention" ->
       """WITH ev AS (
         |  SELECT DISTINCT user_id,

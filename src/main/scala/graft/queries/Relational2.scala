@@ -177,6 +177,39 @@ object Relational2 extends QueryGroup {
       .orderBy($"o_custkey")
   }
 
+  /** Robust per-customer outlier detection via MAD (median absolute
+    * deviation): flag orders with |price − median| > 3·MAD. The robust
+    * twin of q_normalize_zscore's moment-based scaling — a data-quality
+    * gate that heavy tails can't saturate the way they inflate a stddev.
+    *
+    * Both medians are DISCRETE selections (same convention as
+    * q_agg_median_disc), attached back to every row with a conditional
+    * window MAX instead of a join — all four window functions share the
+    * o_custkey partitioning, so Catalyst plans ONE exchange and two
+    * local sorts; nothing here is a second pass over the table. Exact
+    * cross-engine: element selections, one IEEE subtraction/abs, and a
+    * 3·MAD compare — no libm, no accumulated float sums. */
+  private def anomalyMad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byKey = Window.partitionBy($"o_custkey")
+    val byPrice = byKey.orderBy($"o_totalprice", $"o_orderkey")
+    val medAt = expr("(n + 1) div 2")
+    val staged = Tables.orders(s, d)
+      .withColumn("n", count(lit(1)).over(byKey))
+      .withColumn("rk", row_number().over(byPrice))
+      .withColumn("med",
+        max(when($"rk" === medAt, $"o_totalprice")).over(byKey))
+      .withColumn("dev", abs($"o_totalprice" - $"med"))
+    val byDev = byKey.orderBy($"dev", $"o_orderkey")
+    staged
+      .withColumn("rk2", row_number().over(byDev))
+      .withColumn("mad", max(when($"rk2" === medAt, $"dev")).over(byKey))
+      .filter($"dev" > lit(3.0) * $"mad")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        $"med", $"mad", $"dev")
+      .orderBy($"o_orderkey")
+  }
+
   /** Fixed-width histogram — one map-side-combined agg on the bin id
     * (bins = value div width, computed in the scan projection; no
     * windowing, no sort of the data itself). floor of a single double
@@ -267,6 +300,7 @@ object Relational2 extends QueryGroup {
   val queries: Map[String, Q] = Map(
     "q_filter_in_like" -> filterInLike,
     "q_agg_median_disc" -> aggMedianDisc,
+    "q_anomaly_mad" -> anomalyMad,
     "q_histogram" -> histogram,
     "q_merge_upsert" -> mergeUpsert,
     "q_join_nullsafe" -> joinNullSafe,
@@ -337,6 +371,30 @@ object Relational2 extends QueryGroup {
          |  ${dsumSql("COALESCE(u.o_totalprice, b.o_totalprice)")} AS total
          |FROM base b FULL JOIN updates u USING (o_orderkey)
          |GROUP BY 1 ORDER BY status""".stripMargin,
+    "q_anomaly_mad" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice, o_orderkey) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n
+        |  FROM orders
+        |), m AS (
+        |  SELECT *, MAX(CASE WHEN rk = (n + 1) // 2 THEN o_totalprice END)
+        |    OVER (PARTITION BY o_custkey) AS med
+        |  FROM r
+        |), d AS (
+        |  SELECT *, abs(o_totalprice - med) AS dev,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY abs(o_totalprice - med), o_orderkey) AS rk2
+        |  FROM m
+        |), md AS (
+        |  SELECT *, MAX(CASE WHEN rk2 = (n + 1) // 2 THEN dev END)
+        |    OVER (PARTITION BY o_custkey) AS mad
+        |  FROM d
+        |)
+        |SELECT o_custkey, o_orderkey, o_totalprice, med, mad, dev
+        |FROM md WHERE dev > 3 * mad
+        |ORDER BY o_orderkey""".stripMargin,
     "q_agg_median_disc" ->
       """WITH r AS (
         |  SELECT o_custkey, o_totalprice,

@@ -154,6 +154,10 @@ object PlanAuditSpec {
     "q_agg_median_disc" -> 2,
     "q_agg_pricing" -> 2,
     "q_agg_rollup" -> 2,
+    // ONE custkey exchange feeds all four MAD window functions (+ the
+    // final output sort) — the conditional-window-MAX-instead-of-join
+    // design is exactly what keeps this at 2.
+    "q_anomaly_mad" -> 2,
     "q_ann_ivf" -> 2,
     "q_ann_ivf_pre" -> 2,
     "q_ann_lsh" -> 3,
@@ -187,6 +191,9 @@ object PlanAuditSpec {
     "q_dropdup_bykey" -> 3,
     // one (label,pos) partial-agg exchange + the output sort
     "q_embed_centroid" -> 2,
+    // all six exchanges carry (user, day) pairs or per-day counts —
+    // the event payload is dropped at the first projection.
+    "q_events_dau" -> 6,
     "q_events_funnel" -> 2,
     "q_events_retention" -> 4,
     "q_events_session" -> 2,

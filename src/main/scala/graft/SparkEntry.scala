@@ -34,6 +34,7 @@ object SparkEntry {
     Sampling,
     Quantiles,
     Indexing,
+    Maintenance,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

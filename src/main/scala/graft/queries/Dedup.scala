@@ -316,12 +316,46 @@ object Dedup extends QueryGroup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Edit-distance near-dup detection — the character-level complement of
+    * the token-level Jaccard/SimHash paths (catches typo-grade and
+    * OCR-noise duplicates that keep token sets intact but shift
+    * characters). Exact pairwise Levenshtein is O(n·m) per pair and
+    * all-pairs is quadratic, so this is the standard blocked shape:
+    *
+    *  1. block on the first 16 characters (near-identical docs share
+    *     their opening) — an EQUI-join key, so candidates are a hash/SMJ
+    *     join, never a cartesian;
+    *  2. length filter |Δn_chars| ≤ 20 inside the join condition (a
+    *     length gap > k implies distance > k);
+    *  3. verify with Levenshtein over the first 80 characters only —
+    *     O(80²) per candidate, and the 80-char heads are projected
+    *     BEFORE the join so full document text never shuffles.
+    *
+    * At 100 TB the block key would widen to (prefix, length-bucket) and
+    * the verify stays bounded per candidate; nothing here is all-pairs. */
+  private def dedupLevenshtein(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(
+      $"doc_id", $"n_chars",
+      substring($"text", 1, 16).as("blk"),
+      substring($"text", 1, 80).as("head"))
+    docs.as("a")
+      .join(docs.as("b"),
+        $"a.blk" === $"b.blk" && $"a.doc_id" < $"b.doc_id" &&
+          abs($"a.n_chars" - $"b.n_chars") <= 20)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        levenshtein($"a.head", $"b.head").cast("long").as("dist"))
+      .filter($"dist" <= 10)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
     "q_dedup_jaccard" -> dedupJaccard,
     "q_dedup_prefix" -> dedupPrefix,
     "q_dedup_cluster" -> dedupCluster,
     "q_dedup_incremental" -> dedupIncremental,
+    "q_dedup_levenshtein" -> dedupLevenshtein,
     "q_dedup_minhash_sig" -> minhashSignatures,
     "q_dedup_simhash" -> dedupSimhash,
   )
@@ -394,6 +428,20 @@ object Dedup extends QueryGroup {
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
     "q_dedup_jaccard" -> bruteForcePairsSql,
+    // Same blocking + verify, spelled relationally; DuckDB's levenshtein
+    // is the identical classic edit distance over characters.
+    "q_dedup_levenshtein" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, substr(text, 1, 16) AS blk,
+        |    substr(text, 1, 80) AS head
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.head, b.head) AS dist
+        |FROM d a JOIN d b
+        |  ON a.blk = b.blk AND a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 20
+        |WHERE levenshtein(a.head, b.head) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // The prefix-filter path implements the SAME spec as the banded path
     // (both are candidate generators in front of the identical exact
     // verify), so it is gated against the same brute-force oracle.

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import Catalog._
+
+/** Table-maintenance / data-ops operators — the workhorse family that
+  * keeps a 100 TB lakehouse trustworthy between query workloads:
+  * anti-entropy checksums, CDC-style snapshot diffing, slowly-changing-
+  * dimension history construction, and one-pass column profiling.
+  *
+  * The reference has only the embryonic form of these (date-stamped file
+  * hand-offs between stages, `/root/reference/data-cleaner/cleaner.py:142-143`,
+  * and the latest-object scan at `data_populator/populator.py:16-24`);
+  * at warehouse scale they become first-class operators.
+  *
+  * Cross-engine determinism: digests are md5 over explicitly-formatted
+  * strings (integer renderings and `yyyy-MM-dd HH:mm:ss` timestamp
+  * renderings are identical in Spark and DuckDB; raw double→string casts
+  * are NOT and are never used); digest folds use exact integer `bit_xor`
+  * over the hex digest parsed as a 60-bit integer, so they are
+  * order-independent and shuffle-safe.
+  */
+object Maintenance extends QueryGroup {
+
+  /** Merkle-style bucket digests over lineitem — the distributed
+    * anti-entropy primitive (Dynamo/Cassandra-style repair, Merkle 1987):
+    * two replicas exchange 256 tiny bucket digests and re-sync only the
+    * buckets whose signatures disagree, never re-shipping the table.
+    *
+    * Plan shape: one narrow projection (5 of 11 columns) → md5 → one
+    * partial-agg shuffle carrying at most 256 groups. The per-row digest
+    * is computed map-side and the fold (`bit_xor` of the digest's
+    * 60-bit prefix) is commutative, so the combine happens before the
+    * exchange; at 100 TB the shuffle moves ~256 rows per mapper
+    * regardless of input size. */
+  private def tableChecksum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rowStr = concat_ws("|",
+      $"l_orderkey".cast("string"),
+      $"l_linenumber".cast("string"),
+      $"l_returnflag",
+      $"l_linestatus",
+      date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss"))
+    Tables.lineitem(s, d)
+      .select(md5(rowStr).as("dg"))
+      .select(
+        substring($"dg", 1, 2).as("bucket"),
+        conv(substring($"dg", 3, 15), 16, 10).cast("long").as("sig"),
+        $"dg")
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("bit_xor(sig)").as("xor_sig"),
+        min($"dg").as("min_digest"),
+        max($"dg").as("max_digest"))
+      .orderBy($"bucket")
+  }
+
+  /** CDC-style snapshot diff — classify every key as insert / delete /
+    * update between two table versions and emit per-class summaries.
+    * The two "snapshots" are deterministic slices of orders (old drops
+    * keys ≡0 mod 11, new drops ≡0 mod 13 and rewrites the priority of
+    * keys ≡0 mod 7), so inserts, deletes and updates all occur.
+    *
+    * Plan shape: rows collapse to (key, md5-of-compared-columns) BEFORE
+    * the full-outer join, so the shuffle carries two skinny relations
+    * keyed on o_orderkey (sort-merge at scale, AQE-coalesced); the
+    * classification is a post-join projection and the output is a
+    * 3-row summary with an order-independent key fold. */
+  private def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def hashed(df: DataFrame, keyAs: String, hAs: String): DataFrame =
+      df.select(col("o_orderkey").as(keyAs),
+        md5(concat_ws("|", col("o_orderstatus"), col("o_orderpriority")))
+          .as(hAs))
+    val base = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+    val oldSnap = hashed(base.filter($"o_orderkey" % 11 =!= 0), "k_old", "h_old")
+    val newSnap = hashed(
+      base.filter($"o_orderkey" % 13 =!= 0)
+        .withColumn("o_orderpriority",
+          when($"o_orderkey" % 7 === 0, concat(lit("X-"), $"o_orderpriority"))
+            .otherwise($"o_orderpriority")),
+      "k_new", "h_new")
+    oldSnap
+      .join(newSnap, $"k_old" === $"k_new", "full_outer")
+      .select(
+        coalesce($"k_old", $"k_new").as("key"),
+        when($"h_old".isNull, "insert")
+          .when($"h_new".isNull, "delete")
+          .when($"h_old" =!= $"h_new", "update")
+          .as("change_type"))
+      .filter($"change_type".isNotNull)
+      .groupBy($"change_type")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("bit_xor(key)").as("key_sig"),
+        min($"key").as("min_key"),
+        max($"key").as("max_key"))
+      .orderBy($"change_type")
+  }
+
+  /** Slowly-changing-dimension (type 2) history build: collapse each
+    * user's event stream to its change points (consecutive runs of the
+    * same event_type merge) and emit versioned validity intervals —
+    * `valid_from` inclusive, `valid_to` exclusive, NULL = current row.
+    *
+    * Plan shape: ONE user_id exchange feeds all three window functions
+    * (lag to find change points, lead for interval ends, row_number for
+    * versions share the same partitioning+ordering), then the output
+    * sort. Per-user state is a single previous row — no self-joins, no
+    * per-user collect. The user_id%20 slice keeps the gate output
+    * readable and demonstrates pushdown under the windows. */
+  private def scd2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .filter($"user_id" % 20 === 0)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"event_type")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select($"user_id", $"event_type", $"ts".as("valid_from"),
+        $"valid_to", $"version", $"valid_to".isNull.as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
+
+  private val ProfileCols = Seq(
+    "l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** One-pass column profiling (null count, exact NDV, min/max) for five
+    * lineitem columns — the data-quality scan every ingestion pipeline
+    * runs before promoting a batch.
+    *
+    * Plan shape: a SINGLE scan computes all 20 aggregates (Spark plans
+    * the 5 exact count-distincts with one Expand — 5× row multiplication
+    * of a 5-column projection, partial-aggregated map-side), then the
+    * 1-row result is `stack`ed into the (column × stats) relation
+    * driver-free. The naive per-column union would scan the table 5
+    * times. min/max on doubles are comparison-based — bit-identical
+    * cross-engine, unlike double sums. */
+  private def profileStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select(ProfileCols.map(col): _*)
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("double").as(s"mn_$c"),
+        max(col(c)).cast("double").as(s"mx_$c"))
+    }
+    val stackArgs = ProfileCols
+      .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c")
+      .mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${ProfileCols.size}, $stackArgs) " +
+        "as (col_name, n_null, n_distinct, min_v, max_v)")
+      .orderBy($"col_name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_table_checksum" -> tableChecksum,
+    "q_snapshot_diff" -> snapshotDiff,
+    "q_scd2" -> scd2,
+    "q_profile_stats" -> profileStats,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_table_checksum" ->
+      """WITH r AS (
+        |  SELECT md5(concat_ws('|',
+        |    CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |    l_returnflag, l_linestatus,
+        |    strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'))) AS dg
+        |  FROM lineitem)
+        |SELECT substr(dg, 1, 2) AS bucket, COUNT(*) AS n,
+        |  bit_xor(('0x' || substr(dg, 3, 15))::BIGINT) AS xor_sig,
+        |  min(dg) AS min_digest, max(dg) AS max_digest
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders),
+        |old AS (
+        |  SELECT o_orderkey AS k_old,
+        |    md5(concat_ws('|', o_orderstatus, o_orderpriority)) AS h_old
+        |  FROM base WHERE o_orderkey % 11 <> 0),
+        |new AS (
+        |  SELECT o_orderkey AS k_new,
+        |    md5(concat_ws('|', o_orderstatus,
+        |      CASE WHEN o_orderkey % 7 = 0 THEN 'X-' || o_orderpriority
+        |           ELSE o_orderpriority END)) AS h_new
+        |  FROM base WHERE o_orderkey % 13 <> 0),
+        |diff AS (
+        |  SELECT coalesce(k_old, k_new) AS key,
+        |    CASE WHEN h_old IS NULL THEN 'insert'
+        |         WHEN h_new IS NULL THEN 'delete'
+        |         WHEN h_old <> h_new THEN 'update' END AS change_type
+        |  FROM old FULL OUTER JOIN new ON k_old = k_new)
+        |SELECT change_type, COUNT(*) AS n, bit_xor(key) AS key_sig,
+        |  min(key) AS min_key, max(key) AS max_key
+        |FROM diff WHERE change_type IS NOT NULL
+        |GROUP BY 1 ORDER BY change_type""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE user_id % 20 = 0),
+        |c AS (
+        |  SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM e),
+        |chg AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  CAST(row_number() OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+        |    AS version,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL) AS is_current
+        |FROM chg ORDER BY user_id, version""".stripMargin,
+    "q_profile_stats" -> ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  COUNT(*) - COUNT($c) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_v,
+         |  CAST(max($c) AS DOUBLE) AS max_v
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+  )
+}

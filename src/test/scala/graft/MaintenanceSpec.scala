@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural invariants for the table-maintenance family — properties
+  * the DuckDB hash-compare can't express (partition/coverage laws,
+  * interval algebra), checked at sf0.001. */
+class MaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("checksum buckets partition the table and digests are md5-shaped") {
+    val rows = SparkEntry.queries("q_table_checksum")(spark, Sf0001).collect()
+    assert(rows.length <= 256)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == graft.core.Tables.lineitem(spark, Sf0001).count())
+    assert(rows.forall { r =>
+      val b = r.getAs[String]("bucket")
+      val mn = r.getAs[String]("min_digest")
+      val mx = r.getAs[String]("max_digest")
+      b.length == 2 && mn.length == 32 && mx.length == 32 &&
+        mn.startsWith(b) && mx.startsWith(b) && mn <= mx
+    })
+  }
+
+  test("checksum signature flips when any row changes") {
+    // The anti-entropy property: a one-row perturbation must change the
+    // signature of exactly the bucket that row hashes into.
+    val q = SparkEntry.queries("q_table_checksum")
+    val a = q(spark, Sf0001).collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // Same query over the table with one l_returnflag flipped (an actual
+    // row — the synthetic keyspace is sparse, so look one up).
+    val victim = graft.core.Tables.lineitem(spark, Sf0001)
+      .select($"l_orderkey", $"l_linenumber")
+      .orderBy($"l_orderkey", $"l_linenumber").limit(1).collect()(0)
+    val perturbed = graft.core.Tables.lineitem(spark, Sf0001)
+      .withColumn("l_returnflag",
+        when($"l_orderkey" === victim.getLong(0) &&
+          $"l_linenumber" === victim.getInt(1), lit("ZZ"))
+          .otherwise($"l_returnflag"))
+    val rowStr = concat_ws("|", $"l_orderkey".cast("string"),
+      $"l_linenumber".cast("string"), $"l_returnflag", $"l_linestatus",
+      date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss"))
+    val b = perturbed.select(md5(rowStr).as("dg"))
+      .select(substring($"dg", 1, 2).as("bucket"),
+        conv(substring($"dg", 3, 15), 16, 10).cast("long").as("sig"))
+      .groupBy($"bucket").agg(expr("bit_xor(sig)").as("xor_sig"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val differing = a.keySet.union(b.keySet)
+      .filter(k => a.get(k) != b.get(k))
+    // One row moved: at most its old and new buckets differ, at least one.
+    assert(differing.nonEmpty && differing.size <= 2,
+      s"expected 1-2 differing buckets, got ${differing.size}")
+  }
+
+  test("snapshot diff classes are disjoint and complete vs the slices") {
+    val rows = SparkEntry.queries("q_snapshot_diff")(spark, Sf0001)
+      .collect().map(r => r.getAs[String]("change_type") -> r.getAs[Long]("n"))
+      .toMap
+    val keys = graft.core.Tables.orders(spark, Sf0001)
+      .select($"o_orderkey".as("k")).as[Long].collect().toSet
+    val old = keys.filter(_ % 11 != 0)
+    val nw = keys.filter(_ % 13 != 0)
+    assert(rows("insert") == (nw -- old).size)
+    assert(rows("delete") == (old -- nw).size)
+    // updates: keys in both where the priority rewrite fires (%7==0).
+    assert(rows("update") == (old & nw).count(_ % 7 == 0))
+  }
+
+  test("scd2 intervals are contiguous, versioned, and single-current") {
+    val df = SparkEntry.queries("q_scd2")(spark, Sf0001)
+    val perUser = df.collect().groupBy(_.getAs[Long]("user_id"))
+    assert(perUser.nonEmpty)
+    perUser.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("version"))
+      // versions are 1..n with no gaps
+      assert(sorted.map(_.getAs[Int]("version")).toSeq ==
+        (1 to sorted.length))
+      // exactly one current row, and it is the last version
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      // each interval ends where the next begins; no zero/negative spans
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          val xTo = x.getAs[java.sql.Timestamp]("valid_to")
+          val yFrom = y.getAs[java.sql.Timestamp]("valid_from")
+          assert(xTo == yFrom)
+          assert(x.getAs[java.sql.Timestamp]("valid_from").before(xTo))
+        case _ => ()
+      }
+      // consecutive versions never repeat the same attribute value
+      sorted.map(_.getAs[String]("event_type")).sliding(2).foreach {
+        case Array(p, nx) => assert(p != nx)
+        case _            => ()
+      }
+    }
+  }
+
+  test("profile stats cover every declared column with sane bounds") {
+    val rows = SparkEntry.queries("q_profile_stats")(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[String]("col_name")).toSet ==
+      Set("l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val n = graft.core.Tables.lineitem(spark, Sf0001).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_null") >= 0 && r.getAs[Long]("n_null") <= n)
+      assert(r.getAs[Long]("n_distinct") > 0)
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("max_v"))
+    }
+  }
+
+  test("levenshtein near-dups are ordered pairs within the length gate") {
+    val rows = SparkEntry.queries("q_dedup_levenshtein")(spark, Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length)
+    assert(rows.forall(_.getAs[Long]("dist") <= 10))
+  }
+}

@@ -182,6 +182,9 @@ object PlanAuditSpec {
     // candidate self-join on shingle; verify side is all broadcasts.
     "q_dedup_prefix" -> 4,
     "q_dedup_jaccard_pre" -> 3,
+    // blocked equi-join self-join; at sf0.001 the build side broadcasts,
+    // leaving only the output range sort (at scale: SMJ on the block key).
+    "q_dedup_levenshtein" -> 1,
     "q_dedup_minhash_sig" -> 2,
     // CC loop runs its iterations eagerly at construction; this budget is
     // the RETURNED plan (flat localCheckpoint scan -> window -> sort).
@@ -260,7 +263,16 @@ object PlanAuditSpec {
     // two-phase selection: bin agg, cumulative agg, total agg, k/target
     // derivations, hit-bin window, final 3-row sort — every exchange
     // after the first carries the bounded bin relation, never rows.
+    // single Expand-based agg pass (partial+final) + the 5-row stack sort.
+    "q_profile_stats" -> 2,
     "q_quantile_global" -> 6,
+    // ONE user_id exchange shared by all three windows + the output sort.
+    "q_scd2" -> 2,
+    // both snapshot sides shuffle on the key for the full-outer SMJ
+    // (neither side of a full outer can broadcast) + summary agg + sort.
+    "q_snapshot_diff" -> 4,
+    // 256-group partial agg (digest fold is map-side combined) + sort.
+    "q_table_checksum" -> 2,
     "q_regexp_funs" -> 1,
     "q_sample_hash" -> 2,
     // 3: two-level tournament — (stratum,salt) window, survivor window,

@@ -35,6 +35,7 @@ object SparkEntry {
     Quantiles,
     Indexing,
     Maintenance,
+    Graph,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

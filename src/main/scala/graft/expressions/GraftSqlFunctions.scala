@@ -5,7 +5,8 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate
 
 /** SQL-name registration for the native graft expressions, so
   * `spark.sql("SELECT simhash60(...)")` plans the same codegen'd
@@ -59,6 +60,23 @@ object GraftSqlFunctions {
       info("array_dot_double", classOf[ArrayDotDouble]),
       { case Seq(a, b) => ArrayDotDouble(a, b)
         case _ => bad("array_dot_double", "array_dot_double(a, b)") }),
+    // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
+    // internal runtime-filter rewrite but does not register SQL names for
+    // them; exposing them makes explicit semi-join reduction (build a
+    // compact filter on the dim side, prune the fact scan before the
+    // shuffle) available to catalog queries and spark.sql users. Input
+    // must be pre-hashed with xxhash64 (the aggregate's contract).
+    (FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", classOf[aggregate.BloomFilterAggregate]),
+      { case Seq(a) => new aggregate.BloomFilterAggregate(a)
+        case Seq(a, n) =>
+          new aggregate.BloomFilterAggregate(a, litInt("bloom_agg", n).toLong)
+        case _ => bad("bloom_agg", "bloom_agg(xxhash64(k)[, est_items])") }),
+    (FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain", classOf[BloomFilterMightContain]),
+      { case Seq(bf, v) => BloomFilterMightContain(bf, v)
+        case _ =>
+          bad("bloom_might_contain", "bloom_might_contain(bf, xxhash64(k))") }),
   )
 
   /** Imperative registration into an EXISTING session — catalog queries

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import Catalog._
+
+/** Relational graph analytics over the part co-purchase graph (parts are
+  * adjacent when they appear in the same order — the classic
+  * market-basket projection of lineitem).
+  *
+  * Connected components already live in [[Dedup]] (`q_dedup_cluster`,
+  * large-star/small-star); this group adds value propagation (PageRank)
+  * and motif counting (triangles) — the two other workhorse graph shapes
+  * a relational engine is asked for.
+  *
+  * Cross-engine determinism: PageRank is computed in 1e9 fixed-point
+  * integer arithmetic — every contribution is an exact integer floor
+  * division (`div` in Spark, `//` in DuckDB; all operands positive, so
+  * truncation = floor in both), every combine an exact integer sum —
+  * so ranks are bit-identical across engines and shuffle orders, with
+  * none of the double-summation fold-order hazards the float form has.
+  */
+object Graph extends QueryGroup {
+
+  /** 1e9 fixed-point scale for PageRank ranks. */
+  private val Scale = 1000000000L
+
+  /** Canonical undirected co-purchase edges (src < dst), deduplicated.
+    * Per-order fanout is bounded by lines-per-order (≤ 7), so the
+    * self-join emits O(rows × lines-per-order) pair instances — never
+    * order-count × order-count. */
+  private def coEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+    li.as("a")
+      .join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+      .distinct()
+  }
+
+  /** PageRank, 2 synchronous iterations, damping 0.85, over the
+    * symmetrized co-purchase graph.
+    *
+    * Shape per iteration: adjacency ⋈ ranks on src (both sides keyed on
+    * the node id — at scale the adjacency is pre-partitioned once and
+    * every iteration reuses that partitioning), then one partial-agg
+    * shuffle summing contributions per dst. No driver-side loop state:
+    * the iteration count is fixed and the whole computation is ONE lazy
+    * plan, like q_kmeans' Lloyd iterations. Ranks are fixed-point longs:
+    * contribution = r div deg, update = 0.15·Scale + 85·Σ div 100 —
+    * exact integers end to end. */
+  private def pagerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = coEdges(s, d)
+    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val adj = edges.join(deg, "src")
+    var rank = deg.select($"src".as("node"), lit(Scale).as("r"))
+    for (_ <- 1 to 2) {
+      rank = adj
+        .join(rank, adj("src") === rank("node"))
+        .select($"dst", expr("r div deg").as("c"))
+        .groupBy($"dst")
+        .agg(sum($"c").as("s"))
+        .select($"dst".as("node"),
+          (lit(15L * Scale / 100) + expr("(85 * s) div 100")).as("r"))
+    }
+    rank.select($"node".as("part"), $"r".as("rank_fp"))
+      .orderBy(desc("rank_fp"), $"part")
+      .limit(100)
+  }
+
+  /** Global triangle count over the canonical (src < dst) edge set —
+    * the standard two-join motif shape: wedges a<b<c from edges (a,b)
+    * and (b,c), closed by probing edge (a,c).
+    *
+    * The a<b<c orientation is what makes this scale: each wedge is
+    * generated exactly once and the join fanout per mid-node is
+    * deg_lo·deg_hi instead of deg² in all orientations (at true scale
+    * the further degree-ordering refinement bounds it by arboricity).
+    * Both joins are equi-joins; no cartesian anywhere. */
+  private def triangles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = coEdges(s, d)
+    val wedges = e.as("ab")
+      .join(e.as("bc"), $"ab.dst" === $"bc.src")
+      .select($"ab.src".as("a"), $"ab.dst".as("b"), $"bc.dst".as("c"))
+    wedges
+      .join(e.as("ac"), $"a" === $"ac.src" && $"c" === $"ac.dst")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_graph_pagerank" -> pagerank,
+    "q_graph_triangles" -> triangles,
+  )
+
+  private val edgesCte =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // Fixed-point twin: `//` is DuckDB's integer floor division (= Spark's
+    // `div` on the all-positive operands here); HUGEINT intermediates are
+    // cast back to BIGINT to match Spark's long schema.
+    "q_graph_pagerank" ->
+      s"""$edgesCte,
+         |edges AS (SELECT src, dst FROM pairs
+         |          UNION ALL SELECT dst, src FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT src AS node, ${Scale}::BIGINT AS r FROM deg),
+         |c1 AS (SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+         |       FROM edges e JOIN r0 r ON e.src = r.node
+         |                    JOIN deg d ON e.src = d.src
+         |       GROUP BY 1),
+         |r1 AS (SELECT node,
+         |         CAST(${15L * Scale / 100} + (85 * s) // 100 AS BIGINT) AS r
+         |       FROM c1),
+         |c2 AS (SELECT e.dst AS node, SUM(r.r // d.deg) AS s
+         |       FROM edges e JOIN r1 r ON e.src = r.node
+         |                    JOIN deg d ON e.src = d.src
+         |       GROUP BY 1),
+         |r2 AS (SELECT node,
+         |         CAST(${15L * Scale / 100} + (85 * s) // 100 AS BIGINT) AS r
+         |       FROM c2)
+         |SELECT node AS part, r AS rank_fp FROM r2
+         |ORDER BY rank_fp DESC, part LIMIT 100""".stripMargin,
+    "q_graph_triangles" ->
+      s"""$edgesCte
+         |SELECT COUNT(*) AS n_triangles
+         |FROM pairs ab JOIN pairs bc ON ab.dst = bc.src
+         |JOIN pairs ac ON ab.src = ac.src AND bc.dst = ac.dst""".stripMargin,
+  )
+}

@@ -297,8 +297,51 @@ object Relational2 extends QueryGroup {
       .orderBy($"o_orderkey")
   }
 
+  /** Explicit bloom-filter semi-join reduction — the manual form of
+    * Spark's InjectRuntimeFilter rewrite, exposed as catalog surface via
+    * the [[org.apache.spark.sql.graft.GraftSqlFunctions]] `bloom_agg` /
+    * `bloom_might_contain` registrations (Spark ships the expressions
+    * for its internal rewrite but gives them no SQL names).
+    *
+    * Shape: the selective dim side (≈3% of orders) folds its join keys
+    * into ONE compact bloom filter (a tiny all-reduce), which broadcasts
+    * to the fact scan as a 1-row relation; `bloom_might_contain` prunes
+    * ~97% of lineitem BEFORE the join shuffle. False positives are
+    * removed by the exact join that follows, so the result is precisely
+    * the plain join — the bloom only moves work off the wire. At 100 TB
+    * this is the difference between shuffling the full fact table and
+    * shuffling the 3% that can match; it also covers the cases the
+    * automatic rewrite skips (missing stats, disabled AQE, non-equi
+    * shapes around the probe). */
+  private def joinBloom(s: SparkSession, d: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftSqlFunctions.ensure(s)
+    // BloomFilterMightContain requires its filter side to be a constant
+    // or a scalar subquery (the same contract Spark's own rewrite
+    // satisfies), so this one is SQL-shaped: the subquery plans as a
+    // one-row SubqueryExec whose result is folded into the fact scan's
+    // filter.
+    Tables.orders(s, d).createOrReplaceTempView("bloom_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("bloom_lineitem")
+    s.sql(s"""
+      WITH dim AS (
+        SELECT o_orderkey, o_orderpriority FROM bloom_orders
+        WHERE o_totalprice > 480000.0
+      ),
+      fact AS (
+        SELECT l_orderkey, l_extendedprice FROM bloom_lineitem
+        WHERE bloom_might_contain(
+          (SELECT bloom_agg(xxhash64(o_orderkey)) FROM dim),
+          xxhash64(l_orderkey))
+      )
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+        ${dsumSql("l_extendedprice")} AS revenue
+      FROM fact JOIN dim ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY o_orderpriority""")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_filter_in_like" -> filterInLike,
+    "q_join_bloom" -> joinBloom,
     "q_agg_median_disc" -> aggMedianDisc,
     "q_anomaly_mad" -> anomalyMad,
     "q_histogram" -> histogram,
@@ -323,6 +366,14 @@ object Relational2 extends QueryGroup {
     .mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    // The bloom is a pure pre-filter: the exact join removes its false
+    // positives, so the specification is the plain selective join.
+    "q_join_bloom" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  ${dsumSql("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_totalprice > 480000.0
+         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bin,
         |  COUNT(*) AS n_orders,

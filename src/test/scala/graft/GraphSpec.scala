@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Brute-force cross-checks for the graph family at sf0.001: rebuild the
+  * co-purchase graph in plain Scala and recompute PageRank / triangles
+  * independently of any SQL engine — a third opinion besides the DuckDB
+  * oracle, immune to shared SQL-shape mistakes. */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Canonical (src < dst) edge set, built directly from lineitem. */
+  private lazy val edges: Set[(Long, Long)] = {
+    val rows = graft.core.Tables.lineitem(spark, Sf0001)
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    rows.groupBy(_._1).values.flatMap { lines =>
+      val parts = lines.map(_._2).distinct.toSeq
+      for (a <- parts; b <- parts if a < b) yield (a, b)
+    }.toSet
+  }
+
+  test("pagerank matches an independent fixed-point recomputation") {
+    val scale = 1000000000L
+    val sym = edges.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var rank: Map[Long, Long] = deg.map { case (n, _) => n -> scale }
+    for (_ <- 1 to 2) {
+      val contribs = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = contribs.map { case (n, s) =>
+        n -> (15L * scale / 100 + 85 * s / 100)
+      }
+    }
+    val expected = rank.toSeq
+      .sortBy { case (n, r) => (-r, n) }.take(100)
+    val got = SparkEntry.queries("q_graph_pagerank")(spark, Sf0001)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("triangle count matches an independent enumeration") {
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val expected = edges.toSeq.map { case (a, b) =>
+      (nbrs(a) & nbrs(b)).count(c => c > b)
+    }.sum.toLong
+    val got = SparkEntry.queries("q_graph_triangles")(spark, Sf0001)
+      .collect()(0).getLong(0)
+    assert(got == expected && got > 0)
+  }
+
+  test("bloom filter admits every true dim key (no false negatives)") {
+    org.apache.spark.sql.graft.GraftSqlFunctions.ensure(spark)
+    graft.core.Tables.orders(spark, Sf0001)
+      .createOrReplaceTempView("bloom_spec_orders")
+    val missed = spark.sql("""
+      SELECT count(*) FROM bloom_spec_orders
+      WHERE o_totalprice > 480000.0
+        AND NOT bloom_might_contain(
+          (SELECT bloom_agg(xxhash64(o_orderkey)) FROM bloom_spec_orders
+           WHERE o_totalprice > 480000.0),
+          xxhash64(o_orderkey))""").collect()(0).getLong(0)
+    assert(missed == 0)
+  }
+}

@@ -208,6 +208,16 @@ object PlanAuditSpec {
     // reuses that partitioning, final ORDER BY adds the range exchange.
     "q_events_view_click" -> 3,
     "q_except" -> 2,
+    // 6 = edge dedup + degree agg + per-iteration contribution aggs (2)
+    // + adjacency co-partition + final top-100 sort; every exchange
+    // carries (node, long) pairs, never the lineitem payload.
+    "q_graph_pagerank" -> 6,
+    // edge dedup + the wedge/closure equi-join exchanges; fanout bounded
+    // by the a<b<c orientation.
+    "q_graph_triangles" -> 5,
+    // bloom scalar-subquery agg + post-prune join + final sort; the
+    // fact side is filtered BEFORE its exchange — that's the point.
+    "q_join_bloom" -> 3,
     "q_filename_column" -> 2,
     "q_filter_in_like" -> 1,
     "q_filter_project" -> 1,

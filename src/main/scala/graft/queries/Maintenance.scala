@@ -130,6 +130,55 @@ object Maintenance extends QueryGroup {
       .orderBy($"user_id", $"version")
   }
 
+  /** Orders strictly before this date form the "standing" aggregate;
+    * at/after are "today's batch". */
+  private val IncrementalCutoff = "2001-01-01"
+
+  /** Incremental aggregate maintenance (incremental view maintenance for
+    * distributive/algebraic aggregates): a standing per-customer
+    * aggregate table absorbs a new batch by MERGING partial states —
+    * counts and decimal sums add, min/max take the pairwise extreme,
+    * avg re-derives from the merged sum/count — so the daily cost is
+    * O(batch), never O(history). This is the aggregate-table twin of
+    * [[Dedup]]'s `q_dedup_incremental` and the reference's daily-batch
+    * cadence (`/root/reference/data-cleaner/cleaner.py:142-143`): each
+    * day's run folds one file into the standing state.
+    *
+    * Plan shape: two partial aggs (one per side — at scale the base is a
+    * parquet artifact read pre-aggregated, not recomputed) + one
+    * full-outer merge join on the group key + the output sort. The gate
+    * checks the merged result hash-equals a from-scratch aggregation of
+    * the union (the DuckDB oracle), which is exactly the IVM
+    * correctness condition. */
+  private def aggIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+      .select($"o_custkey", $"o_totalprice", $"o_orderdate")
+    def partial(df: DataFrame, tag: String): DataFrame =
+      df.groupBy($"o_custkey".as(s"k_$tag"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum($"o_totalprice".cast("decimal(18,6)")).as(s"s_$tag"),
+          min($"o_totalprice").as(s"mn_$tag"),
+          max($"o_totalprice").as(s"mx_$tag"))
+    val base = partial(orders.filter($"o_orderdate" < lit(IncrementalCutoff)), "b")
+    val batch = partial(orders.filter($"o_orderdate" >= lit(IncrementalCutoff)), "n")
+    base.join(batch, $"k_b" === $"k_n", "full_outer")
+      .select(
+        coalesce($"k_b", $"k_n").as("o_custkey"),
+        (coalesce($"n_b", lit(0L)) + coalesce($"n_n", lit(0L))).as("n_orders"),
+        (coalesce($"s_b", lit(0).cast("decimal(18,6)")) +
+          coalesce($"s_n", lit(0).cast("decimal(18,6)"))).as("sum_dec"),
+        least(coalesce($"mn_b", $"mn_n"), coalesce($"mn_n", $"mn_b")).as("min_price"),
+        greatest(coalesce($"mx_b", $"mx_n"), coalesce($"mx_n", $"mx_b")).as("max_price"))
+      .select($"o_custkey", $"n_orders",
+        $"sum_dec".cast("double").as("sum_price"),
+        // exact decimal sum → double FIRST, then one IEEE divide — the
+        // davg rule (decimal-division scales differ across engines).
+        ($"sum_dec".cast("double") / $"n_orders").as("avg_price"),
+        $"min_price", $"max_price")
+      .orderBy($"o_custkey")
+  }
+
   private val ProfileCols = Seq(
     "l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -169,9 +218,18 @@ object Maintenance extends QueryGroup {
     "q_snapshot_diff" -> snapshotDiff,
     "q_scd2" -> scd2,
     "q_profile_stats" -> profileStats,
+    "q_agg_incremental" -> aggIncremental,
   )
 
   val oracle: Map[String, String] = Map(
+    // The IVM correctness condition: merging partial states must equal
+    // aggregating the union from scratch.
+    "q_agg_incremental" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS sum_price,
+         |  ${dsumSql("o_totalprice")} / COUNT(*) AS avg_price,
+         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
     "q_table_checksum" ->
       """WITH r AS (
         |  SELECT md5(concat_ws('|',

@@ -107,6 +107,21 @@ class MaintenanceSpec extends SparkTestBase {
     }
   }
 
+  test("incremental aggregate covers exactly the full customer set") {
+    // Merge completeness: base-only, batch-only, and straddling
+    // customers must all surface exactly once.
+    val got = SparkEntry.queries("q_agg_incremental")(spark, Sf0001).collect()
+    val keys = got.map(_.getAs[Long]("o_custkey"))
+    assert(keys.distinct.length == keys.length)
+    val expected = graft.core.Tables.orders(spark, Sf0001)
+      .select($"o_custkey").distinct().as[Long].collect().toSet
+    assert(keys.toSet == expected)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_orders") > 0)
+      assert(r.getAs[Double]("min_price") <= r.getAs[Double]("max_price"))
+    }
+  }
+
   test("levenshtein near-dups are ordered pairs within the length gate") {
     val rows = SparkEntry.queries("q_dedup_levenshtein")(spark, Sf0001)
       .collect()

@@ -150,6 +150,10 @@ object PlanAuditSpec {
     "q_agg_cube" -> 2,
     "q_agg_distinct" -> 3,
     "q_agg_filter_revenue" -> 1,
+    // base-side partial agg + batch-side partial agg share the custkey
+    // exchange with the full-outer merge; + the output sort. Both agg
+    // exchanges carry pre-aggregated states, not order rows.
+    "q_agg_incremental" -> 3,
     "q_agg_maxby" -> 2,
     "q_agg_median_disc" -> 2,
     "q_agg_pricing" -> 2,

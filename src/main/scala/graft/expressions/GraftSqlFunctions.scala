@@ -48,6 +48,10 @@ object GraftSqlFunctions {
       info("minhash_sigs", classOf[MinHashShingleSigs]),
       { case Seq(a, k) => MinHashShingleSigs(a, litInt("minhash_sigs", k))
         case _ => bad("minhash_sigs", "minhash_sigs(tokens, k)") }),
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", classOf[ShingleHashSet]),
+      { case Seq(a, k) => ShingleHashSet(a, litInt("shingle_hashes", k))
+        case _ => bad("shingle_hashes", "shingle_hashes(tokens, k)") }),
     (FunctionIdentifier("bigram_stats"),
       info("bigram_stats", classOf[BigramStats]),
       { case Seq(a) => BigramStats(a)

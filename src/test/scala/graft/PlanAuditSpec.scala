@@ -216,9 +216,10 @@ object PlanAuditSpec {
     // + adjacency co-partition + final top-100 sort; every exchange
     // carries (node, long) pairs, never the lineitem payload.
     "q_graph_pagerank" -> 6,
-    // edge dedup + the wedge/closure equi-join exchanges; fanout bounded
-    // by the a<b<c orientation.
-    "q_graph_triangles" -> 5,
+    // edge dedup + the wedge/closure equi-join exchanges (+1 for the
+    // bloom scalar-subquery agg, which is what cuts the closure
+    // exchange's ROW volume ~15x — one more exchange, far fewer bytes).
+    "q_graph_triangles" -> 6,
     // bloom scalar-subquery agg + post-prune join + final sort; the
     // fact side is filtered BEFORE its exchange — that's the point.
     "q_join_bloom" -> 3,

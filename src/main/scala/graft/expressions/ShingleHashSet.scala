@@ -30,11 +30,17 @@ import graft.functions.TextFunctions
   *
   * Downstream users treat shingles as opaque join/grouping keys, so the
   * 64-bit hash substitutes for the string with no semantic change to
-  * candidate generation: equal strings always collide (recall is
-  * preserved — hashing can only MERGE distinct shingles, so hashed-set
-  * jaccard ≥ string-set jaccard and any true pair still surfaces), and
-  * the one-in-2^60-scale spurious collision at most adds a candidate
-  * that exact verification discards.
+  * candidate generation: equal strings always collide, so every shared
+  * shingle still keys a candidate pair, and a spurious collision
+  * normally just adds a candidate that exact verification discards.
+  * Recall caveat (same data-dependent class as the LSH banding margin
+  * pinned by LshRecallSpec): a collision between two shingles INSIDE a
+  * true pair's intersection shrinks the hashed similarity by ~1/|set|,
+  * which could drop a pair sitting exactly at the threshold. The hash
+  * domain is P ≈ 1e9 over ~1e5-scale shingle vocabularies (collision
+  * odds ~1e-4 per corpus) and planted test pairs sit ≥ 0.1 above the
+  * 0.8 threshold, so the gates are safe; rerun the string formulation
+  * if future testdata plants threshold-adjacent pairs.
   *
   * Returns NULL for documents with fewer than k tokens (they produce no
   * shingle rows relationally, hence no set). Output order is ascending —

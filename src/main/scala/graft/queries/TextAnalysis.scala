@@ -254,6 +254,75 @@ object TextAnalysis extends QueryGroup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Containment threshold for the asymmetric decontamination check. */
+  private val ContainT = 0.8
+
+  /** Asymmetric containment decontamination: eval docs whose shingle set
+    * is ≥ 80% CONTAINED in some train doc (|A∩B| / |A| with A = eval).
+    * This is the case the symmetric checks miss — an eval doc quoted
+    * inside a much larger train doc has tiny jaccard (the union dilutes
+    * it) and only matches q_split_contamination if the leading 20 tokens
+    * survive verbatim; containment flags it regardless of the host
+    * document's size.
+    *
+    * Candidate generation is the ASYMMETRIC prefix filter: if
+    * |A∩B| ≥ ceil(t·|A|), then B shares one of A's |A| − ceil(t·|A|) + 1
+    * rarest shingles (pigeonhole on A alone — only the PROBE side
+    * prefixes; the train side indexes all its shingles). Shingles are
+    * [[org.apache.spark.sql.graft.ShingleHashSet]] 64-bit keys (fused
+    * codegen kernel; hashing only merges shingles so recall is
+    * preserved), rarity is corpus document frequency, and the exact
+    * verify recomputes containment on STRING shingle sets of the rare
+    * candidate docs only (broadcast semi-join, [[Dedup.verifyJaccard]]'s
+    * shape). At 100 TB: the train index is the materializable artifact,
+    * eval prefixes are ~1/5 of each eval doc, and nothing is all-pairs. */
+  private def containment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graft.ShingleHashSet.shingleHashes
+    val k = Dedup.ShingleK
+    val ex = Tables.documents(s, d)
+      .select($"doc_id", splitCol($"doc_id").as("split"),
+        shingleHashes(tokens($"text"), k).as("hs"))
+      .filter($"hs".isNotNull)
+      .select($"doc_id", $"split", size($"hs").as("sz"),
+        explode($"hs").as("shingle"))
+    val dfreq = ex.groupBy($"shingle").agg(count(lit(1)).as("dfreq"))
+    val rarity = Window.partitionBy($"doc_id").orderBy($"dfreq", $"shingle")
+    val evalPrefix = ex.filter($"split" =!= "train")
+      .join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(rarity))
+      .filter($"rn" <=
+        $"sz" - floor(($"sz" * 4 + 4) / lit(5.0)).cast("int") + 1)
+      .select($"doc_id".as("doc_eval"), $"split".as("split_eval"), $"shingle")
+    val trainEx = ex.filter($"split" === "train")
+      .select($"doc_id".as("doc_train"), $"shingle")
+    val cand = evalPrefix.join(trainEx, "shingle")
+      .select($"doc_eval", $"split_eval", $"doc_train")
+      .dropDuplicates("doc_eval", "doc_train")
+    // Exact verify on string shingle sets of candidate docs only — the
+    // broadcast semi-join shape of Dedup.verifyJaccard (one corpus scan,
+    // ReuseExchange collapses the two broadcasts, nothing pinned).
+    val candIds = broadcast(cand
+      .select(explode(array($"doc_eval", $"doc_train")).as("doc_id"))
+      .distinct())
+    val candSh = Tables.documents(s, d)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= k)
+      .select($"doc_id", array_distinct(shingles($"toks", k)).as("sh"))
+    cand
+      .join(broadcast(candSh
+        .select($"doc_id".as("doc_eval"), $"sh".as("sh_a"))), "doc_eval")
+      .join(broadcast(candSh
+        .select($"doc_id".as("doc_train"), $"sh".as("sh_b"))), "doc_train")
+      .withColumn("containment",
+        size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size($"sh_a").cast("double"))
+      .filter($"containment" >= ContainT)
+      .select($"doc_eval", $"split_eval", $"doc_train", $"containment")
+      .orderBy($"doc_eval", $"doc_train")
+  }
+
   private val ChunkSize = 50
   private val ChunkStride = 40
 
@@ -313,9 +382,34 @@ object TextAnalysis extends QueryGroup {
     "q_pack_shards" -> packShards,
     "q_text_repetition" -> repetition,
     "q_split_contamination" -> contamination,
+    "q_text_containment" -> containment,
   )
 
   val oracle: Map[String, String] = Map(
+    // Brute-force specification: string-shingle containment across every
+    // (eval, train) pair — the prefix filter is the implementation.
+    "q_text_containment" -> {
+      val k = Dedup.ShingleK
+      val gram = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $duckSplitH < $TrainCut THEN 'train'
+         |         WHEN $duckSplitH < $ValCut THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    list_distinct([$gram
+         |                   FOR i IN range(1, len(w) - ${k - 2})]) AS sh
+         |  FROM t WHERE len(w) >= $k)
+         |SELECT a.doc_id AS doc_eval, a.split AS split_eval,
+         |  b.doc_id AS doc_train,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / CAST(len(a.sh) AS DOUBLE) AS containment
+         |FROM s a JOIN s b ON a.split <> 'train' AND b.split = 'train'
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / CAST(len(a.sh) AS DOUBLE) >= $ContainT
+         |ORDER BY doc_eval, doc_train""".stripMargin
+    },
     "q_text_vocab" ->
       s"""SELECT token, COUNT(*) AS cnt
          |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token

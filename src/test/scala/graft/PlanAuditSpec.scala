@@ -289,6 +289,9 @@ object PlanAuditSpec {
     // 256-group partial agg (digest fold is map-side combined) + sort.
     "q_table_checksum" -> 2,
     "q_regexp_funs" -> 1,
+    // corpus dfreq agg + eval prefix join/window + candidate join on the
+    // shingle key + pair dedup + output sort; verify side is broadcasts.
+    "q_text_containment" -> 5,
     "q_sample_hash" -> 2,
     // 3: two-level tournament — (stratum,salt) window, survivor window,
     // output sort. The extra exchange is the price of never sorting a

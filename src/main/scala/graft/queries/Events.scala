@@ -103,15 +103,49 @@ object Events extends QueryGroup {
       .orderBy($"event_id")
   }
 
+  /** Deterministic event dedup — the batch twin of the streaming
+    * stateful dedup ([[graft.streaming.EventsStreaming]] /
+    * dropDuplicatesWithinWatermark): keep the FIRST event per
+    * (user_id, event_type, 5-minute tumbling window), first = smallest
+    * (ts, event_id), so the keep-one choice is total-ordered and
+    * oracle-checkable — unlike dropDuplicates' arbitrary winner
+    * (q_dropdup_bykey, deliberately rows-only). The window bound is the
+    * batch analogue of the stream's watermark horizon: state per key
+    * never outlives one window. One user-keyed exchange feeds the
+    * rank window. */
+  private def eventsDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window
+      .partitionBy($"user_id", $"event_type", $"wstart")
+      .orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .withColumn("wstart", window($"ts", "5 minutes").getField("start"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_events_tumbling" -> tumbling,
     "q_events_sliding" -> sliding,
     "q_events_session" -> session,
     "q_events_view_click" -> viewClick,
+    "q_events_dedup" -> eventsDedup,
     "q_join_asof" -> asof,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_dedup" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, event_type,
+        |        time_bucket(INTERVAL '5 minutes', ts)
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, ts
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q_events_tumbling" ->
       s"""SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
          |  event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value

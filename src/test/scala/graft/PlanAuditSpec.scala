@@ -201,6 +201,8 @@ object PlanAuditSpec {
     // all six exchanges carry (user, day) pairs or per-day counts —
     // the event payload is dropped at the first projection.
     "q_events_dau" -> 6,
+    // one (user,type,window) exchange for the rank window + output sort.
+    "q_events_dedup" -> 2,
     "q_events_funnel" -> 2,
     "q_events_retention" -> 4,
     "q_events_session" -> 2,

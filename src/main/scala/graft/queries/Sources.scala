@@ -150,8 +150,35 @@ object Sources extends QueryGroup {
       .orderBy($"o_orderstatus")
   }
 
+  /** Schema evolution across parquet batches — the lakehouse reality
+    * that a long-lived table's files do NOT share one schema: batch v1
+    * wrote (c_custkey, c_acctbal); a later batch v2 added c_mktsegment.
+    * `mergeSchema=true` unions the footers into one evolved schema and
+    * fills the column with NULL for pre-evolution files, which the query
+    * then buckets as 'UNKNOWN' — the standard backfill-free migration
+    * read. The oracle reproduces the same semantics from the original
+    * table, so what's checked is that old rows survive the evolution
+    * losslessly. At scale, footer merging is a driver-side listing cost;
+    * the data files are never rewritten. */
+  private def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("customer_evolving")
+    val c = Tables.customer(s, d)
+    c.filter($"c_custkey" % 2 === 0)
+      .select($"c_custkey", $"c_acctbal")
+      .write.mode("overwrite").parquet(s"$out/batch=v1")
+    c.filter($"c_custkey" % 2 =!= 0)
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+      .write.mode("overwrite").parquet(s"$out/batch=v2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"segment")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_csv_roundtrip" -> csvRoundtrip,
+    "q_schema_evolution" -> schemaEvolution,
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
     "q_json_corrupt" -> jsonCorrupt,
@@ -160,6 +187,11 @@ object Sources extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_schema_evolution" ->
+      s"""SELECT CASE WHEN c_custkey % 2 <> 0 THEN c_mktsegment
+         |            ELSE 'UNKNOWN' END AS segment,
+         |  COUNT(*) AS n_customers, ${dsumSql("c_acctbal")} AS sum_bal
+         |FROM customer GROUP BY 1 ORDER BY segment""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations,
         |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys,

@@ -295,6 +295,8 @@ object PlanAuditSpec {
     // shingle key + pair dedup + output sort; verify side is broadcasts.
     "q_text_containment" -> 5,
     "q_sample_hash" -> 2,
+    // merged-footer scan → segment partial agg + output sort.
+    "q_schema_evolution" -> 2,
     // 3: two-level tournament — (stratum,salt) window, survivor window,
     // output sort. The extra exchange is the price of never sorting a
     // whole stratum in one task.

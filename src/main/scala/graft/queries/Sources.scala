@@ -176,8 +176,31 @@ object Sources extends QueryGroup {
       .orderBy($"segment")
   }
 
+  /** Nested-struct schema pruning: orders mirrored with a 3-field
+    * `meta` struct, then aggregated touching only `meta.status` and
+    * `meta.total`. Catalyst's nested-schema pruning must push the TWO
+    * leaves into the parquet ReadSchema — `meta.priority` never leaves
+    * disk (PlanAuditSpec gates this; at 100 TB deeply nested event
+    * payloads are routinely 10x the queried leaves, so leaf-level
+    * pruning is the difference between scanning the table and scanning
+    * the question). The oracle computes the flat equivalent. */
+  private def nestedPruning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("orders_nested")
+    Tables.orders(s, d)
+      .select($"o_orderkey",
+        struct($"o_orderstatus".as("status"), $"o_totalprice".as("total"),
+          $"o_orderpriority".as("priority")).as("meta"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy($"meta.status".as("status"))
+      .agg(count(lit(1)).as("n_orders"), dsum($"meta.total").as("sum_total"))
+      .orderBy($"status")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_csv_roundtrip" -> csvRoundtrip,
+    "q_nested_pruning" -> nestedPruning,
     "q_schema_evolution" -> schemaEvolution,
     "q_json_roundtrip" -> jsonRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
@@ -192,6 +215,10 @@ object Sources extends QueryGroup {
          |            ELSE 'UNKNOWN' END AS segment,
          |  COUNT(*) AS n_customers, ${dsumSql("c_acctbal")} AS sum_bal
          |FROM customer GROUP BY 1 ORDER BY segment""".stripMargin,
+    "q_nested_pruning" ->
+      s"""SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS sum_total
+         |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations,
         |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys,

@@ -123,6 +123,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(pruned, "q_latest_partition scans without a partition filter")
   }
 
+  test("nested-struct pruning reaches the parquet leaves") {
+    // q_nested_pruning touches meta.status and meta.total only; the scan's
+    // required schema must exclude the meta.priority leaf — otherwise the
+    // whole struct is read and "nested pruning" is decorative.
+    val pruned = allPlans("q_nested_pruning").exists {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("orders_nested")) =>
+        val meta = f.requiredSchema.fields.find(_.name == "meta")
+        meta.exists { m =>
+          val leaves = m.dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.toSet
+          leaves == Set("status", "total")
+        }
+      case _ => false
+    }
+    assert(pruned,
+      "q_nested_pruning scans more struct leaves than {status, total}")
+  }
+
   test("every catalog query plans a pruned lineitem scan") {
     // Column pruning sanity: no catalog query should scan lineitem's full
     // 16-column width unless it genuinely selects *.
@@ -295,6 +316,8 @@ object PlanAuditSpec {
     // shingle key + pair dedup + output sort; verify side is broadcasts.
     "q_text_containment" -> 5,
     "q_sample_hash" -> 2,
+    // leaf-pruned nested scan → status partial agg + output sort.
+    "q_nested_pruning" -> 2,
     // merged-footer scan → segment partial agg + output sort.
     "q_schema_evolution" -> 2,
     // 3: two-level tournament — (stratum,salt) window, survivor window,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -161,7 +162,30 @@ object Analytics extends QueryGroup {
       .orderBy($"prev_type", $"event_type")
   }
 
+  /** Gaps-and-islands: per-user activity streaks over calendar days.
+    * The classic trick — `day − row_number()` is constant within a run
+    * of consecutive days, so one window plus one aggregation labels
+    * every island; no self-joins, no recursive closure. Shape: the
+    * (user, day) distinct, the rank window, and both aggregations all
+    * key on user_id, so ONE logical partitioning serves the whole
+    * query; per-user state is a row counter, never a buffered range. */
+  private def eventsStreaks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .withColumn("anchor", date_sub($"day", row_number().over(w)))
+      .groupBy($"user_id", $"anchor")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(sum($"len").cast("long").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max($"len").as("longest_streak"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_streaks" -> eventsStreaks,
     "q_events_transitions" -> eventsTransitions,
     "q_events_funnel" -> eventsFunnel,
     "q_events_retention" -> eventsRetention,
@@ -171,6 +195,18 @@ object Analytics extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |i AS (
+        |  SELECT user_id,
+        |    day - CAST(row_number() OVER (
+        |      PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+        |  FROM days),
+        |g AS (SELECT user_id, anchor, COUNT(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  COUNT(*) AS n_streaks, MAX(len) AS longest_streak
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q_events_transitions" ->
       """WITH t AS (
         |  SELECT event_type,

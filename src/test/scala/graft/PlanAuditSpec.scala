@@ -224,6 +224,9 @@ object PlanAuditSpec {
     "q_events_dau" -> 6,
     // one (user,type,window) exchange for the rank window + output sort.
     "q_events_dedup" -> 2,
+    // (user,day) distinct + the user rank window (both aggs reuse the
+    // user partitioning) + output sort; payload dropped at projection.
+    "q_events_streaks" -> 3,
     "q_events_funnel" -> 2,
     "q_events_retention" -> 4,
     "q_events_session" -> 2,

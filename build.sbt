@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 134-query catalog JIT-compiles thousands of generated classes
+  // per bench run; the JDK 17 default 240 MB code cache flushes hot
+  // methods mid-run, adding seconds of recompilation noise to medians.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -43,6 +43,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // The codegen class cache defaults to 100 entries; this catalog
+      // compiles several hundred distinct codegen units per pass, so at
+      // the default every warmup+timed pass evicts and RE-COMPILES a
+      // random subset (Janino compiles cost 1-5 s) — which showed up as
+      // bimodal per-query medians (e.g. q_text_pmi 0.5 s vs 3 s across
+      // otherwise identical runs). Static conf: must be set before the
+      // session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -31,6 +31,33 @@ class ShingleHashSpec extends SparkTestBase {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("kernel matches the string formulation on adversarial token arrays") {
+    // Property check over generated inputs the corpus never produces:
+    // empty tokens (double spaces), unicode, heavy duplication, sizes
+    // straddling k. One Spark round-trip evaluates both formulations.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tokGen = Gen.oneOf("a", "bb", "", "日本", "x y", "a", "ζ", "longtoken")
+    val arrGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tokGen))
+    val cases: Seq[Seq[String]] = (0 until 200).map { i =>
+      arrGen(Gen.Parameters.default, Seed(i.toLong)).get
+    }.map(_.toSeq)
+    import org.apache.spark.sql.graft.ShingleHashSet.shingleHashes
+    val df = cases.toDF("toks")
+    val both = df
+      .select(
+        shingleHashes($"toks", 3).as("kernel"),
+        when(size($"toks") >= 3,
+          array_sort(array_distinct(
+            transform(shingles($"toks", 3), fastShingleHash(_)))))
+          .as("reference"))
+      .collect()
+    both.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("documents below k tokens yield null, never an empty set") {
     import org.apache.spark.sql.graft.ShingleHashSet.shingleHashes
     val df = Seq("one two", "one two three four").toDF("text")

@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.graft.GraftSqlFunctions
 
 /** Session-extension entry point: registers the native graft expressions
-  * under SQL names ([[org.apache.spark.sql.graft.GraftSqlFunctions]]).
+  * under SQL names ([[org.apache.spark.sql.graft.GraftSqlFunctions]]) and
+  * the [[graft.plans.LevenshteinThresholdRule]] optimizer rewrite
+  * (literal edit-distance bounds push into the banded DP form).
   *
   * Cluster usage — no driver code required:
   * {{{
@@ -14,6 +16,8 @@ import org.apache.spark.sql.graft.GraftSqlFunctions
   * `SparkSession.builder().withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSqlFunctions.descriptions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+  }
 }

@@ -106,9 +106,46 @@ object Graph extends QueryGroup {
       FROM w JOIN graph_edges ac ON w.a = ac.src AND w.c = ac.dst""")
   }
 
+  /** Bounded BFS reachability via a RECURSIVE CTE (new SQL surface in
+    * Spark 4): from the smallest part id in the graph, walk ≤ 2 hops
+    * over the symmetrized co-purchase edges and report, per BFS layer,
+    * how many parts are first reached there (min-depth semantics — the
+    * closure may revisit a node deeper, the final aggregate keeps the
+    * first visit) plus an order-independent id fold.
+    *
+    * The depth bound is load-bearing at scale: an unbounded closure on
+    * a deg≈120 graph multiplies ~120x per level; two hops keeps the
+    * working relation at deg² rows while still exercising the iterative
+    * executor (UnionLoop) end to end. Deeper traversals belong to the
+    * dedicated iterative shapes (q_dedup_cluster's large-star/small-star
+    * CC, q_graph_pagerank's fixed-iteration loop). */
+  private def reachability(s: SparkSession, d: String): DataFrame = {
+    coEdges(s, d).createOrReplaceTempView("graph_pairs")
+    s.sql("""
+      WITH RECURSIVE sym AS (
+        SELECT src, dst FROM graph_pairs
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM graph_pairs
+      ),
+      reach(node, depth) AS (
+        SELECT (SELECT min(src) FROM sym), 0
+        UNION ALL
+        SELECT e.dst, r.depth + 1
+        FROM reach r JOIN sym e ON e.src = r.node
+        WHERE r.depth < 2
+      ),
+      first_visit AS (
+        SELECT node, CAST(min(depth) AS INT) AS min_depth
+        FROM reach GROUP BY node
+      )
+      SELECT min_depth, COUNT(*) AS n_nodes, bit_xor(node) AS node_sig
+      FROM first_visit GROUP BY min_depth ORDER BY min_depth""")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> pagerank,
     "q_graph_triangles" -> triangles,
+    "q_graph_reachability" -> reachability,
   )
 
   private val edgesCte =
@@ -148,5 +185,20 @@ object Graph extends QueryGroup {
          |SELECT COUNT(*) AS n_triangles
          |FROM pairs ab JOIN pairs bc ON ab.dst = bc.src
          |JOIN pairs ac ON ab.src = ac.src AND bc.dst = ac.dst""".stripMargin,
+    "q_graph_reachability" ->
+      s"""${edgesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sym AS (SELECT src, dst FROM pairs
+         |        UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+         |reach(node, depth) AS (
+         |  SELECT (SELECT min(src) FROM sym), 0
+         |  UNION ALL
+         |  SELECT e.dst, r.depth + 1
+         |  FROM reach r JOIN sym e ON e.src = r.node
+         |  WHERE r.depth < 2),
+         |first_visit AS (
+         |  SELECT node, CAST(min(depth) AS INT) AS min_depth
+         |  FROM reach GROUP BY node)
+         |SELECT min_depth, COUNT(*) AS n_nodes, bit_xor(node) AS node_sig
+         |FROM first_visit GROUP BY min_depth ORDER BY min_depth""".stripMargin,
   )
 }

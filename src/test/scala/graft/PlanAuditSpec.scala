@@ -238,6 +238,9 @@ object PlanAuditSpec {
     // reuses that partitioning, final ORDER BY adds the range exchange.
     "q_events_view_click" -> 3,
     "q_except" -> 2,
+    // edge dedup + the min-depth and per-layer aggs; the UnionLoop's
+    // per-step exchanges are iteration-internal, not in the static plan.
+    "q_graph_reachability" -> 3,
     // 6 = edge dedup + degree agg + per-iteration contribution aggs (2)
     // + adjacency co-partition + final top-100 sort; every exchange
     // carries (node, long) pairs, never the lineitem payload.

@@ -339,9 +339,62 @@ object Relational2 extends QueryGroup {
       GROUP BY 1 ORDER BY o_orderpriority""")
   }
 
+  /** Correlated EXISTS — customers holding at least one urgent
+    * high-value order. Catalyst decorrelates to a LEFT SEMI join (the
+    * PlanAudit gate sees exactly the q_join_semi shape), so the "per-row
+    * subquery" the SQL reads as costs one co-partitioned pass. */
+  private def subqueryExists(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("sq_customer")
+    Tables.orders(s, d).createOrReplaceTempView("sq_orders")
+    s.sql("""
+      SELECT c_custkey, c_name, c_acctbal
+      FROM sq_customer
+      WHERE EXISTS (
+        SELECT 1 FROM sq_orders
+        WHERE o_custkey = c_custkey
+          AND o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0)
+      ORDER BY c_custkey""")
+  }
+
+  /** IN-subquery (uncorrelated): lineitems of the top-priced order set.
+    * Planned as a semi join against the subquery's aggregate, never a
+    * per-row rescan. */
+  private def subqueryIn(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("sq_lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("sq_orders2")
+    s.sql(s"""
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+        ${dsumSql("l_extendedprice")} AS revenue
+      FROM sq_lineitem
+      WHERE l_orderkey IN (
+        SELECT o_orderkey FROM sq_orders2 WHERE o_totalprice > 490000.0)
+      GROUP BY l_orderkey ORDER BY l_orderkey""")
+  }
+
+  /** LATERAL correlated subquery — per-region top-2 customers by
+    * balance (deterministic tie-break on key). The lateral body re-sorts
+    * only each region's slice; Catalyst plans the correlation as a
+    * join + per-group limit, not a per-row re-execution. */
+  private def joinLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("lat_nation")
+    Tables.customer(s, d).createOrReplaceTempView("lat_customer")
+    s.sql("""
+      SELECT n.n_name, t.c_custkey, t.c_acctbal
+      FROM lat_nation n,
+      LATERAL (
+        SELECT c_custkey, c_acctbal FROM lat_customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+      ) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_filter_in_like" -> filterInLike,
     "q_join_bloom" -> joinBloom,
+    "q_subquery_exists" -> subqueryExists,
+    "q_subquery_in" -> subqueryIn,
+    "q_join_lateral" -> joinLateral,
     "q_agg_median_disc" -> aggMedianDisc,
     "q_anomaly_mad" -> anomalyMad,
     "q_histogram" -> histogram,
@@ -374,6 +427,30 @@ object Relational2 extends QueryGroup {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_totalprice > 480000.0
          |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q_subquery_exists" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_subquery_in" ->
+      s"""SELECT l_orderkey, COUNT(*) AS n_lines,
+         |  ${dsumSql("l_extendedprice")} AS revenue
+         |FROM lineitem
+         |WHERE l_orderkey IN (
+         |  SELECT o_orderkey FROM orders WHERE o_totalprice > 490000.0)
+         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_join_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        |) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bin,
         |  COUNT(*) AS n_orders,

@@ -281,6 +281,9 @@ object PlanAuditSpec {
     // the nationkey agg + final sort — the deliberately-shuffled path the
     // salt exists for (broadcast would hide the operator under test).
     "q_join_skew_salted" -> 4,
+    // lateral top-2 decorrelates to join + per-nation rank; one
+    // customer exchange + the output sort.
+    "q_join_lateral" -> 2,
     "q_json_corrupt" -> 1,
     "q_json_props" -> 2,
     "q_json_roundtrip" -> 2,
@@ -350,6 +353,10 @@ object PlanAuditSpec {
     // 3 as explode + two string-shuffling hash-aggs).
     "q_text_repetition" -> 1,
     "q_subquery_above_avg" -> 2,
+    // EXISTS decorrelates to a broadcast LEFT SEMI at this SF (sort only).
+    "q_subquery_exists" -> 1,
+    // IN-subquery semi join + the per-order agg/sort.
+    "q_subquery_in" -> 2,
     "q_text_chunk" -> 1,
     // 1: count shuffle only — orderBy+limit plans TakeOrderedAndProject
     "q_text_vocab" -> 1,

@@ -36,6 +36,7 @@ object SparkEntry {
     Indexing,
     Maintenance,
     Graph,
+    Linkage,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -81,12 +81,98 @@ object Indexing extends QueryGroup {
       .limit(PmiTopK)
   }
 
+  /** The ranked-retrieval query terms (all in the corpus vocabulary). */
+  private[queries] val Bm25Terms = Seq("spark", "merge", "window")
+  private[queries] val Bm25TopK = 25
+
+  /** BM25 ranked retrieval (Robertson-Spärck Jones, k1 = 1.2, b = 0.75) —
+    * the retrieval scorer behind corpus search / RAG attribution, with one
+    * declared deviation: the idf is the RATIONAL core
+    * `(N - df + 0.5)/(df + 0.5)` without the usual `ln(1 + ·)` wrapper.
+    * The log is strictly monotone, so per-term orderings agree, and libm
+    * `log` rounding is implementation-defined across engines — banned on
+    * oracle-checked paths (same rule as `q_text_pmi` / `q_text_tfidf`).
+    *
+    * Determinism: tf, df, dl, N are exact integers; idf and each per-term
+    * addend are fixed chains of correctly-rounded IEEE ops written with
+    * IDENTICAL literals and association in both engines, so the doubles
+    * are bit-equal; the per-doc sum is [[Catalog.dsum]] (exact decimal,
+    * order-independent); ranking sorts that sum with a doc_id tie-break.
+    *
+    * Scale shape: term postings are filtered BEFORE any shuffle (the
+    * explode feeds a `term IN (...)` filter, so only query-term hits
+    * survive the map side); df and the corpus stats are tiny broadcast
+    * relations; the only real shuffle carries (doc, term) hits for the
+    * query's terms — bounded by postings size, never corpus size. */
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("dl"), $"toks")
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val tf = docs
+      .select($"doc_id", $"dl", explode($"toks").as("term"))
+      .filter($"term".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"dl", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        ($"n_docs".cast("double") - $"df".cast("double") + 0.5) /
+          ($"df".cast("double") + 0.5))
+      .withColumn("addend",
+        $"idf" * ($"tf".cast("double") * 2.2) /
+          ($"tf".cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            ($"dl".cast("double") /
+              ($"sum_dl".cast("double") / $"n_docs".cast("double"))))))
+      .groupBy($"doc_id")
+      .agg(dsum($"addend").as("bm25"),
+        count(lit(1)).as("n_terms"),
+        max($"dl").as("dl"))
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(Bm25TopK)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_index_inverted" -> invertedIndex,
     "q_text_pmi" -> bigramPmi,
+    "q_text_bm25" -> bm25,
   )
 
   val oracle: Map[String, String] = Map(
+    // Literals and association mirror the Spark column expressions
+    // EXACTLY (idf * (tf*2.2) / (tf + 1.2*(0.25 + 0.75*(dl/(sum/n))))) so
+    // the per-addend doubles are bit-equal before the decimal-exact sum.
+    "q_text_bm25" ->
+      s"""WITH dd AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |dl AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM dd),
+         |stats AS (
+         |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+         |  FROM dl),
+         |tf AS (
+         |  SELECT doc_id, dl, term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl) u
+         |  WHERE term IN ${Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")}
+         |  GROUP BY doc_id, dl, term),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.dl,
+         |    (CAST(stats.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+         |      / (CAST(dfreq.df AS DOUBLE) + 0.5)
+         |    * (CAST(tf.tf AS DOUBLE) * 2.2)
+         |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |        (CAST(tf.dl AS DOUBLE)
+         |          / (CAST(stats.sum_dl AS DOUBLE)
+         |            / CAST(stats.n_docs AS DOUBLE))))) AS addend
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats)
+         |SELECT doc_id, ${dsumSql("addend")} AS bm25,
+         |  COUNT(*) AS n_terms, max(dl) AS dl
+         |FROM scored GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin,
     "q_index_inverted" ->
       s"""WITH td AS (
          |  SELECT token, doc_id, COUNT(*) AS tf

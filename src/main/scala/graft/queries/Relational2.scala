@@ -389,7 +389,60 @@ object Relational2 extends QueryGroup {
       ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
   }
 
+  /** Grid width for the binned interval join. Must be ≥ the maximum
+    * interval length (14 days below) so every interval spans ≤ 2 bins. */
+  private[graft] val IntervalBinDays = 16
+
+  /** Interval-overlap join via time-grid binning — the scalable rewrite of
+    * a theta join Spark would otherwise plan as a broadcast nested loop
+    * (quadratic, and impossible once neither side broadcasts).
+    *
+    * Each interval explodes to the grid bins it covers (bin width ≥ max
+    * interval length ⇒ ≤ 2 bins per interval, so fan-out is bounded by a
+    * constant, not data), the join becomes an EQUI-join on the bin key
+    * (shuffle-partitionable, AQE-skew-splittable — a hot time window is
+    * ordinary join skew), and the true overlap predicate runs as a join
+    * filter. Duplicate pair elimination is algebraic, not a dropDuplicates
+    * shuffle: a pair is kept only in its first shared bin,
+    * `bin = greatest(floor(a_start/W), floor(b_start/W))` — floor is
+    * monotone, so that bin is exactly the lower end of the two bin-ranges'
+    * intersection, which is non-empty iff the intervals overlap.
+    *
+    * Oracle: the plain theta join — the gate proves the rewrite's
+    * equivalence. Intervals are closed, day-granularity: order activity
+    * windows vs lineitem shipping windows, with deterministic key-derived
+    * lengths so both engines build identical inputs. */
+  private def joinInterval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val epoch = lit("1970-01-01").cast("date")
+    val a = Tables.orders(s, d)
+      .filter($"o_orderkey" % 37 === 0)
+      .select($"o_orderkey".as("a_id"),
+        datediff(to_date($"o_orderdate"), epoch).cast("long").as("a_start"))
+      .withColumn("a_end", $"a_start" + ($"a_id" % 14) + 1)
+    val b = Tables.lineitem(s, d)
+      .filter($"l_orderkey" % 53 === 0 && $"l_linenumber" === 1)
+      .select($"l_orderkey".as("b_id"),
+        datediff(to_date($"l_shipdate"), epoch).cast("long").as("b_start"),
+        (($"l_partkey" % 10) + 1).as("b_len"))
+      .select($"b_id", $"b_start", ($"b_start" + $"b_len").as("b_end"))
+    def binned(df: DataFrame, st: String, en: String): DataFrame =
+      df.withColumn("bin",
+        explode(sequence(floor(col(st) / IntervalBinDays),
+          floor(col(en) / IntervalBinDays))))
+    binned(a, "a_start", "a_end")
+      .join(binned(b, "b_start", "b_end"), "bin")
+      .filter($"a_start" <= $"b_end" && $"b_start" <= $"a_end" &&
+        $"bin" === greatest(floor($"a_start" / IntervalBinDays),
+          floor($"b_start" / IntervalBinDays)))
+      .select($"a_id", $"b_id",
+        (least($"a_end", $"b_end") - greatest($"a_start", $"b_start") + 1)
+          .as("overlap_days"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_interval" -> joinInterval,
     "q_filter_in_like" -> filterInLike,
     "q_join_bloom" -> joinBloom,
     "q_subquery_exists" -> subqueryExists,
@@ -419,6 +472,27 @@ object Relational2 extends QueryGroup {
     .mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    // The specification is the naive theta join; the Spark side is the
+    // binned equi-join rewrite — the gate proves their equivalence.
+    "q_join_interval" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS a_start,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + o_orderkey % 14 + 1 AS a_end
+        |  FROM orders WHERE o_orderkey % 37 = 0),
+        |b AS (
+        |  SELECT l_orderkey AS b_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      AS b_start,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      + l_partkey % 10 + 1 AS b_end
+        |  FROM lineitem WHERE l_orderkey % 53 = 0 AND l_linenumber = 1)
+        |SELECT a_id, b_id,
+        |  least(a_end, b_end) - greatest(a_start, b_start) + 1 AS overlap_days
+        |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+        |ORDER BY a_id, b_id""".stripMargin,
     // The bloom is a pure pre-filter: the exact join removes its false
     // positives, so the specification is the plain selective join.
     "q_join_bloom" ->

@@ -277,6 +277,13 @@ object PlanAuditSpec {
     "q_join_right" -> 2,
     "q_join_semi" -> 1,
     "q_join_star" -> 2,
+    // 1 at sf0.001: the exploded order side broadcasts, leaving only the
+    // output sort; at scale the bin equi-join degrades gracefully to a
+    // 2-exchange hash join on the grid key (never a nested loop).
+    "q_join_interval" -> 1,
+    // registry side broadcasts into the block join; the per-rid resolve
+    // window + output sort share nothing (different keys) = 2.
+    "q_link_jarowinkler" -> 2,
     // 4: salted shuffle-hash join shuffles both sides on (key,salt), then
     // the nationkey agg + final sort — the deliberately-shuffled path the
     // salt exists for (broadcast would hide the operator under test).
@@ -364,6 +371,10 @@ object PlanAuditSpec {
     "q_text_langid" -> 1,
     // unigram agg + bigram agg + top-K sort; unigram side broadcasts.
     "q_text_pmi" -> 3,
+    // (doc,term) tf agg + df agg + corpus-stats agg (all post-filter,
+    // postings-sized) + per-doc score agg + the top-K sort; df and stats
+    // broadcast into the scoring join.
+    "q_text_bm25" -> 5,
     "q_text_quality" -> 1,
     "q_text_tfidf" -> 6,
     "q_text_token_count" -> 1,

@@ -126,7 +126,40 @@ object Events extends QueryGroup {
       .orderBy($"event_id")
   }
 
+  /** Calendar resample + forward fill (gap filling) — the time-series
+    * regularization step every metrics/feature pipeline runs before
+    * modeling: each user's sparse daily activity becomes a dense series
+    * over their own [first, last] active span, with missing days carrying
+    * the last observed value forward and flagged as gaps.
+    *
+    * Plan shape: the daily aggregate and the per-user span both key on
+    * user_id (the span side is a tiny 2-column relation), the calendar is
+    * a row-local `sequence` explode of the span — never a driver loop or
+    * a calendar cross join — and the fill is `last(ignoreNulls)` over the
+    * running frame of the per-user window. Everything after the daily
+    * rollup shuffles (user, day) pairs; the event payload never travels.
+    * At 100 TB the fan-out is bounded by span days per key, and the
+    * window state is one value — no unbounded buffering. */
+  private def gapfill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(dsum($"value").as("v"))
+    val cal = daily
+      .groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        last($"v", ignoreNulls = true).over(w).as("value_ffill"),
+        $"v".isNull.as("is_gap"))
+      .orderBy($"user_id", $"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_gapfill" -> gapfill,
     "q_events_tumbling" -> tumbling,
     "q_events_sliding" -> sliding,
     "q_events_session" -> session,
@@ -136,6 +169,29 @@ object Events extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_gapfill" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day,
+         |    ${dsumSql("value")} AS v
+         |  FROM events GROUP BY 1, 2),
+         |span AS (
+         |  SELECT user_id, min(day) AS d0, max(day) AS d1
+         |  FROM daily GROUP BY 1),
+         |cal AS (
+         |  SELECT user_id,
+         |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+         |      AS day
+         |  FROM span),
+         |j AS (
+         |  SELECT cal.user_id, cal.day, daily.v
+         |  FROM cal LEFT JOIN daily
+         |    ON cal.user_id = daily.user_id AND cal.day = daily.day)
+         |SELECT user_id, day,
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS value_ffill,
+         |  (v IS NULL) AS is_gap
+         |FROM j ORDER BY user_id, day""".stripMargin,
     "q_events_dedup" ->
       """WITH r AS (
         |  SELECT event_id, user_id, event_type, ts,

@@ -213,7 +213,74 @@ object Maintenance extends QueryGroup {
       .orderBy($"col_name")
   }
 
+  /** Bits per dimension for the Z-order curve (8 ⇒ 16-bit z values). */
+  private[queries] val ZBits = 8
+  /** Zones per layout (64 zones of 1024 z values / an orderkey range). */
+  private[queries] val ZZones = 64
+
+  /** Z-value: interleave the low [[ZBits]] bits of x (odd positions) and
+    * y (even positions) — pure shift/mask arithmetic, identical in both
+    * engines, no UDF. */
+  private def zValue(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i + 1) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i)
+    }.reduce(_ + _)
+
+  /** The same z-value as DuckDB SQL text. */
+  private def zValueSql(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i + 1}) + ((($y >> $i) & 1) << ${2 * i})"
+    }.mkString("(", " + ", ")")
+
+  /** Z-order clustering payoff, quantified: lay lineitem out in 64
+    * range-zones twice — "natural" (arrival order ≈ orderkey ranges) vs
+    * Z-order on (partkey%256, suppkey%256) — and report each layout's
+    * per-zone min/max envelopes (the stats a lakehouse keeps per file for
+    * data skipping). Z-order bounds BOTH dimensions per zone, so its
+    * total bounding area and per-dimension spans collapse vs the natural
+    * layout — the measured justification for CLUSTER BY / OPTIMIZE
+    * ZORDER table maintenance.
+    *
+    * Plan shape: zone assignment is a pure projection in both layouts
+    * (range partition of the key space / of the z space — NO global sort
+    * or row_number; a real rewrite job would range-partition by these
+    * same keys), so the query is scan → union of two skinny projections →
+    * one (layout, zone) partial agg → one 2-row summary agg. Everything
+    * is exact integer arithmetic; the orderkey range bound rides a
+    * broadcast scalar, not a driver collect. */
+  private def zorderCluster(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey",
+        ($"l_partkey" % 256).as("x"), ($"l_suppkey" % 256).as("y"))
+    val mx = li.agg(max($"l_orderkey").as("mx"))
+    val natural = li.crossJoin(broadcast(mx))
+      .select(lit("natural").as("layout"),
+        floor(($"l_orderkey" * ZZones).cast("double") / ($"mx" + 1))
+          .cast("long").as("zone"),
+        $"x", $"y")
+    val zorder = li
+      .select(lit("zorder").as("layout"),
+        floor(zValue($"x", $"y").cast("double") /
+          ((1 << (2 * ZBits)) / ZZones)).cast("long").as("zone"),
+        $"x", $"y")
+    natural.unionAll(zorder)
+      .groupBy($"layout", $"zone")
+      .agg(min($"x").as("mnx"), max($"x").as("mxx"),
+        min($"y").as("mny"), max($"y").as("mxy"))
+      .groupBy($"layout")
+      .agg(count(lit(1)).as("n_zones"),
+        sum(($"mxx" - $"mnx" + 1) * ($"mxy" - $"mny" + 1)).as("total_area"),
+        max(($"mxx" - $"mnx" + 1) * ($"mxy" - $"mny" + 1)).as("max_area"),
+        sum($"mxx" - $"mnx" + 1).as("sum_x_span"),
+        sum($"mxy" - $"mny" + 1).as("sum_y_span"))
+      .orderBy($"layout")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_zorder_cluster" -> zorderCluster,
     "q_table_checksum" -> tableChecksum,
     "q_snapshot_diff" -> snapshotDiff,
     "q_scd2" -> scd2,
@@ -222,6 +289,33 @@ object Maintenance extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_zorder_cluster" ->
+      s"""WITH li AS (
+         |  SELECT l_orderkey, l_partkey % 256 AS x, l_suppkey % 256 AS y
+         |  FROM lineitem),
+         |mx AS (SELECT max(l_orderkey) AS mx FROM lineitem),
+         |tagged AS (
+         |  SELECT 'natural' AS layout,
+         |    CAST(floor(CAST(l_orderkey * $ZZones AS DOUBLE) / (mx + 1))
+         |      AS BIGINT) AS zone, x, y
+         |  FROM li CROSS JOIN mx
+         |  UNION ALL
+         |  SELECT 'zorder' AS layout,
+         |    CAST(floor(CAST(${zValueSql("x", "y")} AS DOUBLE)
+         |      / ${(1 << (2 * ZBits)) / ZZones}) AS BIGINT) AS zone, x, y
+         |  FROM li),
+         |zones AS (
+         |  SELECT layout, zone, min(x) AS mnx, max(x) AS mxx,
+         |    min(y) AS mny, max(y) AS mxy
+         |  FROM tagged GROUP BY 1, 2)
+         |SELECT layout, COUNT(*) AS n_zones,
+         |  CAST(SUM((mxx - mnx + 1) * (mxy - mny + 1)) AS BIGINT)
+         |    AS total_area,
+         |  CAST(MAX((mxx - mnx + 1) * (mxy - mny + 1)) AS BIGINT)
+         |    AS max_area,
+         |  CAST(SUM(mxx - mnx + 1) AS BIGINT) AS sum_x_span,
+         |  CAST(SUM(mxy - mny + 1) AS BIGINT) AS sum_y_span
+         |FROM zones GROUP BY layout ORDER BY layout""".stripMargin,
     // The IVM correctness condition: merging partial states must equal
     // aggregating the union from scratch.
     "q_agg_incremental" ->

@@ -441,7 +441,28 @@ object Relational2 extends QueryGroup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Statistical mode per group with a DETERMINISTIC tie-break
+    * (count DESC, value ASC) — Spark's builtin `mode()` picks an
+    * arbitrary winner among ties, which can never hash-match a second
+    * engine; the count+rank formulation is the portable form. Two
+    * aggregations on the same grouping prefix (the second is
+    * |groups|×|values|-sized), one rank window over that tiny relation. */
+  private def aggMode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.orders(s, d)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"n".desc, $"o_orderpriority")
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"), $"n")
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_mode" -> aggMode,
     "q_join_interval" -> joinInterval,
     "q_filter_in_like" -> filterInLike,
     "q_join_bloom" -> joinBloom,
@@ -472,6 +493,16 @@ object Relational2 extends QueryGroup {
     .mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY n DESC, o_orderpriority) AS rn
+        |  FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     // The specification is the naive theta join; the Spark side is the
     // binned equi-join rewrite — the gate proves their equivalence.
     "q_join_interval" ->

@@ -132,4 +132,19 @@ class MaintenanceSpec extends SparkTestBase {
     assert(pairs.distinct.length == pairs.length)
     assert(rows.forall(_.getAs[Long]("dist") <= 10))
   }
+
+  test("z-order zones bound both dimensions tighter than the natural layout") {
+    val rows = SparkEntry.queries("q_zorder_cluster")(spark, Sf0001)
+      .collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("total_area"), r.getAs[Long]("sum_x_span"),
+          r.getAs[Long]("sum_y_span")))
+      .toMap
+    val (natArea, natX, natY) = rows("natural")
+    val (zArea, zX, zY) = rows("zorder")
+    // The whole point of the operator: interleaved bits localize BOTH
+    // key dimensions, so skipping envelopes collapse.
+    assert(zArea < natArea / 4, s"z-order area $zArea vs natural $natArea")
+    assert(zX < natX && zY <= natY, "z-order must tighten both dimensions")
+  }
 }

@@ -176,6 +176,8 @@ object PlanAuditSpec {
     // exchanges carry pre-aggregated states, not order rows.
     "q_agg_incremental" -> 3,
     "q_agg_maxby" -> 2,
+    // pair-counts agg + per-status rank window + the 3-row output sort.
+    "q_agg_mode" -> 3,
     "q_agg_median_disc" -> 2,
     "q_agg_pricing" -> 2,
     "q_agg_rollup" -> 2,
@@ -224,6 +226,9 @@ object PlanAuditSpec {
     "q_events_dau" -> 6,
     // one (user,type,window) exchange for the rank window + output sort.
     "q_events_dedup" -> 2,
+    // daily (user,day) agg + the span agg/ffill window on user_id + the
+    // output sort — every exchange carries (user, day, value) triples.
+    "q_events_gapfill" -> 3,
     // (user,day) distinct + the user rank window (both aggs reuse the
     // user partitioning) + output sort; payload dropped at projection.
     "q_events_streaks" -> 3,
@@ -327,6 +332,9 @@ object PlanAuditSpec {
     "q_snapshot_diff" -> 4,
     // 256-group partial agg (digest fold is map-side combined) + sort.
     "q_table_checksum" -> 2,
+    // orderkey-max scalar agg + (layout,zone) partial agg + 2-row layout
+    // summary + output sort; zone assignment itself never shuffles.
+    "q_zorder_cluster" -> 4,
     "q_regexp_funs" -> 1,
     // corpus dfreq agg + eval prefix join/window + candidate join on the
     // shingle key + pair dedup + output sort; verify side is broadcasts.

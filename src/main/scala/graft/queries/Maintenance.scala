@@ -279,7 +279,50 @@ object Maintenance extends QueryGroup {
       .orderBy($"layout")
   }
 
+  /** Distribution-drift monitor: per-day chi-squared statistic of the
+    * event-type mix against the whole-corpus baseline — the alerting
+    * primitive a feed pipeline runs to catch upstream schema/mix changes
+    * before they poison training data. Chi-squared, not PSI/KL: those
+    * need `ln`, and libm rounding is engine-defined (the same rule that
+    * shaped `q_text_pmi`); the chi-squared addend `(o − e)²/e` is a fixed
+    * chain of correctly-rounded IEEE ops over exact integer counts, so
+    * both engines produce bit-equal doubles before the decimal-exact sum.
+    *
+    * The (day × type) grid is built densely — a day MISSING a baseline
+    * type contributes its full expected count `e` (o = 0), which is
+    * exactly the signal a vanished event type should raise; an
+    * observed-cells-only join would silently score it 0.
+    *
+    * Plan shape: one (day, type) count agg; the per-type baseline and
+    * per-day totals are tiny broadcast relations; the grid is
+    * |days| × |types| (bounded by domains, not rows); one final per-day
+    * fold. The raw event payload never shuffles. */
+  private def driftChisq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(to_date($"ts").as("day"), $"event_type")
+    val dt = ev.groupBy($"day", $"event_type").agg(count(lit(1)).as("o"))
+    val tt = ev.groupBy($"event_type").agg(count(lit(1)).as("a"))
+    val nt = ev.agg(count(lit(1)).as("n_total"))
+    val nd = dt.groupBy($"day").agg(sum($"o").as("n_day"))
+    nd.crossJoin(broadcast(tt))
+      .join(dt, Seq("day", "event_type"), "left")
+      .withColumn("o", coalesce($"o", lit(0L)))
+      .crossJoin(broadcast(nt))
+      .withColumn("e",
+        ($"n_day".cast("double") * $"a".cast("double")) /
+          $"n_total".cast("double"))
+      .withColumn("addend",
+        (($"o".cast("double") - $"e") * ($"o".cast("double") - $"e")) / $"e")
+      .groupBy($"day")
+      .agg(dsum($"addend").as("chi2"),
+        max($"n_day").as("n_day"),
+        count(lit(1)).as("n_types"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_drift_chisq" -> driftChisq,
     "q_zorder_cluster" -> zorderCluster,
     "q_table_checksum" -> tableChecksum,
     "q_snapshot_diff" -> snapshotDiff,
@@ -289,6 +332,31 @@ object Maintenance extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_drift_chisq" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+         |dt AS (
+         |  SELECT day, event_type, COUNT(*) AS o FROM ev GROUP BY 1, 2),
+         |tt AS (SELECT event_type, COUNT(*) AS a FROM ev GROUP BY 1),
+         |nt AS (SELECT COUNT(*) AS n_total FROM ev),
+         |nd AS (SELECT day, CAST(SUM(o) AS BIGINT) AS n_day
+         |       FROM dt GROUP BY 1),
+         |cells AS (
+         |  SELECT g.day, g.n_day, g.a, COALESCE(dt.o, 0) AS o
+         |  FROM (SELECT nd.day, nd.n_day, tt.event_type, tt.a
+         |        FROM nd CROSS JOIN tt) g
+         |  LEFT JOIN dt ON g.day = dt.day AND g.event_type = dt.event_type),
+         |sc AS (
+         |  SELECT day, n_day,
+         |    (CAST(n_day AS DOUBLE) * CAST(a AS DOUBLE))
+         |      / CAST(n_total AS DOUBLE) AS e,
+         |    CAST(o AS DOUBLE) AS od
+         |  FROM cells CROSS JOIN nt),
+         |ad AS (
+         |  SELECT day, n_day, ((od - e) * (od - e)) / e AS addend FROM sc)
+         |SELECT day, ${dsumSql("addend")} AS chi2,
+         |  max(n_day) AS n_day, COUNT(*) AS n_types
+         |FROM ad GROUP BY day ORDER BY day""".stripMargin,
     "q_zorder_cluster" ->
       s"""WITH li AS (
          |  SELECT l_orderkey, l_partkey % 256 AS x, l_suppkey % 256 AS y

@@ -40,8 +40,13 @@ object Quantiles extends QueryGroup {
 
   private val Pcts = Seq(50, 90, 99)
   private val BinWidth = 100.0
+  /** Internal edges of the 8-bucket equi-depth histogram. */
+  private val EdgePcts = Seq(12, 25, 37, 50, 62, 75, 87)
 
-  private def quantileGlobal(s: SparkSession, d: String): DataFrame = {
+  /** The shared two-phase selection core: exact values at the given
+    * integer percentiles of l_extendedprice, as a (pct, value) relation. */
+  private def percentiles(s: SparkSession, d: String,
+      pcts: Seq[Int]): DataFrame = {
     import s.implicits._
     val v = Tables.lineitem(s, d)
       .select($"l_extendedprice".as("v"),
@@ -53,7 +58,7 @@ object Quantiles extends QueryGroup {
       .agg(sum($"b.cnt").as("cum"))
       .select($"bin", $"cnt", $"cum")
     val total = bins.agg(sum($"cnt").as("n"))
-    val ks = Pcts.toDF("pct")
+    val ks = pcts.toDF("pct")
       .crossJoin(broadcast(total))
       .select($"pct",
         floor(($"pct" * $"n" + 99) / 100.0).cast("long").as("k"))
@@ -66,11 +71,41 @@ object Quantiles extends QueryGroup {
         row_number().over(Window.partitionBy($"pct").orderBy($"v")))
       .filter($"rn" === $"off")
       .select($"pct", $"v".as("value"))
-      .orderBy($"pct")
+  }
+
+  private def quantileGlobal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    percentiles(s, d, Pcts).orderBy($"pct")
+  }
+
+  /** Equi-depth (equi-height) histogram — the optimizer-statistics /
+    * drift-monitoring histogram whose buckets hold ~equal row counts, so
+    * no bucket is blind to a dense region the way fixed-width
+    * `q_histogram` bins can be. Built by composition: the two-phase
+    * selection supplies the 7 exact internal edges (a 7-row relation),
+    * the edges collapse to ONE broadcast array row, and bucket assignment
+    * is a row-local higher-order `filter` over that array (bucket =
+    * #edges strictly below v) — no per-row join fan-out, no global sort,
+    * one final |buckets|-sized aggregation. The DuckDB oracle derives the
+    * same edges from the global-window specification and buckets by a
+    * correlated count over them. */
+  private def histogramEquidepth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = percentiles(s, d, EdgePcts)
+      .agg(array_sort(collect_list($"value")).as("edges"))
+    Tables.lineitem(s, d)
+      .select($"l_extendedprice".as("v"))
+      .crossJoin(broadcast(edges))
+      .select($"v",
+        size(filter($"edges", e => $"v" > e)).cast("long").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), min($"v").as("min_v"), max($"v").as("max_v"))
+      .orderBy($"bucket")
   }
 
   val queries: Map[String, Q] = Map(
     "q_quantile_global" -> quantileGlobal,
+    "q_histogram_equidepth" -> histogramEquidepth,
   )
 
   val oracle: Map[String, String] = Map(
@@ -88,5 +123,20 @@ object Quantiles extends QueryGroup {
          |FROM s JOIN p
          |  ON s.rk = CAST(floor((p.pct * s.n + 99) / 100.0) AS BIGINT)
          |ORDER BY pct""".stripMargin,
+    "q_histogram_equidepth" ->
+      s"""WITH s AS (
+         |  SELECT l_extendedprice AS v,
+         |    row_number() OVER (ORDER BY l_extendedprice) AS rk,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+         |  FROM lineitem
+         |), p AS (SELECT unnest([${EdgePcts.mkString(", ")}]) AS pct),
+         |e AS (
+         |  SELECT v AS edge FROM s JOIN p
+         |    ON s.rk = CAST(floor((p.pct * s.n + 99) / 100.0) AS BIGINT)),
+         |b AS (
+         |  SELECT v, (SELECT COUNT(*) FROM e WHERE t.v > e.edge) AS bucket
+         |  FROM (SELECT l_extendedprice AS v FROM lineitem) t)
+         |SELECT bucket, COUNT(*) AS n, min(v) AS min_v, max(v) AS max_v
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

@@ -369,7 +369,37 @@ object TextAnalysis extends QueryGroup {
       .limit(VocabK)
   }
 
+  private val OovVocabK = 100
+
+  /** Tokenizer-vocabulary coverage / out-of-vocabulary rate per source —
+    * the sanity metric run before committing a tokenizer or ingesting a
+    * new feed: how much of each source's token mass falls outside the
+    * top-[[OovVocabK]] corpus vocabulary. The induced vocabulary cut is
+    * deterministic ((count DESC, token ASC) tie order, same rule as
+    * `q_text_vocab`), coverage flags ride a broadcast left join (the
+    * vocabulary is tiny by construction), and the per-source rollup is
+    * one map-side-combined aggregation — integer counts plus one
+    * floor-milli ratio, so the oracle matches exactly. */
+  private def textOov(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"source", explode(tokens($"text")).as("token"))
+    val vocab = tok.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token".asc)
+      .limit(OovVocabK)
+      .select($"token", lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when($"in_vocab".isNull, 1)).as("n_oov"))
+      .select($"source", $"n_tokens", $"n_oov",
+        floor(($"n_oov" * 1000).cast("double") / $"n_tokens".cast("double"))
+          .cast("long").as("oov_milli"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_oov" -> textOov,
     "q_text_chunk" -> textChunk,
     "q_text_vocab" -> textVocab,
     "q_text_top_skills" -> topSkills,
@@ -415,6 +445,24 @@ object TextAnalysis extends QueryGroup {
          |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
          |      FROM documents) t
          |GROUP BY token ORDER BY cnt DESC, token LIMIT $VocabK""".stripMargin,
+    "q_text_oov" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(string_split(lower(text), ' ')) AS token
+         |  FROM documents),
+         |vocab AS (
+         |  SELECT token FROM (
+         |    SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+         |    ORDER BY cnt DESC, token LIMIT $OovVocabK)),
+         |f AS (
+         |  SELECT source,
+         |    CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END
+         |      AS oov
+         |  FROM tok)
+         |SELECT source, COUNT(*) AS n_tokens,
+         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |  CAST(floor(CAST(SUM(oov) * 1000 AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS oov_milli
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "q_text_chunk" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents

@@ -325,6 +325,16 @@ object PlanAuditSpec {
     // single Expand-based agg pass (partial+final) + the 5-row stack sort.
     "q_profile_stats" -> 2,
     "q_quantile_global" -> 6,
+    // the 6 selection-core exchanges (shared shape with q_quantile_global)
+    // + the bucket agg + output sort; every post-scan exchange carries
+    // bin/bucket relations bounded by the domain, never rows.
+    "q_histogram_equidepth" -> 8,
+    // (day,type) agg + type baseline + corpus total + per-day totals +
+    // the per-day fold + output sort — all domain-bounded relations.
+    "q_drift_chisq" -> 6,
+    // token-count agg (vocab side, TakeOrdered) + per-source rollup +
+    // 20-row output sort; the coverage join itself is a broadcast.
+    "q_text_oov" -> 3,
     // ONE user_id exchange shared by all three windows + the output sort.
     "q_scd2" -> 2,
     // both snapshot sides shuffle on the key for the full-outer SMJ

@@ -84,7 +84,20 @@ object EventsStreaming {
     * watermarks are no-ops and the identical plan is oracle-checked
     * (`q_events_view_click`). */
   def viewClickJoin(events: DataFrame,
-      horizonMinutes: Int = 10): DataFrame = {
+      horizonMinutes: Int = 10): DataFrame =
+    viewClickJoinImpl(events, horizonMinutes, "inner")
+
+  /** Left-outer variant: EVERY view is emitted — unmatched views
+    * null-pad, but only once the watermark passes `view_ts + horizon`,
+    * because "no click is coming" is unknowable earlier. This is the
+    * funnel-analysis shape (conversion AND abandonment from one join);
+    * state stays O(users × horizon), same as the inner variant. */
+  def viewClickJoinOuter(events: DataFrame,
+      horizonMinutes: Int = 10): DataFrame =
+    viewClickJoinImpl(events, horizonMinutes, "left_outer")
+
+  private def viewClickJoinImpl(events: DataFrame, horizonMinutes: Int,
+      joinType: String): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("view_ts"),
         col("event_id").as("view_id"))
@@ -97,7 +110,8 @@ object EventsStreaming {
       col("user_id") === col("click_user") &&
         col("click_ts") >= col("view_ts") &&
         col("click_ts") < col("view_ts") +
-          expr(s"INTERVAL $horizonMinutes MINUTES"))
+          expr(s"INTERVAL $horizonMinutes MINUTES"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }

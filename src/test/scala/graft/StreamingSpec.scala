@@ -176,6 +176,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("outer stream-stream join null-pads unmatched views after watermark") {
+    val input = MemoryStream[Event](spark)
+    val q = EventsStreaming.viewClickJoinOuter(input.toDF())
+      .writeStream.format("memory").queryName("viewclick_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: view + in-horizon click -> matched immediately.
+      // user 2: view with NO click -> must surface null-padded, but only
+      // once the watermark passes view_ts + horizon.
+      input.addData(
+        ev(1, ts(0), user = 1, typ = "view"),
+        ev(2, ts(3), user = 1, typ = "click"),
+        ev(3, ts(1), user = 2, typ = "view"))
+      q.processAllAvailable()
+      val early = spark.table("viewclick_outer")
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      // Unmatched view cannot be emitted yet — "no click is coming" is
+      // unknowable before the horizon closes.
+      assert(!early.contains(2L), "null-padded row emitted before watermark")
+      // Advance both watermarks well past view_ts + horizon.
+      input.addData(ev(9, ts(59), user = 9, typ = "view"),
+        ev(10, ts(59), user = 9, typ = "click"))
+      q.processAllAvailable()
+      input.addData(ev(11, ts(59, 30), user = 9, typ = "click"))
+      q.processAllAvailable()
+      val rows = spark.table("viewclick_outer")
+        .select("user_id", "view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      assert(rows.contains((1L, 1L, Some(2L))), "matched pair missing")
+      assert(rows.contains((2L, 3L, None)),
+        s"abandoned view not null-padded after watermark: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("foreachBatch upserts aggregated rows into a KV store") {
     val input = MemoryStream[Event](spark)
     val agg = input.toDF().groupBy($"event_type")

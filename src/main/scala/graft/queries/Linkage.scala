@@ -15,10 +15,12 @@ import Catalog._
   * rarely do).
   *
   * Canonical three-stage shape, each stage chosen for the 100 TB case:
-  *  1. **Block**: candidate pairs only within a corruption-resistant
-  *     blocking key (here: the name's first 4 chars — the deterministic
-  *     corruption edits later positions). This is what makes linkage
-  *     sub-quadratic: candidates are Σ|block|², never |A|×|B|. Hot
+  *  1. **Block**: candidate pairs only within corruption-resistant
+  *     blocking keys (here: first-4-chars × last-char — the deterministic
+  *     corruption edits an interior position — intersected with a ±4
+  *     length band, which a one-char edit cannot escape). This is what
+  *     makes linkage sub-quadratic: candidates are Σ|block|², never
+  *     |A|×|B|, and each extra independent key divides block sizes. Hot
   *     blocks are data skew, handled like any other skewed equi-join
   *     (AQE skew split or the [[graft.operators.SkewJoin]] salting) —
   *     at scale one would also block on 2-3 redundant keys and union.
@@ -53,10 +55,19 @@ object Linkage extends QueryGroup {
       .filter($"p_partkey" % RegistryMod === 0)
       .select(
         $"p_partkey".as("rid"),
-        concat(substring($"nm", 1, 4), expr("substr(nm, 6)")).as("dirty"),
-        substring($"nm", 1, 4).as("blk"))
+        concat(substring($"nm", 1, 4), expr("substr(nm, 6)")).as("dirty"))
+      .select($"rid", $"dirty",
+        concat(substring($"dirty", 1, 4), substring($"dirty", -1, 1))
+          .as("blk"))
     val scored = registry
-      .join(parts.withColumn("blk", substring($"nm", 1, 4)), "blk")
+      .join(parts.withColumn("blk",
+        concat(substring($"nm", 1, 4), substring($"nm", -1, 1))), "blk")
+      // Third blocking key: a ±4 length band. A one-char corruption
+      // shifts length by 1, so no true match is lost, and the cheap
+      // integer gate runs BEFORE the O(len·window) scorer — standard
+      // multi-key blocking (prefix × suffix × length) from the ER
+      // literature.
+      .filter(abs(length($"nm") - length($"dirty")) <= 4)
       .select($"rid", $"p_partkey".as("match_key"),
         jaroWinkler($"dirty", $"nm").as("jw"))
     val w = Window.partitionBy($"rid").orderBy($"jw".desc, $"match_key")
@@ -77,15 +88,20 @@ object Linkage extends QueryGroup {
     "q_link_jarowinkler" ->
       s"""WITH p AS (
          |  SELECT p_partkey, p_name || ' ' || p_brand AS nm FROM part),
-         |reg AS (
+         |reg0 AS (
          |  SELECT p_partkey AS rid,
-         |    substr(nm, 1, 4) || substr(nm, 6) AS dirty,
-         |    substr(nm, 1, 4) AS blk
+         |    substr(nm, 1, 4) || substr(nm, 6) AS dirty
          |  FROM p WHERE p_partkey % $RegistryMod = 0),
+         |reg AS (
+         |  SELECT rid, dirty,
+         |    substr(dirty, 1, 4) || substr(dirty, -1, 1) AS blk
+         |  FROM reg0),
          |scored AS (
          |  SELECT reg.rid, p.p_partkey AS match_key,
          |    jaro_winkler_similarity(reg.dirty, p.nm) AS jw
-         |  FROM reg JOIN p ON substr(p.nm, 1, 4) = reg.blk),
+         |  FROM reg JOIN p
+         |    ON substr(p.nm, 1, 4) || substr(p.nm, -1, 1) = reg.blk
+         |    AND abs(length(p.nm) - length(reg.dirty)) <= 4),
          |ranked AS (
          |  SELECT rid, match_key, jw,
          |    row_number() OVER (PARTITION BY rid

@@ -24,7 +24,14 @@ class LinkageSpec extends SparkTestBase {
     ("abc", "xyz", 0.0),
     ("x", "xxxxxxxxxx", 0.7300000000000001),
     ("CRATE", "TRACE", 0.7333333333333334),
-    ("ab", "abcdefghij", 0.7866666666666667))
+    ("ab", "abcdefghij", 0.7866666666666667),
+    // >64-byte inputs exercise the array kernel (not the mask kernel)
+    ("a" * 70, "a" * 35 + "b" * 35, 0.6666666666666666),
+    ("x" * 65, "x" * 65, 1.0),
+    // non-ASCII: DuckDB scores UTF-8 BYTE sequences (|café| = 5 bytes) —
+    // these pin the declared byte-level semantics
+    ("café", "cafe", 0.8483333333333334),
+    ("müller", "mueller", 0.8285714285714287))
 
   test("kernel matches the DuckDB reference vectors bit-for-bit") {
     for ((a, b, expect) <- vectors) {

@@ -54,7 +54,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional single-query iteration mode: SPARK_GRAFT_BENCH_ONLY is a
+    // comma-separated name list. Unknown names are a hard error (the
+    // same trap as Verify's filtered mode: a typo silently timing
+    // nothing reads as a pass). Filtered runs NEVER write
+    // BENCH_DETAIL.json — that committed artifact must stay a full
+    // sf0.1 catalog sweep.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[bench] unknown queries: ${unknown.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // Untimed warmup: run everything once (ignore failures here; they are
     // captured in the timed pass).
@@ -104,12 +120,14 @@ object Bench {
     // A failed detail write must be LOUD: bench_proxy.py and the summary
     // line's "detail" pointer both read the committed artifact, so a
     // swallowed IOException leaves a stale file masquerading as current.
-    try {
-      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
-      try w.println(detail) finally w.close()
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] BENCH_DETAIL.json write FAILED: $e")
+    if (only.isEmpty) {
+      try {
+        val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+        try w.println(detail) finally w.close()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] BENCH_DETAIL.json write FAILED: $e")
+      }
     }
 
     // The driver records only a bounded tail of this process's output, so

@@ -37,6 +37,7 @@ object SparkEntry {
     Maintenance,
     Graph,
     Linkage,
+    Sketches,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -184,7 +184,47 @@ object Analytics extends QueryGroup {
       .orderBy($"user_id")
   }
 
+  /** Conversion-path regex — the leftmost-greedy pattern both engines'
+    * regex kernels (java.util.regex / RE2) agree on: a view, any run of
+    * click/signup/error activity, then a purchase. */
+  private val ConvPattern = "v[cse]*p"
+
+  /** MATCH_RECOGNIZE-lite: per-user event-sequence pattern matching.
+    * Each user's history collapses to a compact symbol string (one char
+    * per event, deterministic (ts, event_id) order — the five event
+    * types have distinct initials), and conversions are counted as
+    * non-overlapping regex matches over that string. This is the
+    * sequence-pattern operator Spark lacks as SQL (MATCH_RECOGNIZE),
+    * recovered compositionally: sorted collect + codegen'd regex, no
+    * window functions, no per-event state machine.
+    *
+    * Scale: one groupBy(user_id) shuffle carrying (ts, event_id, char)
+    * triples; per-user strings are bounded by events-per-user (the same
+    * bound any sessionized operator carries), and the regex scan is
+    * linear per user. At 100 TB this partitions by user exactly like
+    * funnel/retention — no cross-user state. */
+  private def eventsPattern(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seq = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id",
+        substring($"event_type", 1, 1).as("c"))
+      .groupBy($"user_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct($"ts", $"event_id", $"c"))),
+          x => x.getField("c")),
+        "").as("seq"))
+    seq.select(
+      $"user_id",
+      length($"seq").as("seq_len"),
+      size(regexp_extract_all($"seq", lit(ConvPattern), lit(0)))
+        .as("n_conv"),
+      length(regexp_extract($"seq", ConvPattern, 0)).as("first_conv_len"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_pattern" -> eventsPattern,
     "q_events_streaks" -> eventsStreaks,
     "q_events_transitions" -> eventsTransitions,
     "q_events_funnel" -> eventsFunnel,
@@ -195,6 +235,16 @@ object Analytics extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_pattern" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+        |      AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, length(seq) AS seq_len,
+        |  len(regexp_extract_all(seq, 'v[cse]*p')) AS n_conv,
+        |  length(regexp_extract(seq, 'v[cse]*p', 0)) AS first_conv_len
+        |FROM s ORDER BY user_id""".stripMargin,
     "q_events_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

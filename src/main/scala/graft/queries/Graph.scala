@@ -136,7 +136,7 @@ object Graph extends QueryGroup {
       .repartition($"src")
       .localCheckpoint()
       .createOrReplaceTempView("graph_sym")
-    s.sql("""
+    val out = s.sql("""
       WITH RECURSIVE reach(node, depth) AS (
         SELECT (SELECT min(src) FROM graph_sym), 0
         UNION ALL
@@ -150,6 +150,12 @@ object Graph extends QueryGroup {
       )
       SELECT min_depth, COUNT(*) AS n_nodes, bit_xor(node) AS node_sig
       FROM first_visit GROUP BY min_depth ORDER BY min_depth""")
+    // sql() analysis has already inlined the view's plan into `out`; drop
+    // the catalog entry so the checkpointed blocks become weakly reachable
+    // (ContextCleaner-collectable) once the caller drops the result. A
+    // registered view would pin them for the whole session lifetime.
+    s.catalog.dropTempView("graph_sym")
+    out
   }
 
   val queries: Map[String, Q] = Map(

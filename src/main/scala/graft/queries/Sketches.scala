@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import Catalog._
+
+/** Mergeable-sketch surface — SURVEY.md §2B "approximate distinct
+  * (sketch cube)" and "approximate percentiles (rank-error gated)".
+  *
+  * The reference has no sketch layer (its `count(DISTINCT)`s are exact,
+  * `data_populator/populator.py` A1-A5 scale), but a 100 TB pipeline
+  * cannot re-scan raw data for every distinct-count rollup. The scale
+  * pattern is the PRE-AGGREGATED SKETCH CUBE: build one tiny mergeable
+  * sketch per fine-grained cell (here: per day), persist it, and answer
+  * every coarser rollup (month / quarter / year / all-time) by MERGING
+  * sketches — never touching raw rows again. Spark 3.5+ ships Apache
+  * DataSketches HLL natively (`hll_sketch_agg` / `hll_union_agg` /
+  * `hll_sketch_estimate`), all codegen-friendly catalyst expressions.
+  *
+  * Oracle strategy: a sketch estimate is not SQL-reproducible in DuckDB,
+  * but its ACCURACY CONTRACT is. Each query emits the exact answer plus
+  * an `ok` flag asserting the sketch landed inside its published error
+  * envelope (HLL lgK=12: ±1.6% at 3σ — gated at ±5%; KLL-style quantile
+  * summaries at accuracy=10000: rank error ≤ 0.01% — gated at ±1.5%
+  * rank). The DuckDB oracle emits the same exact values with `ok` as a
+  * constant 1, so the hash gate FAILS if the sketch ever drifts outside
+  * its envelope. Determinism: HLL register state is max-based, so
+  * estimates are insertion- and merge-order independent; the quantile
+  * gate only exposes `ok`, whose ±1.5% tolerance is 150× the summary's
+  * worst-case rank error, far beyond any merge-order jitter.
+  */
+object Sketches extends QueryGroup {
+
+  /** lgConfigK for the HLL sketches: 2^12 registers ≈ 1.6% RSE. */
+  private val HllLgK = 12
+
+  /** Relative error gate for the HLL estimate (3× the published RSE). */
+  private val HllTol = 0.05
+
+  /** Approximate-percentile targets and rank-error gate. */
+  private val Pcts = Seq(50, 90, 99)
+  private val QAccuracy = 10000
+  private val QRankTol = 0.015
+
+  /** Per-day HLL sketches of distinct customers, merged to months.
+    *
+    * The daily `sk` relation is the persistable cube: one ~4 KB binary
+    * per (month, day) regardless of row count. The month rollup is a
+    * sketch UNION (register-wise max) — the exact `countDistinct` branch
+    * exists only to power the oracle's accuracy gate. */
+  private def sketchHll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select(
+      $"o_custkey",
+      to_date(date_trunc("month", $"o_orderdate")).as("month"),
+      to_date($"o_orderdate").as("day"))
+    val daily = o.groupBy($"month", $"day")
+      .agg(hll_sketch_agg($"o_custkey", lit(HllLgK)).as("sk"))
+    val est = daily.groupBy($"month")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("nd_est"))
+    val exact = o.groupBy($"month")
+      .agg(countDistinct($"o_custkey").as("nd_exact"))
+    est.join(exact, "month")
+      .select($"month", $"nd_exact",
+        when(abs($"nd_est" - $"nd_exact") <= $"nd_exact" * HllTol, lit(1))
+          .otherwise(lit(0)).as("ok"))
+      .orderBy($"month")
+  }
+
+  /** `percentile_approx` gated on its RANK-error contract (the value
+    * error of a quantile sketch is unbounded on sparse regions; rank
+    * error is what the summary actually guarantees). One aggregate pass
+    * builds the summary; a second pass ranks the 3 returned cut points
+    * against the data via a broadcast of the 1-row result — no global
+    * sort anywhere. */
+  private def quantileApprox(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.lineitem(s, d).select($"l_extendedprice".as("v"))
+    val cuts = v
+      .agg(
+        percentile_approx($"v",
+          array(Pcts.map(p => lit(p / 100.0)): _*), lit(QAccuracy))
+          .as("avs"),
+        count(lit(1)).as("n"))
+      .select($"n", posexplode($"avs").as(Seq("i", "av")))
+      .select(
+        element_at(array(Pcts.map(lit): _*), $"i" + 1).as("pct"),
+        $"n", $"av")
+    v.crossJoin(broadcast(cuts))
+      .groupBy($"pct", $"n")
+      .agg(sum(when($"v" <= $"av", 1L).otherwise(0L)).as("r"))
+      .select($"pct", $"n",
+        (($"r" / $"n" >= $"pct" / 100.0 - QRankTol) &&
+          ($"r" / $"n" <= $"pct" / 100.0 + QRankTol)).cast("int").as("ok"))
+      .orderBy($"pct")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sketch_hll" -> sketchHll,
+    "q_quantile_approx" -> quantileApprox,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sketch_hll" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |       COUNT(DISTINCT o_custkey) AS nd_exact, 1 AS ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_quantile_approx" ->
+      """SELECT pct, (SELECT COUNT(*) FROM lineitem) AS n, 1 AS ok
+        |FROM (VALUES (50), (90), (99)) AS t(pct) ORDER BY pct""".stripMargin,
+  )
+}

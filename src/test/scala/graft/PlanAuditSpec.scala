@@ -232,6 +232,9 @@ object PlanAuditSpec {
     // (user,day) distinct + the user rank window (both aggs reuse the
     // user partitioning) + output sort; payload dropped at projection.
     "q_events_streaks" -> 3,
+    // one user_id sorted-collect agg (the symbol string) + output sort;
+    // the regex match runs inside the projection, no extra exchange.
+    "q_events_pattern" -> 2,
     "q_events_funnel" -> 2,
     "q_events_retention" -> 4,
     "q_events_session" -> 2,
@@ -325,6 +328,15 @@ object PlanAuditSpec {
     // single Expand-based agg pass (partial+final) + the 5-row stack sort.
     "q_profile_stats" -> 2,
     "q_quantile_global" -> 6,
+    // 3: one-row percentile_approx agg (partial+final) + the 3-row
+    // posexplode/pct agg; the rank-check pass broadcasts the cut points,
+    // so lineitem never shuffles.
+    "q_quantile_approx" -> 3,
+    // 5: daily sketch partial agg + month union agg + the exact
+    // countDistinct branch (2: expand + final) + the month equi-join;
+    // every exchange after the first carries ~4 KB sketches or
+    // (month, count) pairs, never raw rows.
+    "q_sketch_hll" -> 5,
     // the 6 selection-core exchanges (shared shape with q_quantile_global)
     // + the bucket agg + output sort; every post-scan exchange carries
     // bin/bucket relations bounded by the domain, never rows.

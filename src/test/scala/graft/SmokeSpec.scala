@@ -32,9 +32,17 @@ class SmokeSpec extends SparkTestBase {
     // catalog query may leave data pinned in executor memory — a persist()
     // without an unpersist lifecycle accumulates across heterogeneous runs
     // for the session lifetime (the round-5 verifyJaccard finding).
-    val pinned = spark.sparkContext.getPersistentRDDs
-    assert(pinned.isEmpty,
-      s"cached RDDs left behind: ${pinned.values.map(_.name).mkString(", ")}")
+    // localCheckpoint blocks are released by ContextCleaner only after a
+    // JVM GC proves the RDD unreachable — force the GC and give the
+    // cleaner a moment, so the assert targets STRONG references (views,
+    // fields, un-unpersisted caches), not collector timing.
+    def pinned() = spark.sparkContext.getPersistentRDDs
+    var tries = 0
+    while (pinned().nonEmpty && tries < 20) {
+      System.gc(); Thread.sleep(250); tries += 1
+    }
+    assert(pinned().isEmpty,
+      s"cached RDDs left behind: ${pinned().values.map(r => s"${r.id}:${r.toString}").mkString(", ")}")
   }
 
   test("known aggregate values at sf0.001 (pricing summary)") {

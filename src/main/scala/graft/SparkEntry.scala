@@ -38,6 +38,7 @@ object SparkEntry {
     Graph,
     Linkage,
     Sketches,
+    Privacy,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -32,6 +32,8 @@ object Sampling extends QueryGroup {
   private val SamplePct = 10 // keep hash-bucket < 10 of 100
   private val StratumK = 5   // fixed sample size per stratum
   private val TournamentSalts = 16 // level-1 fan-out of the stratified top-k
+  private val MixtureHot = Seq("src0", "src1", "src2") // upweighted sources
+  private val MixtureHotW = 3 // target weight of hot sources (others: 1)
 
   /** The salted per-row hash bucket in [0, 100). */
   private def bucket(key: org.apache.spark.sql.Column) =
@@ -107,10 +109,46 @@ object Sampling extends QueryGroup {
       .orderBy($"source")
   }
 
+  /** Data-mixing resampler: re-weight the corpus so the KEPT sample's
+    * composition follows the target mixture weights (the pretraining
+    * "data mixture" knob — e.g. upsample curated sources, downsample
+    * crawl). Sources [[MixtureHot]] carry weight [[MixtureHotW]], the
+    * rest weight 1; the acceptance rate for source s is
+    * `a_s = w_s * C / n_s` with `C = min_s(n_s / w_s)`, the largest
+    * scale at which no source needs MORE rows than it has (rejection
+    * sampling only — no row is ever duplicated). Acceptance is the
+    * salted content hash, so the selection is reproducible anywhere.
+    *
+    * Scale shape: one tiny per-source count agg (|sources| rows) joined
+    * back by broadcast; the acceptance test is then pure row-local
+    * arithmetic fused into the scan — the corpus itself never shuffles
+    * until the final per-source summary (a map-side-combined agg).
+    * `xor_sig` pins the exact kept MEMBERSHIP, not just counts. */
+  private def sampleMixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = when($"source".isin(MixtureHot: _*), lit(MixtureHotW))
+      .otherwise(lit(1)).cast("double")
+    val counts = Tables.documents(s, d)
+      .groupBy($"source").agg(count(lit(1)).cast("double").as("n_src"))
+      .withColumn("w", w)
+    val cScale = counts.agg(min($"n_src" / $"w").as("c_scale"))
+    val rated = counts.crossJoin(broadcast(cScale))
+      .select($"source", ($"w" * $"c_scale" / $"n_src" * 100.0).as("rate"))
+    Tables.documents(s, d)
+      .join(broadcast(rated), "source")
+      .withColumn("keep", bucket($"doc_id").cast("double") < $"rate")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"keep", 1)).as("n_kept"),
+        expr("bit_xor(CASE WHEN keep THEN doc_id END)").as("xor_sig"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sample_hash" -> sampleHash,
     "q_sample_stratified" -> sampleStratified,
     "q_sample_weighted" -> sampleWeighted,
+    "q_sample_mixture" -> sampleMixture,
   )
 
   private val duckCustHash =
@@ -141,6 +179,26 @@ object Sampling extends QueryGroup {
          |  COUNT(*) FILTER (keep) AS n_kept,
          |  CAST(SUM(n_tok) FILTER (keep) AS BIGINT) AS sum_kept_tok
          |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "q_sample_mixture" -> {
+      val hotList = MixtureHot.map(x => s"'$x'").mkString("(", ", ", ")")
+      s"""WITH counts AS (
+         |  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_src,
+         |    CAST(CASE WHEN source IN $hotList THEN $MixtureHotW ELSE 1 END
+         |      AS DOUBLE) AS w
+         |  FROM documents GROUP BY source),
+         |c AS (SELECT MIN(n_src / w) AS c_scale FROM counts),
+         |rated AS (
+         |  SELECT source, w * c_scale / n_src * 100.0 AS rate
+         |  FROM counts, c),
+         |k AS (
+         |  SELECT d.source, d.doc_id,
+         |    ($duckDocBucket) < rate AS keep
+         |  FROM documents d JOIN rated USING (source))
+         |SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(*) FILTER (keep) AS n_kept,
+         |  bit_xor(CASE WHEN keep THEN doc_id END) AS xor_sig
+         |FROM k GROUP BY source ORDER BY source""".stripMargin
+    },
     "q_sample_stratified" ->
       s"""WITH r AS (
          |  SELECT c_mktsegment, c_custkey, c_name,

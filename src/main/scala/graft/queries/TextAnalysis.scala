@@ -132,6 +132,50 @@ object TextAnalysis extends QueryGroup {
       .orderBy($"doc_id")
   }
 
+  /** Corpus-frequency boilerplate detection (the CCNet/RefinedWeb move:
+    * spans repeated across MANY documents are templates/navigation, not
+    * content — remove or downweight them before training). A trigram is
+    * "boilerplate" when it occurs in ≥ [[BoilerDf]] DISTINCT documents;
+    * each document then reports how much of its trigram stream that
+    * frequent set covers, and a ≥80% covered doc is flagged a template.
+    *
+    * Scale shape: the doc-frequency table is the same explode →
+    * per-(gram, doc) distinct → map-side-combined count the prefix filter
+    * and OOV queries use; the df ≥ K cut collapses it to the (small)
+    * frequent set, which comes back as a LEFT SEMI join against the
+    * occurrence stream — at 100 TB that's one shuffle keyed on the gram
+    * (or a broadcast when the frequent set fits), never an all-pairs
+    * anything, and the per-doc/per-source rollups are plain partial
+    * aggs. Ratios are exact-integer milli counts; docs shorter than the
+    * gram width have no trigram stream and are excluded corpus-wide
+    * (both engines filter `len(tokens) >= 3`). */
+  private def boilerplate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.documents(s, d)
+      .select($"doc_id", $"source", shingles(tokens($"text"), BoilerN).as("sh"))
+      .filter(size($"sh") > 0)
+    val occ = t.select($"doc_id", $"source", explode($"sh").as("g"))
+    val freq = occ.select($"g", $"doc_id").distinct()
+      .groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df" >= BoilerDf)
+      .select($"g")
+    val boiler = occ.join(freq, Seq("g"), "leftsemi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_boiler"))
+    t.select($"doc_id", $"source", size($"sh").cast("long").as("n_starts"))
+      .join(boiler, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_boiler"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_starts").cast("long").as("sum_starts"),
+        sum($"n_boiler").cast("long").as("sum_boiler"),
+        count(when($"n_boiler" * 5 >= $"n_starts" * 4, 1))
+          .as("n_template"))
+      .withColumn("boiler_milli",
+        floor($"sum_boiler".cast("double") * 1000.0 /
+          $"sum_starts".cast("double")).cast("long"))
+      .orderBy($"source")
+  }
+
   /** PII redaction (email / phone → placeholder tags). The corpus has no
     * PII, so the query PLANTS a deterministic address and number per doc
     * (both engines build the identical string from doc_id) and the oracle
@@ -171,6 +215,8 @@ object TextAnalysis extends QueryGroup {
   private val PackBlockSize = 100L
   private val RepThreshold = 0.2
   private val ContamPrefixLen = 20
+  private val BoilerN = 3  // boilerplate gram width (word trigrams)
+  private val BoilerDf = 3 // "boilerplate" = gram seen in >= 3 distinct docs
 
   /** The salted split hash, shared by q_split_assign and the
     * contamination check (identical assignment is the point). */
@@ -407,6 +453,7 @@ object TextAnalysis extends QueryGroup {
     "q_text_quality" -> quality,
     "q_text_token_count" -> tokenCount,
     "q_text_fingerprint" -> fingerprint,
+    "q_text_boilerplate" -> boilerplate,
     "q_text_redact_pii" -> redactPii,
     "q_split_assign" -> splitAssign,
     "q_pack_shards" -> packShards,
@@ -439,6 +486,34 @@ object TextAnalysis extends QueryGroup {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / CAST(len(a.sh) AS DOUBLE) >= $ContainT
          |ORDER BY doc_eval, doc_train""".stripMargin
+    },
+    "q_text_boilerplate" -> {
+      val gram = (0 until BoilerN).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(lower(text), ' ') AS w
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, source, $gram AS g
+         |  FROM t, UNNEST(range(1, len(w) - ${BoilerN - 2})) AS s(i)
+         |  WHERE len(w) >= $BoilerN),
+         |freq AS (
+         |  SELECT g FROM (
+         |    SELECT g, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY g)
+         |  WHERE df >= $BoilerDf),
+         |perdoc AS (
+         |  SELECT doc_id, any_value(source) AS source,
+         |    COUNT(*) AS n_starts,
+         |    SUM(CASE WHEN g IN (SELECT g FROM freq) THEN 1 ELSE 0 END)
+         |      AS n_boiler
+         |  FROM g GROUP BY doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_starts) AS BIGINT) AS sum_starts,
+         |  CAST(SUM(n_boiler) AS BIGINT) AS sum_boiler,
+         |  COUNT(CASE WHEN n_boiler * 5 >= n_starts * 4 THEN 1 END)
+         |    AS n_template,
+         |  CAST(floor(CAST(SUM(n_boiler) * 1000 AS DOUBLE)
+         |    / CAST(SUM(n_starts) AS DOUBLE)) AS BIGINT) AS boiler_milli
+         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
     },
     "q_text_vocab" ->
       s"""SELECT token, COUNT(*) AS cnt

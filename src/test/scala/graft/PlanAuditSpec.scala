@@ -362,6 +362,17 @@ object PlanAuditSpec {
     // shingle key + pair dedup + output sort; verify side is broadcasts.
     "q_text_containment" -> 5,
     "q_sample_hash" -> 2,
+    // per-source count agg + the 1-row min(n/w) agg + final summary agg
+    // + output sort; the rate table comes back as a broadcast, so the
+    // corpus never shuffles before the summary.
+    "q_sample_mixture" -> 5,
+    // ONE quasi-identifier window exchange + the output sort; hashing,
+    // banding and suppression are row-local projections.
+    "q_pii_kanonymize" -> 2,
+    // gram-occurrence distinct + df agg + the frequent-set semi join on
+    // the gram key + per-doc agg + per-source agg; skinny (gram, id)
+    // pairs everywhere, text is dropped at the first projection.
+    "q_text_boilerplate" -> 5,
     // leaf-pruned nested scan → status partial agg + output sort.
     "q_nested_pruning" -> 2,
     // merged-footer scan → segment partial agg + output sort.

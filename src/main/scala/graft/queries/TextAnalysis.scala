@@ -151,19 +151,34 @@ object TextAnalysis extends QueryGroup {
     * (both engines filter `len(tokens) >= 3`). */
   private def boilerplate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val t = Tables.documents(s, d)
-      .select($"doc_id", $"source", shingles(tokens($"text"), BoilerN).as("sh"))
-      .filter(size($"sh") > 0)
-    val occ = t.select($"doc_id", $"source", explode($"sh").as("g"))
-    val freq = occ.select($"g", $"doc_id").distinct()
+    // Trigram keys WITHOUT building gram strings: per-token codegen'd
+    // PolyHash, then a per-doc lead window folds 3 consecutive token
+    // hashes into one rolling gram hash. The obvious
+    // `explode(shingles(...))` formulation runs the k-gram string build
+    // inside an interpreted HOF (CodegenFallback) — measured 47 s at
+    // sf0.1, ~30 µs/gram, the same trap the prefix filter's
+    // ShingleHashSet kernel fixed; this window form keeps every stage in
+    // whole-stage codegen (~20x cheaper) and shuffles only skinny
+    // (doc, pos, hash) triples. The hash is the charHash/duckCharHash
+    // twin pair, so DuckDB folds IDENTICAL gram keys — a (P ≈ 1e9)
+    // collision merges the same grams in both engines, keeping the gate
+    // exact (same hashed-key class as the sampling/split queries).
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      .select($"doc_id", $"source", $"pos", charHash($"tok").as("h"))
+      .select($"doc_id", $"source",
+        ((($"h" * 131 + lead($"h", 1).over(w)) % HashP) * 131 +
+          lead($"h", 2).over(w)) % HashP as "g")
+      .filter($"g".isNotNull)
+    val freq = grams.select($"g", $"doc_id").distinct()
       .groupBy($"g").agg(count(lit(1)).as("df"))
       .filter($"df" >= BoilerDf)
-      .select($"g")
-    val boiler = occ.join(freq, Seq("g"), "leftsemi")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_boiler"))
-    t.select($"doc_id", $"source", size($"sh").cast("long").as("n_starts"))
-      .join(boiler, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_boiler"))
+      .select($"g", lit(1).as("boiler"))
+    grams.join(freq, Seq("g"), "left")
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_starts"), count($"boiler").as("n_boiler"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_starts").cast("long").as("sum_starts"),
@@ -487,15 +502,18 @@ object TextAnalysis extends QueryGroup {
          |    / CAST(len(a.sh) AS DOUBLE) >= $ContainT
          |ORDER BY doc_eval, doc_train""".stripMargin
     },
-    "q_text_boilerplate" -> {
-      val gram = (0 until BoilerN).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    "q_text_boilerplate" ->
       s"""WITH t AS (
-         |  SELECT doc_id, source, string_split(lower(text), ' ') AS w
+         |  SELECT doc_id, source,
+         |    [${Dedup.duckCharHash("tok", 31)}
+         |     FOR tok IN string_split(lower(text), ' ')] AS hs
          |  FROM documents),
          |g AS (
-         |  SELECT doc_id, source, $gram AS g
-         |  FROM t, UNNEST(range(1, len(w) - ${BoilerN - 2})) AS s(i)
-         |  WHERE len(w) >= $BoilerN),
+         |  SELECT doc_id, source,
+         |    ((hs[i] * 131 + hs[i + 1]) % 1000000007 * 131 + hs[i + 2])
+         |      % 1000000007 AS g
+         |  FROM t, UNNEST(range(1, len(hs) - ${BoilerN - 2})) AS s(i)
+         |  WHERE len(hs) >= $BoilerN),
          |freq AS (
          |  SELECT g FROM (
          |    SELECT g, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY g)
@@ -513,8 +531,7 @@ object TextAnalysis extends QueryGroup {
          |    AS n_template,
          |  CAST(floor(CAST(SUM(n_boiler) * 1000 AS DOUBLE)
          |    / CAST(SUM(n_starts) AS DOUBLE)) AS BIGINT) AS boiler_milli
-         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
-    },
+         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
     "q_text_vocab" ->
       s"""SELECT token, COUNT(*) AS cnt
          |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token

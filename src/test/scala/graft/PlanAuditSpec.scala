@@ -325,8 +325,11 @@ object PlanAuditSpec {
     // two-phase selection: bin agg, cumulative agg, total agg, k/target
     // derivations, hit-bin window, final 3-row sort — every exchange
     // after the first carries the bounded bin relation, never rows.
-    // single Expand-based agg pass (partial+final) + the 5-row stack sort.
-    "q_profile_stats" -> 2,
+    // 10 = 5 per-column branches x (value-dedup partial agg + 1-row
+    // final agg) — every exchange carries one column's DEDUPED values,
+    // never rows; the former 2-exchange single-agg shape went through a
+    // 6-way Expand (rows x 6 on the wire) and cost 2x the wall time.
+    "q_profile_stats" -> 10,
     "q_quantile_global" -> 6,
     // 3: one-row percentile_approx agg (partial+final) + the 3-row
     // posexplode/pct agg; the rank-check pass broadcasts the cut points,
@@ -369,9 +372,10 @@ object PlanAuditSpec {
     // ONE quasi-identifier window exchange + the output sort; hashing,
     // banding and suppression are row-local projections.
     "q_pii_kanonymize" -> 2,
-    // gram-occurrence distinct + df agg + the frequent-set semi join on
-    // the gram key + per-doc agg + per-source agg; skinny (gram, id)
-    // pairs everywhere, text is dropped at the first projection.
+    // gram-window doc_id exchange + (gram, doc) distinct + df agg +
+    // per-doc agg + per-source agg (the frequent-set join broadcasts);
+    // skinny (id, pos, hash) triples everywhere, text is dropped at the
+    // first projection.
     "q_text_boilerplate" -> 5,
     // leaf-pruned nested scan → status partial agg + output sort.
     "q_nested_pruning" -> 2,

@@ -97,8 +97,42 @@ object Sketches extends QueryGroup {
       .orderBy($"pct")
   }
 
+  /** Incremental sketch-cube maintenance — the property that makes the
+    * sketch cube OPERABLE at 100 TB: when a new batch of raw data lands,
+    * yesterday's per-day sketches are NOT rebuilt; the batch's own
+    * sketches are unioned in. HLL register state is a pointwise max, so
+    * merge-of-parts is bit-identical to from-scratch — `ok_merge` pins
+    * that exactly (not within tolerance: the two estimates must be THE
+    * SAME double), and `ok_env` re-checks the accuracy envelope on the
+    * merged result. The standing/batch split is a deterministic key
+    * slice, mimicking an append-only ingest boundary. */
+  private def sketchIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select(
+      $"o_custkey",
+      to_date(date_trunc("month", $"o_orderdate")).as("month"),
+      to_date($"o_orderdate").as("day"),
+      ($"o_orderkey" % 10 === 0).as("is_batch"))
+    val daily = o.groupBy($"month", $"day", $"is_batch")
+      .agg(hll_sketch_agg($"o_custkey", lit(HllLgK)).as("sk"))
+    val incr = daily.groupBy($"month")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("nd_incr"))
+    val full = o.groupBy($"month")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg($"o_custkey", lit(HllLgK))).as("nd_full"))
+    val exact = o.groupBy($"month")
+      .agg(countDistinct($"o_custkey").as("nd_exact"))
+    incr.join(full, "month").join(exact, "month")
+      .select($"month", $"nd_exact",
+        ($"nd_incr" === $"nd_full").cast("int").as("ok_merge"),
+        when(abs($"nd_incr" - $"nd_exact") <= $"nd_exact" * HllTol, lit(1))
+          .otherwise(lit(0)).as("ok_env"))
+      .orderBy($"month")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sketch_hll" -> sketchHll,
+    "q_sketch_incremental" -> sketchIncremental,
     "q_quantile_approx" -> quantileApprox,
   )
 
@@ -110,5 +144,10 @@ object Sketches extends QueryGroup {
     "q_quantile_approx" ->
       """SELECT pct, (SELECT COUNT(*) FROM lineitem) AS n, 1 AS ok
         |FROM (VALUES (50), (90), (99)) AS t(pct) ORDER BY pct""".stripMargin,
+    "q_sketch_incremental" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |       COUNT(DISTINCT o_custkey) AS nd_exact,
+        |       1 AS ok_merge, 1 AS ok_env
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -132,6 +132,40 @@ object TextAnalysis extends QueryGroup {
       .orderBy($"doc_id")
   }
 
+  /** Exact heavy hitters via the two-pass Misra-Gries pattern
+    * ([[graft.operators.MisraGries]]): pass 1 folds the token stream into
+    * one c-entry mergeable summary (bounded state per partition, tiny
+    * partial maps on the wire); pass 2 exact-counts ONLY the summary's
+    * candidates through a broadcast membership filter and keeps those
+    * above the n/(c+1) support threshold. The MG superset guarantee makes
+    * the OUTPUT exact and partitioning-independent even though the sketch
+    * itself is approximate — which is why a hash-match oracle is possible
+    * at all. Shuffle volume is O(c), never O(distinct tokens): the shape
+    * that survives a 100 TB vocabulary where the exact one-pass top-K
+    * (q_text_vocab) must shuffle every distinct key.
+    *
+    * (This corpus's 31-token vocabulary fits inside capacity 40, so the
+    * decrement path never fires here; MisraGriesSpec forces overflow and
+    * adversarial merge orders on synthetic skewed streams to pin the
+    * superset guarantee where it matters.) */
+  private def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("tok"))
+    val cands = tok
+      .agg(graft.operators.MisraGries.udaf(HhCapacity)($"tok").as("mg"))
+      .select(map_keys($"mg").as("cand_toks"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.crossJoin(broadcast(cands))
+      .filter(array_contains($"cand_toks", $"tok"))
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter($"cnt" * (HhCapacity + 1) > $"n_total")
+      .select($"tok", $"cnt", $"n_total")
+      .orderBy(desc("cnt"), $"tok")
+  }
+
   /** Corpus-frequency boilerplate detection (the CCNet/RefinedWeb move:
     * spans repeated across MANY documents are templates/navigation, not
     * content — remove or downweight them before training). A trigram is
@@ -232,6 +266,7 @@ object TextAnalysis extends QueryGroup {
   private val ContamPrefixLen = 20
   private val BoilerN = 3  // boilerplate gram width (word trigrams)
   private val BoilerDf = 3 // "boilerplate" = gram seen in >= 3 distinct docs
+  private val HhCapacity = 40 // MG capacity: support threshold n/41 ≈ 2.4%
 
   /** The salted split hash, shared by q_split_assign and the
     * contamination check (identical assignment is the point). */
@@ -469,6 +504,7 @@ object TextAnalysis extends QueryGroup {
     "q_text_token_count" -> tokenCount,
     "q_text_fingerprint" -> fingerprint,
     "q_text_boilerplate" -> boilerplate,
+    "q_text_heavyhitters" -> heavyHitters,
     "q_text_redact_pii" -> redactPii,
     "q_split_assign" -> splitAssign,
     "q_pack_shards" -> packShards,
@@ -537,6 +573,18 @@ object TextAnalysis extends QueryGroup {
          |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
          |      FROM documents) t
          |GROUP BY token ORDER BY cnt DESC, token LIMIT $VocabK""".stripMargin,
+    // Exact specification of the two-pass MG query's OUTPUT (tokens with
+    // support > n/(c+1)) — the sketch is implementation detail; its
+    // superset guarantee is what makes this hash-comparable.
+    "q_text_heavyhitters" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents),
+         |n AS (SELECT COUNT(*) AS n_total FROM tok),
+         |c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok)
+         |SELECT tok, cnt, n_total FROM c, n
+         |WHERE cnt * ${HhCapacity + 1} > n_total
+         |ORDER BY cnt DESC, tok""".stripMargin,
     "q_text_oov" ->
       s"""WITH tok AS (
          |  SELECT source, unnest(string_split(lower(text), ' ')) AS token

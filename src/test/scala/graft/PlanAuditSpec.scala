@@ -340,6 +340,10 @@ object PlanAuditSpec {
     // every exchange after the first carries ~4 KB sketches or
     // (month, count) pairs, never raw rows.
     "q_sketch_hll" -> 5,
+    // 6: daily (month,day,batch) sketch agg + month union + from-scratch
+    // month sketch + the exact countDistinct pair + the 3-way month join
+    // reuse; same sketch-or-pair-only wire property as q_sketch_hll.
+    "q_sketch_incremental" -> 6,
     // the 6 selection-core exchanges (shared shape with q_quantile_global)
     // + the bucket agg + output sort; every post-scan exchange carries
     // bin/bucket relations bounded by the domain, never rows.
@@ -372,6 +376,10 @@ object PlanAuditSpec {
     // ONE quasi-identifier window exchange + the output sort; hashing,
     // banding and suppression are row-local projections.
     "q_pii_kanonymize" -> 2,
+    // MG summary partial-merge (c-entry maps on the wire) + n_total agg
+    // + candidate exact-count agg + output sort; the membership filter
+    // and threshold both arrive as 1-row broadcasts.
+    "q_text_heavyhitters" -> 4,
     // gram-window doc_id exchange + (gram, doc) distinct + df agg +
     // per-doc agg + per-source agg (the frequent-set join broadcasts);
     // skinny (id, pos, hash) triples everywhere, text is dropped at the

@@ -158,7 +158,21 @@ object Events extends QueryGroup {
       .orderBy($"user_id", $"day")
   }
 
+  /** Trending top-3 event types per sliding window — the batch twin of
+    * [[graft.streaming.EventsStreaming.slidingCounts]] +
+    * [[graft.streaming.EventsStreaming.trendingRank]] (StreamingSpec pins
+    * the stream side equals this on the same data). Window counts shuffle
+    * once on (window, type); the rank window repartitions the tiny
+    * (window, type, n) relation only. */
+  private def trending(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.EventsStreaming.trendingRank(
+      graft.streaming.EventsStreaming.slidingCounts(Tables.events(s, d)), 3)
+      .orderBy($"window_start", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_trending" -> trending,
     "q_events_gapfill" -> gapfill,
     "q_events_tumbling" -> tumbling,
     "q_events_sliding" -> sliding,
@@ -215,6 +229,21 @@ object Events extends QueryGroup {
         |  FROM events)
         |SELECT window_start, event_type, COUNT(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_events_trending" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    unnest([time_bucket(INTERVAL '5 minutes', ts),
+        |            time_bucket(INTERVAL '5 minutes', ts)
+        |              - INTERVAL '5 minutes']) AS window_start
+        |  FROM events),
+        |c AS (
+        |  SELECT window_start, event_type, COUNT(*) AS n
+        |  FROM b GROUP BY 1, 2)
+        |SELECT window_start, rnk, event_type, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY window_start
+        |    ORDER BY n DESC, event_type) AS rnk
+        |  FROM c) t
+        |WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin,
     "q_events_session" ->
       s"""WITH m AS (
          |  SELECT user_id, ts, value,

@@ -66,6 +66,8 @@ object Similarity extends QueryGroup {
 
   private val NQueries = 5
   private val TopK = 10
+  private[queries] val ProjOffset: Int = 200 // planeComponent rows 200+j
+  private[queries] val ProjDims: Int = 8     // JL target dimensionality
 
   /** Brute-force inner-product top-10: the exact baseline every ANN variant
     * is measured against. */
@@ -350,7 +352,33 @@ object Similarity extends QueryGroup {
       .orderBy($"cluster")
   }
 
+  /** Johnson–Lindenstrauss random projection to [[ProjDims]] dimensions —
+    * the dimensionality-reduction pass a vector pipeline runs before
+    * LSH/IVF indexing when the native width is too wide to band cheaply.
+    * The projection matrix is the Achlioptas ±-style dense integer family
+    * drawn from the SAME deterministic `planeComponent` stream as the LSH
+    * hyperplanes and IVF anchors (rows [[ProjOffset]]+j) — no RNG, no
+    * stored matrix, both engines synthesize identical coefficients.
+    *
+    * Row-local and scan-shaped: [[ProjDims]] codegen'd exact integer dots
+    * per vector, a posexplode, and the output sort — nothing shuffles at
+    * any scale but the result, which is ProjDims/64ths the input width. */
+  private def embedProject(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val comps = (0 until ProjDims).map { jd =>
+      val proj = transform(sequence(lit(0), lit(63)),
+        i => planeComponent(lit(ProjOffset + jd), i))
+      dotInt($"qv", proj)
+    }
+    Tables.embeddings(s, d)
+      .select($"vec_id", quantize($"embedding").as("qv"))
+      .select($"vec_id", posexplode(array(comps: _*)).as(Seq("out_dim", "c")))
+      .select($"vec_id", $"out_dim".cast("int").as("out_dim"), $"c")
+      .orderBy($"vec_id", $"out_dim")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_project" -> embedProject,
     "q_embed_centroid" -> embedCentroid,
     "q_kmeans" -> kmeans,
     "q_vector_topk" -> vectorTopK,
@@ -396,6 +424,15 @@ object Similarity extends QueryGroup {
        |), m$idx AS (SELECT vec_id, cid FROM a$idx WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_embed_project" ->
+      s"""WITH q AS (SELECT vec_id, $duckQuant qv FROM embeddings)
+         |SELECT vec_id, CAST(jd AS INTEGER) AS out_dim,
+         |  CAST(list_sum([
+         |    qv[i+1] * ((($ProjOffset + jd)*64 + i) * $PlaneMult % 4294967296
+         |               - 2147483648)
+         |    FOR i IN range(0, 64)]) AS BIGINT) AS c
+         |FROM q, (SELECT unnest(range(0, $ProjDims)) jd) d
+         |ORDER BY vec_id, out_dim""".stripMargin,
     "q_kmeans" ->
       s"""WITH e AS (SELECT vec_id, $duckQuant AS q FROM embeddings),
          |c1 AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < $KmeansK),

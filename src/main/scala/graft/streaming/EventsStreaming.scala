@@ -50,6 +50,32 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Sliding 10/5-minute counts per event type under a watermark — the
+    * state side of a trending-items feed (each event lands in 2 windows;
+    * state is bounded by the watermark horizon). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Trending top-k per window, deterministic ties (n DESC, type ASC).
+    * Rank is not an incremental streaming operator — it re-evaluates per
+    * snapshot: apply this to each foreachBatch state snapshot (streaming)
+    * or to the full counts relation (the batch twin `q_events_trending`,
+    * which is what the oracle checks). */
+  def trendingRank(counts: DataFrame, k: Int): DataFrame =
+    counts
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window_start"))
+          .orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rnk") <= k)
+      .select(col("window_start"), col("rnk").cast("long").as("rnk"),
+        col("event_type"), col("n"))
+
   /** Stream-static dimension enrichment: the static side re-plans as a
     * broadcast each micro-batch — no state, no watermark, and dim
     * updates between batches are picked up for free. The standard shape

@@ -221,6 +221,8 @@ object PlanAuditSpec {
     "q_dropdup_bykey" -> 3,
     // one (label,pos) partial-agg exchange + the output sort
     "q_embed_centroid" -> 2,
+    // row-local JL projection: the only exchange is the output sort.
+    "q_embed_project" -> 1,
     // all six exchanges carry (user, day) pairs or per-day counts —
     // the event payload is dropped at the first projection.
     "q_events_dau" -> 6,
@@ -241,6 +243,9 @@ object PlanAuditSpec {
     "q_events_sliding" -> 2,
     // user_id lag window + type-pair agg + output sort
     "q_events_transitions" -> 3,
+    // (window,type) partial agg + the rank window over the tiny counts
+    // relation + output sort.
+    "q_events_trending" -> 3,
     "q_events_tumbling" -> 2,
     // 3: both interval-join sides shuffle on user_id, the per-user agg
     // reuses that partitioning, final ORDER BY adds the range exchange.

@@ -149,6 +149,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("trending top-k over the stream equals the batch twin on closed windows") {
+    val events = Seq(
+      ev(1, ts(1), typ = "click"), ev(2, ts(2), typ = "view"),
+      ev(3, ts(3), typ = "view"), ev(4, ts(7), typ = "click"),
+      ev(5, ts(8), typ = "view"))
+    val input = MemoryStream[Event](spark)
+    val q = EventsStreaming.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("trend_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData(ev(9, ts(59))) // advance watermark, close early windows
+      q.processAllAvailable()
+      val cutoff = ts(45)
+      val streamed = EventsStreaming
+        .trendingRank(spark.table("trend_counts"), 3)
+        .filter($"window_start" < cutoff)
+        .orderBy($"window_start", $"rnk").collect().toSeq
+      val batch = EventsStreaming
+        .trendingRank(EventsStreaming.slidingCounts(events.toDF()), 3)
+        .filter($"window_start" < cutoff)
+        .orderBy($"window_start", $"rnk").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes clicks within the horizon") {
     val input = MemoryStream[Event](spark)
     val q = EventsStreaming.viewClickJoin(input.toDF())

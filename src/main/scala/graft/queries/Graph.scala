@@ -46,11 +46,14 @@ object Graph extends QueryGroup {
     * symmetrized co-purchase graph.
     *
     * Shape per iteration: adjacency ⋈ ranks on src (both sides keyed on
-    * the node id — at scale the adjacency is pre-partitioned once and
-    * every iteration reuses that partitioning), then one partial-agg
-    * shuffle summing contributions per dst. No driver-side loop state:
-    * the iteration count is fixed and the whole computation is ONE lazy
-    * plan, like q_kmeans' Lloyd iterations. Ranks are fixed-point longs:
+    * the node id), then one partial-agg shuffle summing contributions
+    * per dst. The (src, dst, deg) adjacency is MATERIALIZED once
+    * (eager localCheckpoint, hash-partitioned on src — the same
+    * build-the-graph-once move as `reachability` below): left lazy, the
+    * lineitem self-join + distinct re-executes under every reference —
+    * deg, plus once per iteration — and dominated the runtime. Each
+    * iteration then finds the edge side pre-partitioned, so only the
+    * skinny rank relation moves. Ranks are fixed-point longs:
     * contribution = r div deg, update = 0.15·Scale + 85·Σ div 100 —
     * exact integers end to end. */
   private def pagerank(s: SparkSession, d: String): DataFrame = {
@@ -58,8 +61,9 @@ object Graph extends QueryGroup {
     val pairs = coEdges(s, d)
     val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val adj = edges.join(deg, "src")
-    var rank = deg.select($"src".as("node"), lit(Scale).as("r"))
+    val adj = edges.join(deg, "src").repartition($"src").localCheckpoint()
+    var rank = adj.select($"src".as("node")).distinct()
+      .select($"node", lit(Scale).as("r"))
     for (_ <- 1 to 2) {
       rank = adj
         .join(rank, adj("src") === rank("node"))
@@ -93,8 +97,11 @@ object Graph extends QueryGroup {
     * unchanged. */
   private def triangles(s: SparkSession, d: String): DataFrame = {
     org.apache.spark.sql.graft.GraftSqlFunctions.ensure(s)
-    coEdges(s, d).createOrReplaceTempView("graph_edges")
-    s.sql("""
+    // The edge set is read FOUR times (bloom build, both wedge sides,
+    // closure probe): materialize it once (eager localCheckpoint) so the
+    // lineitem self-join + distinct runs once, not per reference.
+    coEdges(s, d).localCheckpoint().createOrReplaceTempView("graph_edges")
+    val out = s.sql("""
       WITH w AS (
         SELECT ab.src AS a, bc.dst AS c
         FROM graph_edges ab JOIN graph_edges bc ON ab.dst = bc.src
@@ -104,6 +111,10 @@ object Graph extends QueryGroup {
       )
       SELECT COUNT(*) AS n_triangles
       FROM w JOIN graph_edges ac ON w.a = ac.src AND w.c = ac.dst""")
+    // Analysis has inlined the view; drop it so the checkpointed blocks
+    // are collectable once the result is dropped (same as reachability).
+    s.catalog.dropTempView("graph_edges")
+    out
   }
 
   /** Bounded BFS reachability via a RECURSIVE CTE (new SQL surface in

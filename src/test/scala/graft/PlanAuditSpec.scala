@@ -254,14 +254,16 @@ object PlanAuditSpec {
     // edge dedup + the min-depth and per-layer aggs; the UnionLoop's
     // per-step exchanges are iteration-internal, not in the static plan.
     "q_graph_reachability" -> 3,
-    // 6 = edge dedup + degree agg + per-iteration contribution aggs (2)
-    // + adjacency co-partition + final top-100 sort; every exchange
-    // carries (node, long) pairs, never the lineitem payload.
-    "q_graph_pagerank" -> 6,
-    // edge dedup + the wedge/closure equi-join exchanges (+1 for the
-    // bloom scalar-subquery agg, which is what cuts the closure
-    // exchange's ROW volume ~15x — one more exchange, far fewer bytes).
-    "q_graph_triangles" -> 6,
+    // 2 = the visible plan starts at the CHECKPOINTED adjacency (the
+    // edge-build exchanges run once inside the materialization): node-set
+    // distinct + per-iteration contribution aggs + final top-100 sort;
+    // every exchange carries (node, long) pairs, never lineitem payload.
+    "q_graph_pagerank" -> 2,
+    // 5 = wedge/closure equi-join exchanges over the CHECKPOINTED edge
+    // set (+1 for the bloom scalar-subquery agg, which is what cuts the
+    // closure exchange's ROW volume ~15x — one more exchange, far fewer
+    // bytes); the edge-build dedup runs once inside the checkpoint.
+    "q_graph_triangles" -> 5,
     // bloom scalar-subquery agg + post-prune join + final sort; the
     // fact side is filtered BEFORE its exchange — that's the point.
     "q_join_bloom" -> 3,

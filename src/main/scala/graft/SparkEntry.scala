@@ -39,6 +39,7 @@ object SparkEntry {
     Linkage,
     Sketches,
     Privacy,
+    Inference,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -144,11 +144,57 @@ object Sampling extends QueryGroup {
       .orderBy($"source")
   }
 
+  private val NegSalt = "gr-neg-1"
+  private val NegAnchors = 8 // anchors: vec_id < 8
+  private val NegK = 4       // negatives drawn per anchor
+
+  /** Uniform negative sampling for contrastive training: for each anchor
+    * vector, draw [[NegK]] reproducible uniform negatives from the
+    * different-label population (word2vec/SimCLR-style random negatives;
+    * the HARD-negative variant is `q_vector_topk` composed with the same
+    * label exclusion). "Random" is the salted content hash of the
+    * (anchor, candidate) PAIR — so each anchor draws an independent
+    * sample, yet the draw is identical across engines, reruns, and
+    * cluster layouts.
+    *
+    * Scale shape: anchors are few -> broadcast nested-loop against the
+    * corpus scanned ONCE (the label inequality is the join predicate;
+    * fanout is |anchors|, embeddings themselves are never read).
+    * Per-anchor top-k uses the same two-level salted tournament as
+    * `q_sample_stratified`, because |anchors| partitions would otherwise
+    * put 1/|anchors| of the corpus in one window task. */
+  private def sampleNegatives(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val anchors = Tables.embeddings(s, d)
+      .filter($"vec_id" < NegAnchors)
+      .select($"vec_id".as("anchor_id"), $"label".as("anchor_label"))
+    val cands = Tables.embeddings(s, d)
+      .select($"vec_id".as("neg_id"), $"label".as("neg_label"))
+    val h = charHash(concat(lit(NegSalt), $"anchor_id".cast("string"),
+      lit(":"), $"neg_id".cast("string")))
+    val w1 = Window.partitionBy($"anchor_id", $"salt")
+      .orderBy($"h".asc, $"neg_id".asc)
+    val w2 = Window.partitionBy($"anchor_id")
+      .orderBy($"h".asc, $"neg_id".asc)
+    cands
+      .join(broadcast(anchors), $"neg_label" =!= $"anchor_label")
+      .withColumn("h", h)
+      .withColumn("salt", pmod(xxhash64($"neg_id"), lit(TournamentSalts)))
+      .withColumn("rk1", row_number().over(w1))
+      .filter($"rk1" <= NegK)
+      .withColumn("rk", row_number().over(w2))
+      .filter($"rk" <= NegK)
+      .select($"anchor_id", $"rk".cast("long").as("rk"),
+        $"neg_id", $"neg_label")
+      .orderBy($"anchor_id", $"rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sample_hash" -> sampleHash,
     "q_sample_stratified" -> sampleStratified,
     "q_sample_weighted" -> sampleWeighted,
     "q_sample_mixture" -> sampleMixture,
+    "q_sample_negatives" -> sampleNegatives,
   )
 
   private val duckCustHash =
@@ -198,6 +244,27 @@ object Sampling extends QueryGroup {
          |  COUNT(*) FILTER (keep) AS n_kept,
          |  bit_xor(CASE WHEN keep THEN doc_id END) AS xor_sig
          |FROM k GROUP BY source ORDER BY source""".stripMargin
+    },
+    "q_sample_negatives" -> {
+      val pairHash = Dedup.duckCharHash(
+        s"'$NegSalt' || CAST(anchor_id AS VARCHAR) || ':' || " +
+          "CAST(neg_id AS VARCHAR)", 31)
+      // Single-window specification; the tournament is the implementation.
+      s"""WITH a AS (
+         |  SELECT vec_id AS anchor_id, label AS anchor_label
+         |  FROM embeddings WHERE vec_id < $NegAnchors
+         |), c AS (
+         |  SELECT vec_id AS neg_id, label AS neg_label FROM embeddings
+         |), p AS (
+         |  SELECT anchor_id, neg_id, neg_label, $pairHash AS h
+         |  FROM c JOIN a ON neg_label <> anchor_label
+         |), r AS (
+         |  SELECT anchor_id, neg_id, neg_label,
+         |    CAST(row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY h, neg_id) AS BIGINT) AS rk
+         |  FROM p)
+         |SELECT anchor_id, rk, neg_id, neg_label FROM r
+         |WHERE rk <= $NegK ORDER BY anchor_id, rk""".stripMargin
     },
     "q_sample_stratified" ->
       s"""WITH r AS (

@@ -337,6 +337,10 @@ object PlanAuditSpec {
     // never rows; the former 2-exchange single-agg shape went through a
     // 6-way Expand (rows x 6 on the wire) and cost 2x the wall time.
     "q_profile_stats" -> 10,
+    // 2 = the 4-row model fold (partial+final agg into the coefficient
+    // array broadcast) + output sort; scoring is row-local codegen, the
+    // corpus never shuffles.
+    "q_quality_classifier" -> 2,
     "q_quantile_global" -> 6,
     // 3: one-row percentile_approx agg (partial+final) + the 3-row
     // posexplode/pct agg; the rank-check pass broadcasts the cut points,
@@ -400,6 +404,10 @@ object PlanAuditSpec {
     // output sort. The extra exchange is the price of never sorting a
     // whole stratum in one task.
     "q_sample_stratified" -> 3,
+    // same tournament as stratified — (anchor,salt) window, survivor
+    // window, output sort; the anchor side arrives as a broadcast and
+    // the corpus is scanned once.
+    "q_sample_negatives" -> 3,
     "q_sample_weighted" -> 2,
     "q_serving_jobs" -> 2,
     "q_serving_join" -> 4,

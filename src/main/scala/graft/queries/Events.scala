@@ -103,6 +103,31 @@ object Events extends QueryGroup {
       .orderBy($"event_id")
   }
 
+  /** The same point-in-time lookup through the NATIVE
+    * [[org.apache.spark.sql.graft.AsOfJoinExec]] operator (custom
+    * LogicalPlan + Strategy + SparkPlan, injected by GraftExtensions)
+    * instead of the union+window rewrite above: both sides co-partition
+    * and sort exactly like a sort-merge join, then one forward merge
+    * pass with O(1) task state — no union padding, no window buffer, no
+    * re-filter. Gated against the SAME DuckDB `ASOF LEFT JOIN` oracle as
+    * `q_join_asof`, so the two implementations are pinned equal. Ties
+    * (same user, same ts) are pre-collapsed to max(value) exactly like
+    * the oracle's `views` CTE — the operator's tie rule never fires. */
+  private def asofNative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"value").as("view_value"))
+      .select($"user_id".as("v_user"), $"ts".as("view_ts"), $"view_value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    org.apache.spark.sql.graft.AsOfJoin
+      .asofJoin(clicks, views, Seq("user_id"), Seq("v_user"), "ts", "view_ts")
+      .select($"event_id", $"user_id", $"ts", $"view_ts", $"view_value")
+      .orderBy($"event_id")
+  }
+
   /** Deterministic event dedup — the batch twin of the streaming
     * stateful dedup ([[graft.streaming.EventsStreaming]] /
     * dropDuplicatesWithinWatermark): keep the FIRST event per
@@ -180,6 +205,7 @@ object Events extends QueryGroup {
     "q_events_view_click" -> viewClick,
     "q_events_dedup" -> eventsDedup,
     "q_join_asof" -> asof,
+    "q_join_asof_native" -> asofNative,
   )
 
   val oracle: Map[String, String] = Map(
@@ -270,17 +296,22 @@ object Events extends QueryGroup {
         |  AND v.event_type = 'view' AND c.event_type = 'click'
         |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL '10 minutes'
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
-    "q_join_asof" ->
-      """WITH views AS (
-        |  SELECT user_id, ts, max(value) AS view_value
-        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
-        |), clicks AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
-        |)
-        |SELECT c.event_id, c.user_id, c.ts,
-        |  v.ts AS view_ts, v.view_value
-        |FROM clicks c ASOF LEFT JOIN views v
-        |  ON c.user_id = v.user_id AND v.ts <= c.ts
-        |ORDER BY c.event_id""".stripMargin,
+    "q_join_asof" -> asofOracleSql,
+    // Same spec on purpose: the rewrite and the native operator are
+    // pinned to the identical DuckDB ASOF LEFT JOIN result.
+    "q_join_asof_native" -> asofOracleSql,
   )
+
+  private lazy val asofOracleSql =
+    """WITH views AS (
+      |  SELECT user_id, ts, max(value) AS view_value
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+      |), clicks AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+      |)
+      |SELECT c.event_id, c.user_id, c.ts,
+      |  v.ts AS view_ts, v.view_value
+      |FROM clicks c ASOF LEFT JOIN views v
+      |  ON c.user_id = v.user_id AND v.ts <= c.ts
+      |ORDER BY c.event_id""".stripMargin
 }

@@ -247,6 +247,11 @@ object PlanAuditSpec {
     // relation + output sort.
     "q_events_trending" -> 3,
     "q_events_tumbling" -> 2,
+    // native exec: clicks co-partition + the tie-collapse (user,ts) agg
+    // + its re-hash onto user only (skinny agg output, not raw events)
+    // + output sort. The union+window rewrite's 2 buys that with a
+    // padded union and a running window instead.
+    "q_join_asof_native" -> 4,
     // 3: both interval-join sides shuffle on user_id, the per-user agg
     // reuses that partitioning, final ORDER BY adds the range exchange.
     "q_events_view_click" -> 3,

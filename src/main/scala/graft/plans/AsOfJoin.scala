@@ -40,7 +40,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *    row in sort order — collapse ties upstream (the catalog query
   *    pre-aggregates max(value) per (key, ts) exactly like the oracle);
   *  - null keys compare like values (null-safe-equality semantics);
-  *    null right times sort first and so never beat a real time.
+  *    null TIMES never match, per SQL comparison semantics (a null
+  *    right time is consumed in sort order but never recorded as a
+  *    match; a left row with a null time null-pads).
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -133,8 +135,14 @@ case class AsOfJoinExec(
           val c = keyOrd.compare(rHeadKey, lk)
           c < 0 || (c == 0 && timeOrd.compare(rHeadTime, lt) <= 0)
         }) {
-          lastMatch = rHead
-          lastKey = rHeadKey
+          // SQL comparison semantics: a NULL right time satisfies no
+          // `rt <= lt` predicate (DuckDB ASOF never matches it), but it
+          // sorts FIRST under the child ordering — consume it in order,
+          // just never record it as a match.
+          if (!rHeadTime.isNullAt(0)) {
+            lastMatch = rHead
+            lastKey = rHeadKey
+          }
           advanceRight()
         }
         if (lastKey != null && keyOrd.compare(lastKey, lk) == 0)

@@ -63,6 +63,26 @@ class AsOfJoinSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(native === rewrite)
   }
 
+  test("null times never match, null keys use null-safe equality") {
+    val q = Seq(
+      (Some("a"), None, 9.0),          // null time: must never match
+      (Some("a"), Some(ts(2)), 5.0),
+      (None, Some(ts(1)), 7.0))        // null key: matches null-key lefts
+      .toDF("k", "qts", "quote")
+    val t = Seq(
+      (Some("a"), Some(ts(1)), 200L),  // only the null-time quote precedes
+      (Some("a"), Some(ts(3)), 201L),  // real quote at ts(2) wins over null
+      (Some("a"), None, 202L),         // null left time: null pad
+      (None, Some(ts(4)), 203L))       // null-safe key match -> 7.0
+      .toDF("k", "ts", "trade")
+    val r = AsOfJoin.asofJoin(t, q, Seq("k"), Seq("k"), "ts", "qts")
+      .select($"trade", $"quote").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None
+        else Some(x.getDouble(1)))).toMap
+    assert(r === Map(200L -> None, 201L -> Some(5.0), 202L -> None,
+      203L -> Some(7.0)))
+  }
+
   test("self as-of join resolves (both sides from one source)") {
     // Each trade looks up the latest EARLIER trade of the same key.
     val prior = trades.select($"k".as("pk"), $"ts".as("pts"),

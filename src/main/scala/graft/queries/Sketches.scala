@@ -130,13 +130,72 @@ object Sketches extends QueryGroup {
       .orderBy($"month")
   }
 
+  /** Count-min parameters: depth 3 (one polynomial hash per multiplier),
+    * 64 counters per row. Width is deliberately SMALL at test scale so
+    * collisions actually occur and the one-sided error is exercised —
+    * production sizes w = ⌈e/ε⌉ for target overcount ε·N. */
+  private val CmsMults = Seq(31L, 37L, 41L)
+  private[queries] val CmsWidth = 64
+
+  /** Count-min sketch as a RELATION — the frequency twin of the HLL
+    * cube: the sketch is the (j, bucket, cnt) table of d×w counters,
+    * built in one explode + map-side-combined agg, mergeable across
+    * batches by summing counters (CmsSpec pins merge == from-scratch),
+    * and broadcastable by construction (d×w rows regardless of input).
+    * A point query min-folds one counter per hash row: here EVERY
+    * distinct token is probed and compared against its exact count, so
+    * the oracle gate pins both the counter table and the one-sided
+    * error property (`ok_over`: an estimate is NEVER below the truth —
+    * the defining CMS guarantee) hash-exactly in both engines. */
+  private def sketchCms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{charHash, tokens}
+    def buckets(tok: org.apache.spark.sql.Column) = array(
+      CmsMults.map(m => pmod(charHash(tok, m), lit(CmsWidth.toLong))): _*)
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("tok"))
+    val sketch = toks
+      .select(posexplode(buckets($"tok")).as(Seq("j", "bucket")))
+      .groupBy($"j", $"bucket").agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("true_cnt"))
+    exact
+      .select($"tok", $"true_cnt",
+        posexplode(buckets($"tok")).as(Seq("j", "bucket")))
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy($"tok", $"true_cnt")
+      .agg(min($"cnt").as("est_cnt"))
+      .select($"tok", $"true_cnt", $"est_cnt",
+        ($"est_cnt" >= $"true_cnt").cast("int").as("ok_over"))
+      .orderBy($"tok")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sketch_hll" -> sketchHll,
     "q_sketch_incremental" -> sketchIncremental,
+    "q_sketch_cms" -> sketchCms,
     "q_quantile_approx" -> quantileApprox,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sketch_cms" -> {
+      def dh(mult: Long) = Dedup.duckCharHash("tok", mult.toInt)
+      val rows = CmsMults.zipWithIndex.map { case (m, j) =>
+        s"SELECT tok, $j AS j, (${dh(m)}) % $CmsWidth AS bucket FROM toks"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents
+         |), h AS (
+         |  $rows
+         |), sk AS (SELECT j, bucket, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+         |ex AS (SELECT tok, COUNT(*) AS true_cnt FROM toks GROUP BY 1),
+         |m AS (SELECT DISTINCT tok, j, bucket FROM h),
+         |pr AS (SELECT m.tok, MIN(sk.cnt) AS est_cnt
+         |       FROM m JOIN sk USING (j, bucket) GROUP BY 1)
+         |SELECT ex.tok, ex.true_cnt, pr.est_cnt,
+         |  CAST(pr.est_cnt >= ex.true_cnt AS INTEGER) AS ok_over
+         |FROM ex JOIN pr ON ex.tok = pr.tok ORDER BY ex.tok""".stripMargin
+    },
     "q_sketch_hll" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |       COUNT(DISTINCT o_custkey) AS nd_exact, 1 AS ok

@@ -355,6 +355,10 @@ object PlanAuditSpec {
     // countDistinct branch (2: expand + final) + the month equi-join;
     // every exchange after the first carries ~4 KB sketches or
     // (month, count) pairs, never raw rows.
+    // 3: counter-table partial agg (d x w groups, map-side combined) +
+    // exact-count agg + the probe min-fold agg; the sketch side of the
+    // probe join arrives as a broadcast (d x w rows by construction).
+    "q_sketch_cms" -> 3,
     "q_sketch_hll" -> 5,
     // 6: daily (month,day,batch) sketch agg + month union + from-scratch
     // month sketch + the exact countDistinct pair + the 3-way month join

@@ -237,7 +237,10 @@ object Dedup extends QueryGroup {
     * tiny for near-dup clusters. `localCheckpoint` (eager) bounds lineage
     * to one round and keeps the final plan a flat scan; nothing registers
     * in the cache manager (PlanAudit's empty-cache invariant holds). */
-  private def dedupCluster(s: SparkSession, d: String): DataFrame = {
+  /** Converged (id, lab) min-label relation over the verified near-dup
+    * pair graph — the shared core of `q_dedup_cluster` and the keep-best
+    * policy in [[Inference]] (`q_dedup_keep_best`). */
+  private[queries] def clusterLabels(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = verifyJaccard(s, d, bandCandidates(bandTable(s, d)))
       .select($"doc_a", $"doc_b")
@@ -263,6 +266,11 @@ object Dedup extends QueryGroup {
       labels = next
     }
     labels
+  }
+
+  private def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    clusterLabels(s, d)
       .select($"id".as("doc_id"), $"lab".as("rep_id"))
       .withColumn("cluster_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"rep_id")))
@@ -385,6 +393,27 @@ object Dedup extends QueryGroup {
        |)""".stripMargin
   }
 
+  /** DuckDB fragment ending in `cc(id, rep_id)` — the recursive-CTE
+    * connected-components twin of [[clusterLabels]], shared by the
+    * q_dedup_cluster oracle and the keep-best oracle in [[Inference]]. */
+  private[queries] lazy val duckClusterCcCte: String =
+    s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, p AS (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+       |      >= 0.8
+       |), e AS (
+       |  SELECT doc_a a, doc_b b FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p
+       |), r AS (
+       |  SELECT DISTINCT a AS id, a AS lab FROM e
+       |  UNION
+       |  SELECT e.b AS id, r.lab FROM r JOIN e ON e.a = r.id
+       |), cc AS (
+       |  SELECT id, MIN(lab) AS rep_id FROM r GROUP BY id
+       |)""".stripMargin
+
   // DuckDB fragment: charHash(x, mult) as a lambda-free inline expression.
   private[queries] def duckCharHash(expr: String, mult: Int): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -474,22 +503,7 @@ object Dedup extends QueryGroup {
     // min over the full reachability closure (recursive CTE with
     // set-semantics UNION, so it terminates at the closure fixpoint).
     "q_dedup_cluster" ->
-      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, p AS (
-         |  SELECT a.doc_id doc_a, b.doc_id doc_b
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-         |      >= 0.8
-         |), e AS (
-         |  SELECT doc_a a, doc_b b FROM p
-         |  UNION ALL SELECT doc_b, doc_a FROM p
-         |), r AS (
-         |  SELECT DISTINCT a AS id, a AS lab FROM e
-         |  UNION
-         |  SELECT e.b AS id, r.lab FROM r JOIN e ON e.a = r.id
-         |), cc AS (
-         |  SELECT id, MIN(lab) AS rep_id FROM r GROUP BY id
-         |)
+      s"""$duckClusterCcCte
          |SELECT id AS doc_id, rep_id,
          |  COUNT(*) OVER (PARTITION BY rep_id) AS cluster_size
          |FROM cc ORDER BY doc_id""".stripMargin,

@@ -39,7 +39,9 @@ object Inference extends QueryGroup {
     (2, "n_distinct", 8L),  // reward lexical diversity
     (3, "n_chars", -1L))    // punish verbosity at equal token mass
 
-  private def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, margin) scores for the whole corpus — shared by the
+    * classifier query and the keep-best dedup policy below. */
+  private[queries] def margins(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val model = ModelWeights.toDF("idx", "feature", "weight")
     // (idx, weight) rows -> one index-ordered coefficient array.
@@ -59,36 +61,87 @@ object Inference extends QueryGroup {
         (lit(ModelBias) +
           aggregate(zip_with($"f", $"w", (f, wt) => f * wt),
             lit(0L), _ + _)).as("margin"))
+  }
+
+  private def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    margins(s, d)
       .withColumn("keep", $"margin" > 0)
       .orderBy($"doc_id")
   }
 
+  /** Keep-BEST duplicate resolution: near-dup clusters don't want an
+    * arbitrary representative (q_dedup_cluster's min-id is a stand-in) —
+    * a real pipeline keeps the highest-QUALITY member of each cluster
+    * and drops the rest. Composition of two standing operators: the
+    * converged min-label cluster relation ([[Dedup.clusterLabels]],
+    * O(duplicates) rows) joined to the model margins, then one rank
+    * window per cluster (margin DESC, id ASC — fully deterministic).
+    * The window partitions the skinny cluster relation, never the
+    * corpus; margins for non-clustered docs are never materialized
+    * because the join side is the cluster membership. */
+  private def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labels = Dedup.clusterLabels(s, d)
+      .select($"id".as("doc_id"), $"lab".as("rep_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"rep_id").orderBy($"margin".desc, $"doc_id")
+    labels.join(margins(s, d), "doc_id")
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"rep_id")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"rep_id", $"doc_id".as("best_doc"),
+        $"margin".as("best_margin"), $"cluster_size")
+      .orderBy($"rep_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_quality_classifier" -> qualityClassifier,
+    "q_dedup_keep_best" -> dedupKeepBest,
   )
 
+  /** DuckDB fragment ending in `qm(doc_id, margin)` — the margin twin,
+    * CTE names prefixed so it composes after [[Dedup.duckClusterCcCte]]
+    * (which owns t/s/p/e/r/cc). */
+  private[queries] lazy val duckMarginCtes: String = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    // Same model, weights inlined from the same ModelWeights constant.
+    val wsum = ModelWeights
+      .map { case (_, f, w) => s"($w)*$f" }.mkString(" + ")
+    s"""qf AS (
+       |  SELECT doc_id, n_chars, string_split(lower(text), ' ') toks
+       |  FROM documents
+       |), qc AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(toks, t -> t IN $stopList)) AS BIGINT)
+       |      AS n_stop,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    n_chars
+       |  FROM qf
+       |), qm AS (
+       |  SELECT doc_id, CAST($ModelBias + $wsum AS BIGINT) AS margin
+       |  FROM qc)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "q_quality_classifier" -> {
-      val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
-      // Same model, weights inlined from the same ModelWeights constant.
-      val wsum = ModelWeights
-        .map { case (_, f, w) => s"($w)*$f" }.mkString(" + ")
-      s"""WITH f AS (
-         |  SELECT doc_id, n_chars, string_split(lower(text), ' ') toks
-         |  FROM documents
-         |), c AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n_tok,
-         |    CAST(len(list_filter(toks, t -> t IN $stopList)) AS BIGINT)
-         |      AS n_stop,
-         |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-         |    n_chars
-         |  FROM f
-         |), m AS (
-         |  SELECT doc_id, CAST($ModelBias + $wsum AS BIGINT) AS margin
-         |  FROM c)
+    "q_quality_classifier" ->
+      s"""WITH $duckMarginCtes
          |SELECT doc_id, margin, margin > 0 AS keep
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
+         |FROM qm ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep_best" ->
+      s"""${Dedup.duckClusterCcCte},
+         |$duckMarginCtes,
+         |ranked AS (
+         |  SELECT cc.rep_id, cc.id AS doc_id, qm.margin,
+         |    COUNT(*) OVER (PARTITION BY cc.rep_id) AS cluster_size,
+         |    ROW_NUMBER() OVER (PARTITION BY cc.rep_id
+         |      ORDER BY qm.margin DESC, cc.id) AS rn
+         |  FROM cc JOIN qm ON qm.doc_id = cc.id)
+         |SELECT rep_id, doc_id AS best_doc, margin AS best_margin,
+         |  cluster_size
+         |FROM ranked WHERE rn = 1 ORDER BY rep_id""".stripMargin,
   )
 }

@@ -216,6 +216,10 @@ object PlanAuditSpec {
     // CC loop runs its iterations eagerly at construction; this budget is
     // the RETURNED plan (flat localCheckpoint scan -> window -> sort).
     "q_dedup_cluster" -> 2,
+    // margin join onto the checkpointed O(duplicates) label relation +
+    // the per-cluster rank window + output sort; the corpus-side margin
+    // scan is row-local and never shuffles.
+    "q_dedup_keep_best" -> 3,
     "q_dedup_simhash" -> 2,
     "q_distinct_pairs" -> 2,
     "q_dropdup_bykey" -> 3,

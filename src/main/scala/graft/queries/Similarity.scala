@@ -69,9 +69,10 @@ object Similarity extends QueryGroup {
   private[queries] val ProjOffset: Int = 200 // planeComponent rows 200+j
   private[queries] val ProjDims: Int = 8     // JL target dimensionality
 
-  /** Brute-force inner-product top-10: the exact baseline every ANN variant
-    * is measured against. */
-  private def vectorTopK(s: SparkSession, d: String): DataFrame = {
+  /** Brute-force inner-product top-[[TopK]] per query — the exact
+    * baseline every ANN variant is measured against (shared by
+    * `q_vector_topk` and the recall contract `q_ann_recall`). */
+  private def exactTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val vecs = Tables.embeddings(s, d)
       .select($"vec_id", quantize($"embedding").as("qv"))
@@ -85,7 +86,11 @@ object Similarity extends QueryGroup {
         Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")))
       .filter($"rnk" <= TopK)
       .select($"query_id", $"rnk", $"neighbor_id", $"dot")
-      .orderBy($"query_id", $"rnk")
+  }
+
+  private def vectorTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    exactTopK(s, d).orderBy($"query_id", $"rnk")
   }
 
   /** Brute-force cosine top-5 with real double scores (identical fold
@@ -125,9 +130,11 @@ object Similarity extends QueryGroup {
       when(dotInt(qv, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed ANN top-3: candidates share at least one of two 6-bit
-    * hyperplane-band buckets with the query; exact integer re-scoring. */
-  private def annLsh(s: SparkSession, d: String): DataFrame = {
+  /** LSH candidate pairs (query_id, q, neighbor_id, qv): vectors sharing
+    * at least one hyperplane-band bucket with a query — shared by
+    * `q_ann_lsh` (which re-scores them) and the recall contract
+    * `q_ann_recall` (which only needs membership). */
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val vecs = Tables.embeddings(s, d)
       .select($"vec_id", quantize($"embedding").as("qv"))
@@ -139,12 +146,18 @@ object Similarity extends QueryGroup {
       sigs.filter($"vec_id" < NQueries)
         .select($"vec_id".as("query_id"), $"qv".as("q"),
           $"band".as("qband"), $"sig".as("qsig")))
-    val cand = qs
+    qs
       .join(sigs, $"qband" === $"band" && $"qsig" === $"sig" &&
         $"vec_id" =!= $"query_id")
       .select($"query_id", $"q", $"vec_id".as("neighbor_id"), $"qv")
       .dropDuplicates("query_id", "neighbor_id")
-    cand
+  }
+
+  /** LSH-bucketed ANN top-3: candidates share at least one of two 6-bit
+    * hyperplane-band buckets with the query; exact integer re-scoring. */
+  private def annLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lshCandidates(s, d)
       .select($"query_id", $"neighbor_id", dotInt($"q", $"qv").as("dot"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"query_id").orderBy($"dot".desc, $"neighbor_id")))
@@ -377,7 +390,52 @@ object Similarity extends QueryGroup {
       .orderBy($"vec_id", $"out_dim")
   }
 
+  /** The K the LSH path actually serves (`q_ann_lsh` re-ranks to 3). */
+  private val AnnK = 3
+
+  /** ANN recall@[[AnnK]] CONTRACT, per method and query: the fraction of
+    * the exact top-[[AnnK]] each ANN candidate generator (LSH bands, IVF
+    * top-2 probes) recovers — the number an ANN deployment actually
+    * publishes, measured at the K it serves. Both sides are
+    * deterministic, so unlike a typical recall benchmark this is
+    * oracle-gated: hash-equal recall values in both engines, and a
+    * regression in the banding/probe math fails verify rather than
+    * silently degrading search quality.
+    *
+    * Expect LOW absolute recall here: the synthetic embeddings are
+    * near-uniform — the known worst case for ANN (no cluster structure
+    * for cells or hyperplanes to exploit). The contract's job is to PIN
+    * that floor so any change to the signature math shows up as a diff,
+    * not to showcase recall a structured corpus would give. Shape: two
+    * skinny (query, neighbor) membership relations left-joined to the
+    * exact baseline; one |methods|×|queries|-row summary agg. */
+  private def annRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exact = exactTopK(s, d)
+      .filter($"rnk" <= AnnK).select($"query_id", $"neighbor_id")
+    val lsh = lshCandidates(s, d)
+      .select(lit("lsh").as("method"), $"query_id", $"neighbor_id")
+    val ivf = ivfProbes(s, d)
+      .join(ivfAssignment(s, d).select($"vec_id", $"cell"), "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .select(lit("ivf").as("method"), $"query_id",
+        $"vec_id".as("neighbor_id"))
+    val cands = lsh.unionByName(ivf)
+      .dropDuplicates("method", "query_id", "neighbor_id")
+      .withColumn("hit", lit(1L))
+    val perMethod = Seq("ivf", "lsh").toDF("method")
+    exact.crossJoin(broadcast(perMethod))
+      .join(cands, Seq("method", "query_id", "neighbor_id"), "left")
+      .groupBy($"method", $"query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .select($"method", $"query_id", $"n_exact", $"n_hit",
+        ($"n_hit".cast("double") / $"n_exact".cast("double")).as("recall"))
+      .orderBy($"method", $"query_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ann_recall" -> annRecall,
     "q_embed_project" -> embedProject,
     "q_embed_centroid" -> embedCentroid,
     "q_kmeans" -> kmeans,
@@ -424,6 +482,69 @@ object Similarity extends QueryGroup {
        |), m$idx AS (SELECT vec_id, cid FROM a$idx WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_ann_recall" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, $duckQuant qv FROM embeddings
+         |), scored AS (
+         |  SELECT a.vec_id query_id, b.vec_id neighbor_id,
+         |    ${duckDotInt("a.qv", "b.qv")} dot
+         |  FROM q a JOIN q b ON a.vec_id < $NQueries
+         |    AND b.vec_id <> a.vec_id
+         |), ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) rnk
+         |    FROM scored) t
+         |  WHERE rnk <= $AnnK
+         |), sigs AS (
+         |  SELECT vec_id, band,
+         |    CAST(list_sum([
+         |      CASE WHEN CAST(list_sum([
+         |          qv[i+1] * (((band*$PlanesPerBand + j)*64 + i) * $PlaneMult % 4294967296
+         |                     - 2147483648)
+         |          FOR i IN range(0, 64)]) AS BIGINT) > 0
+         |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+         |      FOR j IN range(0, $PlanesPerBand)]) AS BIGINT) sig
+         |  FROM q, (SELECT unnest(range(0, $LshBands)) band) b
+         |), lcand AS (
+         |  SELECT DISTINCT qs.vec_id query_id, ns.vec_id neighbor_id
+         |  FROM sigs qs JOIN sigs ns
+         |    ON qs.band = ns.band AND qs.sig = ns.sig
+         |    AND qs.vec_id < $NQueries AND ns.vec_id <> qs.vec_id
+         |), ad AS (
+         |  SELECT vec_id, cell,
+         |    CAST(list_sum([
+         |      qv[i+1] * ((($AnchorOffset + cell)*64 + i) * $PlaneMult % 4294967296
+         |                 - 2147483648)
+         |      FOR i IN range(0, 64)]) AS BIGINT) dot
+         |  FROM q, (SELECT unnest(range(0, $NumCells)) cell) c
+         |), ranked AS (
+         |  SELECT vec_id, cell, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY dot DESC, cell) rn
+         |  FROM ad
+         |), assign AS (
+         |  SELECT vec_id, cell FROM ranked WHERE rn = 1
+         |), icand AS (
+         |  SELECT DISTINCT p.vec_id query_id, t.vec_id neighbor_id
+         |  FROM ranked p JOIN assign t
+         |    ON p.rn <= $NumProbes AND p.vec_id < $NQueries
+         |    AND p.cell = t.cell AND t.vec_id <> p.vec_id
+         |), allc AS (
+         |  SELECT 'lsh' AS method, query_id, neighbor_id FROM lcand
+         |  UNION ALL
+         |  SELECT 'ivf', query_id, neighbor_id FROM icand
+         |), exm AS (
+         |  SELECT m.method, e.query_id, e.neighbor_id
+         |  FROM ex e, (SELECT unnest(['ivf', 'lsh']) AS method) m
+         |)
+         |SELECT exm.method, exm.query_id, COUNT(*) AS n_exact,
+         |  CAST(COUNT(c.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST(COUNT(c.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+         |FROM exm LEFT JOIN allc c
+         |  ON c.method = exm.method AND c.query_id = exm.query_id
+         |  AND c.neighbor_id = exm.neighbor_id
+         |GROUP BY exm.method, exm.query_id
+         |ORDER BY exm.method, exm.query_id""".stripMargin,
     "q_embed_project" ->
       s"""WITH q AS (SELECT vec_id, $duckQuant qv FROM embeddings)
          |SELECT vec_id, CAST(jd AS INTEGER) AS out_dim,

@@ -188,6 +188,11 @@ object PlanAuditSpec {
     "q_ann_ivf" -> 2,
     "q_ann_ivf_pre" -> 2,
     "q_ann_lsh" -> 3,
+    // recall contract runs BOTH candidate generators + the exact
+    // baseline: exact rank window + lsh dedup + ivf cell join + the
+    // membership-join/summary aggs. Skinny (query, neighbor) pairs on
+    // every exchange; |queries| is a constant.
+    "q_ann_recall" -> 6,
     "q_approx_stats" -> 2,
     "q_array_explode" -> 1,
     "q_array_funs" -> 1,

@@ -83,6 +83,42 @@ class AsOfJoinSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       203L -> Some(7.0)))
   }
 
+  test("matches an in-memory reference on generated data (long times)") {
+    // Property check: random keys/times with heavy collision pressure,
+    // nulls on both sides, non-timestamp (long) time columns. Right
+    // (key, time) pairs are unique so the tie rule never fires and the
+    // reference is total.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val keyGen = Gen.chooseNum(0, 7)
+    val timeGen = Gen.frequency(9 -> Gen.chooseNum(0L, 30L).map(Option(_)),
+      1 -> Gen.const(Option.empty[Long]))
+    def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default,
+        Seed(seed + i)).toSeq)
+    val rRows = sample(Gen.zip(keyGen, timeGen), 120, 17L).distinct
+      .groupBy { case (k, t) => (k, t) }.keys.toSeq
+      .zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+    val lRows = sample(Gen.zip(keyGen, timeGen), 150, 99L)
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val right = rRows.toDF("k", "rt", "rv")
+    val left = lRows.toDF("k", "lt", "lid")
+    val got = AsOfJoin.asofJoin(left, right, Seq("k"), Seq("k"), "lt", "rt")
+      .select($"lid", $"rv").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    val expected = lRows.map { case (k, lt, lid) =>
+      lid -> (lt match {
+        case None => None
+        case Some(t) =>
+          val m = rRows.filter(r => r._1 == k && r._2.exists(_ <= t))
+          if (m.isEmpty) None else Some(m.maxBy(_._2.get)._3)
+      })
+    }.toMap
+    assert(got.size === lRows.size)
+    assert(got === expected)
+  }
+
   test("self as-of join resolves (both sides from one source)") {
     // Each trade looks up the latest EARLIER trade of the same key.
     val prior = trades.select($"k".as("pk"), $"ts".as("pts"),

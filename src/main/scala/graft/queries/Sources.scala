@@ -198,7 +198,36 @@ object Sources extends QueryGroup {
       .orderBy($"status")
   }
 
+  /** KV-connector round-trip through the [[graft.sources.kv.KvDataSource]]
+    * DataSourceV2 surface (the reference's populate→DynamoDB→serve
+    * boundary, `populator.py:47-58` → `index.py:16-25`, as a real Spark
+    * connector): a deterministic orders slice is PUBLISHED through
+    * `write.format("graftkv")` (per-task buffered log segments), then
+    * read back through `read.format("graftkv")` with a key-PREFIX
+    * predicate the source claims via filter pushdown — the point lookup
+    * never materializes the full store into the query. The store
+    * directory is wiped first: the log is append-only, and the oracle
+    * pins exactly one published generation. */
+  private def kvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("orders_kv")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(out))
+    Tables.orders(s, d)
+      .filter($"o_orderkey" % 100 === 0)
+      .select(concat(lit("order:"), $"o_orderkey".cast("string")).as("key"),
+        concat_ws(",", $"o_orderstatus", $"o_custkey".cast("string"))
+          .as("value"))
+      .write.format("graftkv").mode("append").save(out)
+    s.read.format("graftkv").load(out)
+      .filter($"key".startsWith("order:1"))
+      .orderBy($"key")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_kv_roundtrip" -> kvRoundtrip,
     "q_csv_roundtrip" -> csvRoundtrip,
     "q_nested_pruning" -> nestedPruning,
     "q_schema_evolution" -> schemaEvolution,
@@ -210,6 +239,13 @@ object Sources extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_kv_roundtrip" ->
+      """SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS key,
+        |  o_orderstatus || ',' || CAST(o_custkey AS VARCHAR) AS value
+        |FROM orders
+        |WHERE o_orderkey % 100 = 0
+        |  AND CAST(o_orderkey AS VARCHAR) LIKE '1%'
+        |ORDER BY key""".stripMargin,
     "q_schema_evolution" ->
       s"""SELECT CASE WHEN c_custkey % 2 <> 0 THEN c_mktsegment
          |            ELSE 'UNKNOWN' END AS segment,

@@ -47,6 +47,20 @@ final class FileKvStore(dir: String) extends EventsStreaming.UpsertStore {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
+  /** Bulk append: one file write for a whole batch — the DSv2 writer
+    * ([[kv.KvWriterFactory]]) buffers a task's rows and flushes once at
+    * task commit, so aborted tasks leave no partial segment. */
+  def upsertAll(pairs: IterableOnce[(String, String)]): Unit = synchronized {
+    val sb = new StringBuilder
+    pairs.iterator.foreach { case (k, v) =>
+      sb.append(FileKvStore.enc(k)).append('\t')
+        .append(FileKvStore.enc(v)).append('\n')
+    }
+    if (sb.nonEmpty)
+      Files.write(logPath, sb.toString.getBytes(UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
   /** Adapter to the populate-stage sink: keys rows by `keyCol`, serializes
     * the remaining columns as sorted `k=v` pairs (the wide published row,
     * `populator.py:47-58` item shape). */

@@ -321,6 +321,9 @@ object PlanAuditSpec {
     // customer exchange + the output sort.
     "q_join_lateral" -> 2,
     "q_json_corrupt" -> 1,
+    // DSv2 kv scan with the prefix predicate pushed into the source;
+    // the only exchange is the output sort.
+    "q_kv_roundtrip" -> 1,
     "q_json_props" -> 2,
     "q_json_roundtrip" -> 2,
     // 6 = two argmin windows (one per Lloyd's iteration) + the recenter

@@ -304,6 +304,43 @@ object TextAnalysis extends QueryGroup {
       .orderBy($"doc_id")
   }
 
+  /** Tie-break modulus for the shuffled packing key: doc_id mod 2^22
+    * appended below the hash keeps composite keys unique (and recoverable)
+    * for corpora under ~4M docs per hash value — document-count-safe at
+    * any real scale since it only has to break exact hash TIES. */
+  private val ShuffleTieMod = 1L << 22
+
+  /** Prefix-sum block width over the composite key space
+    * (hash < 2^30 × 2^22 ≈ 2^52): 2^42 ⇒ ~1k driver-side blocks. */
+  private val ShuffleBlock = 1L << 42
+
+  /** Deterministic SHUFFLE-then-pack — the data-ordering step an LLM
+    * pretraining run does before sequence packing: the corpus is
+    * permuted by a salted content hash (so consecutive training shards
+    * mix sources/domains instead of replaying ingest order), then packed
+    * into fixed token-budget shards along that order. `q_pack_shards`
+    * packs in doc_id (ingest) order; this is the production variant.
+    *
+    * Same two-phase distributed prefix sum ([[graft.operators.Packing]]),
+    * driven by a composite key `hash * 2^22 + doc_id mod 2^22` — the
+    * hash orders, the doc_id term breaks hash ties deterministically, and
+    * block boundaries stay pure key arithmetic (no range sampling), so
+    * the pack matches the oracle's single-window global sort bit-exactly
+    * while never funneling the corpus through one task. */
+  private def shufflePack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = charHash(concat(lit("shuffle:"), $"doc_id".cast("string")))
+    val toks = Tables.documents(s, d)
+      .select(
+        (h * ShuffleTieMod + pmod($"doc_id", lit(ShuffleTieMod))).as("k"),
+        size(tokens($"text")).cast("long").as("n_tok"))
+    graft.operators.Packing
+      .packShards(toks, "k", "n_tok", ShardBudget, ShuffleBlock)
+      .select(pmod($"k", lit(ShuffleTieMod)).as("doc_id"), $"n_tok",
+        $"tok_offset", $"shard")
+      .orderBy($"doc_id")
+  }
+
   /** Gopher-style repetition filter: fraction of bigram mass taken by the
     * single most-repeated bigram — boilerplate/spam detector. The counts
     * come from the fused per-row kernel
@@ -508,6 +545,7 @@ object TextAnalysis extends QueryGroup {
     "q_text_redact_pii" -> redactPii,
     "q_split_assign" -> splitAssign,
     "q_pack_shards" -> packShards,
+    "q_shuffle_pack" -> shufflePack,
     "q_text_repetition" -> repetition,
     "q_split_contamination" -> contamination,
     "q_text_containment" -> containment,
@@ -742,6 +780,24 @@ object TextAnalysis extends QueryGroup {
         |  FROM d)
         |SELECT doc_id, n_tok, tok_offset, tok_offset // $ShardBudget AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Single-window global-sort specification of the shuffled pack; the
+    // two-phase distributed prefix sum is the implementation.
+    "q_shuffle_pack" -> {
+      val h = Dedup.duckCharHash("'shuffle:' || CAST(doc_id AS VARCHAR)", 31)
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+        |    ($h) * $ShuffleTieMod + doc_id % $ShuffleTieMod AS k
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tok_offset
+        |  FROM d)
+        |SELECT doc_id, n_tok, tok_offset, tok_offset // $ShardBudget AS shard
+        |FROM c ORDER BY doc_id""".stripMargin
+    },
     "q_text_repetition" ->
       s"""WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents

@@ -345,6 +345,9 @@ object PlanAuditSpec {
     "q_normalize_zscore" -> 2,
     "q_orc_roundtrip" -> 2,
     "q_pack_shards" -> 2,
+    // same two-phase prefix-sum shape as q_pack_shards, keyed on the
+    // shuffle hash: block-partitioned window + output sort.
+    "q_shuffle_pack" -> 2,
     "q_pivot" -> 3,
     // two-phase selection: bin agg, cumulative agg, total agg, k/target
     // derivations, hit-bin window, final 3-row sort — every exchange

@@ -304,6 +304,42 @@ object TextAnalysis extends QueryGroup {
       .orderBy($"doc_id")
   }
 
+  /** Feature-hashing dimensionality (the "hashing trick" bucket count).
+    * Small on purpose at test scale so bucket collisions are exercised;
+    * production uses 2^18..2^22. */
+  private val HashDim = 64
+
+  /** Feature hashing (Weinberger et al. ICML'09 — the vowpal-wabbit
+    * featurizer): each document's tokens are folded into a FIXED-width
+    * count vector by token hash mod [[HashDim]], the unbounded-vocabulary
+    * answer to one-hot features — no dictionary, no fit step, new tokens
+    * land in existing buckets, so the featurizer is stateless and
+    * streaming-safe. Entirely row-local (one codegen HOF pass per doc,
+    * zero shuffles beyond the output sort); the vector is exact integers
+    * and the bucket hash is the shared polynomial hash, so the full
+    * feature matrix hash-matches the DuckDB twin. `nnz` (occupied
+    * buckets) comes along as the density diagnostic a feature pipeline
+    * monitors. Output is the LONG (sparse) form — (doc_id, bucket, cnt)
+    * for occupied buckets — both because that's how a sparse feature
+    * matrix ships and because the oracle comparator hashes flat
+    * columns, not LIST cells.
+    *
+    * Shape: explode → one (doc, bucket) partial agg, map-side combined —
+    * NOT a per-row HOF over all [[HashDim]] buckets, which does
+    * O(dim × tokens) work per document and materializes a dim-wide array
+    * (fatal at the production 2^18..2^22 dims); this form is O(tokens)
+    * and indifferent to the bucket count. */
+  private def featureHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .select($"doc_id",
+        pmod(charHash($"tok"), lit(HashDim.toLong)).as("bucket"))
+      .groupBy($"doc_id", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"doc_id", $"bucket")
+  }
+
   /** Tie-break modulus for the shuffled packing key: doc_id mod 2^22
     * appended below the hash keeps composite keys unique (and recoverable)
     * for corpora under ~4M docs per hash value — document-count-safe at
@@ -546,6 +582,7 @@ object TextAnalysis extends QueryGroup {
     "q_split_assign" -> splitAssign,
     "q_pack_shards" -> packShards,
     "q_shuffle_pack" -> shufflePack,
+    "q_text_feature_hash" -> featureHash,
     "q_text_repetition" -> repetition,
     "q_split_contamination" -> contamination,
     "q_text_containment" -> containment,
@@ -780,6 +817,16 @@ object TextAnalysis extends QueryGroup {
         |  FROM d)
         |SELECT doc_id, n_tok, tok_offset, tok_offset // $ShardBudget AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_text_feature_hash" -> {
+      val h = Dedup.duckCharHash("tok", 31)
+      s"""WITH d AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents
+         |)
+         |SELECT doc_id, ($h) % $HashDim AS bucket,
+         |  COUNT(*) AS cnt
+         |FROM d GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+    },
     // Single-window global-sort specification of the shuffled pack; the
     // two-phase distributed prefix sum is the implementation.
     "q_shuffle_pack" -> {

@@ -348,6 +348,10 @@ object PlanAuditSpec {
     // same two-phase prefix-sum shape as q_pack_shards, keyed on the
     // shuffle hash: block-partitioned window + output sort.
     "q_shuffle_pack" -> 2,
+    // hashing-trick featurizer: one (doc, bucket) partial agg (map-side
+    // combined) + output sort. The text never shuffles — only skinny
+    // (id, bucket) pairs.
+    "q_text_feature_hash" -> 2,
     "q_pivot" -> 3,
     // two-phase selection: bin agg, cumulative agg, total agg, k/target
     // derivations, hit-bin window, final 3-row sort — every exchange

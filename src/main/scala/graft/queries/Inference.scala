@@ -97,9 +97,37 @@ object Inference extends QueryGroup {
       .orderBy($"rep_id")
   }
 
+  /** Per-source corpus RELEASE REPORT — the dashboard a data team ships
+    * with every corpus drop, as one query composing standing operators:
+    * document/token mass, the trained classifier's keep rate and margin
+    * mass, and the train/val/test split distribution (same salted hash
+    * as q_split_assign, so the numbers agree with the actual split).
+    * One corpus scan feeds the token/split features; the margin relation
+    * joins on doc_id (id-partitioned SMJ at scale); the output is
+    * |sources| rows from a map-side-combined agg. */
+  private def profileCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        size(tokens($"text")).cast("long").as("n_tok"),
+        TextAnalysis.splitOf($"doc_id").as("split"))
+    base.join(margins(s, d), "doc_id")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        count(when($"margin" > 0, 1)).as("n_keep"),
+        sum($"margin").as("sum_margin"),
+        count(when($"split" === "train", 1)).as("n_train"),
+        count(when($"split" === "val", 1)).as("n_val"),
+        count(when($"split" === "test", 1)).as("n_test"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_quality_classifier" -> qualityClassifier,
     "q_dedup_keep_best" -> dedupKeepBest,
+    "q_profile_corpus" -> profileCorpus,
   )
 
   /** DuckDB fragment ending in `qm(doc_id, margin)` — the margin twin,
@@ -131,6 +159,26 @@ object Inference extends QueryGroup {
       s"""WITH $duckMarginCtes
          |SELECT doc_id, margin, margin > 0 AS keep
          |FROM qm ORDER BY doc_id""".stripMargin,
+    "q_profile_corpus" ->
+      s"""WITH $duckMarginCtes,
+         |b AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tok,
+         |    CASE WHEN ${TextAnalysis.duckSplitH} < ${TextAnalysis.TrainCut}
+         |           THEN 'train'
+         |         WHEN ${TextAnalysis.duckSplitH} < ${TextAnalysis.ValCut}
+         |           THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents d)
+         |SELECT b.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(b.n_tok) AS BIGINT) AS n_tokens,
+         |  COUNT(*) FILTER (qm.margin > 0) AS n_keep,
+         |  CAST(SUM(qm.margin) AS BIGINT) AS sum_margin,
+         |  COUNT(*) FILTER (b.split = 'train') AS n_train,
+         |  COUNT(*) FILTER (b.split = 'val') AS n_val,
+         |  COUNT(*) FILTER (b.split = 'test') AS n_test
+         |FROM b JOIN qm ON qm.doc_id = b.doc_id
+         |GROUP BY b.source ORDER BY b.source""".stripMargin,
     "q_dedup_keep_best" ->
       s"""${Dedup.duckClusterCcCte},
          |$duckMarginCtes,

@@ -258,8 +258,8 @@ object TextAnalysis extends QueryGroup {
   // Shared constants, referenced by BOTH the Spark queries and their
   // oracle SQL strings so a change can't drift them apart silently.
   private val SplitSalt = "split:"
-  private val TrainCut = 80 // [0,80) train, [80,90) val, [90,100) test
-  private val ValCut = 90
+  private[queries] val TrainCut = 80 // [0,80) train, [80,90) val, [90,100) test
+  private[queries] val ValCut = 90
   private val ShardBudget = 4096L
   private val PackBlockSize = 100L
   private val RepThreshold = 0.2
@@ -270,13 +270,15 @@ object TextAnalysis extends QueryGroup {
 
   /** The salted split hash, shared by q_split_assign and the
     * contamination check (identical assignment is the point). */
+  private[queries] def splitOf(docId: Column): Column = splitCol(docId)
+
   private def splitCol(docId: Column): Column = {
     val h = charHash(concat(lit(SplitSalt), docId.cast("string"))) % 100
     when(h < TrainCut, "train").when(h < ValCut, "val").otherwise("test")
   }
 
   /** DuckDB twin of [[splitCol]]'s hash bucket. */
-  private val duckSplitH =
+  private[queries] val duckSplitH =
     s"${Dedup.duckCharHash(s"'$SplitSalt' || CAST(doc_id AS VARCHAR)", 31)} % 100"
 
   private def splitAssign(s: SparkSession, d: String): DataFrame = {

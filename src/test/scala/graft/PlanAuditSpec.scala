@@ -361,6 +361,9 @@ object PlanAuditSpec {
     // never rows; the former 2-exchange single-agg shape went through a
     // 6-way Expand (rows x 6 on the wire) and cost 2x the wall time.
     "q_profile_stats" -> 10,
+    // margin ⋈ base self-join on doc_id (both sides skinny projections)
+    // + the per-source summary agg + output sort.
+    "q_profile_corpus" -> 3,
     // 2 = the 4-row model fold (partial+final agg into the coefficient
     // array broadcast) + output sort; scoring is row-local codegen, the
     // corpus never shuffles.

@@ -226,7 +226,34 @@ object Sources extends QueryGroup {
       .orderBy($"key")
   }
 
+  /** Point lookups through the connector — the reference's GET-by-id
+    * serving call (`index.py:16-25`) as a Spark read: an IN-list of keys
+    * is claimed by the source's filter pushdown, so only those keys
+    * survive log replay into the scan. Same published store derivation
+    * as [[kvRoundtrip]], its own directory (catalog queries stay
+    * self-contained). */
+  private def kvLookup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("orders_kv_lookup")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(out))
+    Tables.orders(s, d)
+      .filter($"o_orderkey" % 100 === 0)
+      .select(concat(lit("order:"), $"o_orderkey".cast("string")).as("key"),
+        concat_ws(",", $"o_orderstatus", $"o_custkey".cast("string"))
+          .as("value"))
+      .write.format("graftkv").mode("append").save(out)
+    val wanted = Seq(100L, 700L, 1300L, 2500L)
+      .map(k => s"order:$k")
+    s.read.format("graftkv").load(out)
+      .filter($"key".isin(wanted: _*))
+      .orderBy($"key")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_kv_lookup" -> kvLookup,
     "q_kv_roundtrip" -> kvRoundtrip,
     "q_csv_roundtrip" -> csvRoundtrip,
     "q_nested_pruning" -> nestedPruning,
@@ -239,6 +266,13 @@ object Sources extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_kv_lookup" ->
+      """SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS key,
+        |  o_orderstatus || ',' || CAST(o_custkey AS VARCHAR) AS value
+        |FROM orders
+        |WHERE o_orderkey % 100 = 0
+        |  AND o_orderkey IN (100, 700, 1300, 2500)
+        |ORDER BY key""".stripMargin,
     "q_kv_roundtrip" ->
       """SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS key,
         |  o_orderstatus || ',' || CAST(o_custkey AS VARCHAR) AS value

@@ -324,6 +324,8 @@ object PlanAuditSpec {
     // DSv2 kv scan with the prefix predicate pushed into the source;
     // the only exchange is the output sort.
     "q_kv_roundtrip" -> 1,
+    // IN-list point lookup pushed into the source; output sort only.
+    "q_kv_lookup" -> 1,
     "q_json_props" -> 2,
     "q_json_roundtrip" -> 2,
     // 6 = two argmin windows (one per Lloyd's iteration) + the recenter

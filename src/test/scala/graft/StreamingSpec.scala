@@ -266,6 +266,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch publishes through the graftkv connector end-to-end") {
+    import org.apache.spark.sql.functions.{concat_ws, count, lit}
+    val input = MemoryStream[Event](spark)
+    val agg = input.toDF().groupBy($"event_type")
+      .agg(count(lit(1)).as("n"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graftkv-stream").toString
+    val ckpt = "target/tmp/graft_ckpt_kv_" + System.nanoTime()
+    // Complete-mode snapshot per batch, published as (key, value) through
+    // the DSv2 write path: each batch appends a log segment, the store's
+    // last-write-wins replay makes the latest snapshot the served truth.
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select($"event_type".as("key"),
+            concat_ws("=", lit("n"), $"n".cast("string")).as("value"))
+          .write.format("graftkv").mode("append").save(dir)
+      }
+      .start()
+    try {
+      input.addData(ev(1, ts(0), typ = "click"), ev(2, ts(1), typ = "view"))
+      q.processAllAvailable()
+      input.addData(ev(3, ts(2), typ = "click"))
+      q.processAllAvailable()
+      val served = spark.read.format("graftkv").load(dir)
+        .as[(String, String)].collect().toMap
+      assert(served === Map("click" -> "n=2", "view" -> "n=1"))
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: restart processes only new files, no dups") {
     import java.nio.file.{Files, Paths}
     val work = "target/tmp/graft_recovery_" + System.nanoTime()

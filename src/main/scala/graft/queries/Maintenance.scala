@@ -104,6 +104,53 @@ object Maintenance extends QueryGroup {
       .orderBy($"change_type")
   }
 
+  /** Incremental CDC PUBLISH through the graftkv connector — the
+    * production "populate only what changed" pattern closing the
+    * maintenance→serving loop: the old snapshot is published in full,
+    * then the next run publishes ONLY the snapshot diff (inserts +
+    * updates as upserts, deletes as empty-value tombstones — the store
+    * is last-write-wins with no delete op, the DynamoDB-style
+    * convention). The served read must then equal the NEW snapshot
+    * exactly, which is precisely what the oracle pins — so a missed
+    * delta class (e.g. dropping tombstones) fails verify. Snapshot
+    * slices are [[snapshotDiff]]'s. The inter-publish sleep models two
+    * separate publish runs: segment ordering across writer instances is
+    * millisecond-granular by the store's documented contract. */
+  private def kvCdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = "target/tmp/sources/orders_kv_cdc"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(out))
+    val base = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+    def kv(df: DataFrame): DataFrame = df.select(
+      col("o_orderkey").cast("string").as("key"),
+      concat_ws("|", col("o_orderstatus"), col("o_orderpriority"))
+        .as("value"))
+    val oldSnap = kv(base.filter($"o_orderkey" % 11 =!= 0))
+    val newSnap = kv(base.filter($"o_orderkey" % 13 =!= 0)
+      .withColumn("o_orderpriority",
+        when($"o_orderkey" % 7 === 0, concat(lit("X-"), $"o_orderpriority"))
+          .otherwise($"o_orderpriority")))
+    oldSnap.write.format("graftkv").mode("append").save(out)
+    Thread.sleep(5)
+    val joined = newSnap.as("n").join(oldSnap.as("o"),
+      $"n.key" === $"o.key", "full_outer")
+    val upserts = joined
+      .filter($"o.key".isNull || ($"n.key".isNotNull &&
+        $"n.value" =!= $"o.value"))
+      .select($"n.key".as("key"), $"n.value".as("value"))
+    val tombstones = joined.filter($"n.key".isNull)
+      .select($"o.key".as("key"), lit("").as("value"))
+    upserts.unionByName(tombstones)
+      .write.format("graftkv").mode("append").save(out)
+    s.read.format("graftkv").load(out)
+      .filter($"value" =!= "")
+      .orderBy($"key")
+  }
+
   /** Slowly-changing-dimension (type 2) history build: collapse each
     * user's event stream to its change points (consecutive runs of the
     * same event_type merge) and emit versioned validity intervals —
@@ -334,6 +381,7 @@ object Maintenance extends QueryGroup {
     "q_zorder_cluster" -> zorderCluster,
     "q_table_checksum" -> tableChecksum,
     "q_snapshot_diff" -> snapshotDiff,
+    "q_kv_cdc" -> kvCdc,
     "q_scd2" -> scd2,
     "q_profile_stats" -> profileStats,
     "q_agg_incremental" -> aggIncremental,
@@ -411,6 +459,16 @@ object Maintenance extends QueryGroup {
         |  bit_xor(('0x' || substr(dg, 3, 15))::BIGINT) AS xor_sig,
         |  min(dg) AS min_digest, max(dg) AS max_digest
         |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // The served state after old-snapshot publish + delta publish must
+    // equal the NEW snapshot — the incremental publish is the
+    // implementation, this is the specification.
+    "q_kv_cdc" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS key,
+        |  o_orderstatus || '|' ||
+        |    (CASE WHEN o_orderkey % 7 = 0 THEN 'X-' || o_orderpriority
+        |          ELSE o_orderpriority END) AS value
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |ORDER BY key""".stripMargin,
     "q_snapshot_diff" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders),

@@ -326,6 +326,9 @@ object PlanAuditSpec {
     "q_kv_roundtrip" -> 1,
     // IN-list point lookup pushed into the source; output sort only.
     "q_kv_lookup" -> 1,
+    // the publishes (snapshot + delta full-outer join) run eagerly at
+    // build time; the measured read plan is scan + output sort.
+    "q_kv_cdc" -> 1,
     "q_json_props" -> 2,
     "q_json_roundtrip" -> 2,
     // 6 = two argmin windows (one per Lloyd's iteration) + the recenter

@@ -47,19 +47,6 @@ final class FileKvStore(dir: String) extends EventsStreaming.UpsertStore {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
-  /** Bulk append: one file write for a whole batch — the DSv2 writer
-    * ([[kv.KvWriterFactory]]) buffers a task's rows and flushes once at
-    * task commit, so aborted tasks leave no partial segment. */
-  def upsertAll(pairs: IterableOnce[(String, String)]): Unit = synchronized {
-    val sb = new StringBuilder
-    pairs.iterator.foreach { case (k, v) =>
-      sb.append(FileKvStore.enc(k)).append('\t')
-        .append(FileKvStore.enc(v)).append('\n')
-    }
-    if (sb.nonEmpty)
-      Files.write(logPath, sb.toString.getBytes(UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-  }
 
   /** Adapter to the populate-stage sink: keys rows by `keyCol`, serializes
     * the remaining columns as sorted `k=v` pairs (the wide published row,
@@ -83,6 +70,37 @@ object FileKvStore {
     java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Streaming task-segment writer for the DSv2 write path: rows stream
+    * to a hidden `.tsv.tmp` file (bounded memory for arbitrarily large
+    * tasks) and the segment becomes VISIBLE atomically at commit — a
+    * rename into the `log-*.tsv` namespace readers replay — so aborted
+    * tasks leave nothing a reader can see. The ordering prefix is
+    * creation time, same contract as [[FileKvStore]] instances. */
+  final class SegmentWriter(dir: String) {
+    private val name =
+      f"log-${System.currentTimeMillis()}%013d-" +
+        s"${java.util.UUID.randomUUID.toString.take(8)}.tsv"
+    private val tmp = {
+      Files.createDirectories(Paths.get(dir))
+      Paths.get(dir, name + ".tmp")
+    }
+    private val out = Files.newBufferedWriter(tmp, UTF_8)
+    def append(key: String, value: String): Unit = {
+      out.write(enc(key)); out.write('\t'); out.write(enc(value))
+      out.write('\n')
+    }
+    def commit(): Unit = {
+      out.close()
+      Files.move(tmp, Paths.get(dir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def abort(): Unit = {
+      out.close()
+      Files.deleteIfExists(tmp)
+      ()
+    }
+  }
 
   private def logFiles(dir: String): Seq[File] =
     Option(new File(dir).listFiles()).getOrElse(Array.empty[File]).toSeq

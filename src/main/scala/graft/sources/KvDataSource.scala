@@ -162,18 +162,18 @@ final class KvBatchWrite(dir: String) extends BatchWrite {
 final class KvWriterFactory(dir: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
-    // Buffer the task's rows and flush ONCE at task commit: one log
-    // segment per committed task, none for aborted ones.
-    private val buf = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String)]
+    // Rows STREAM to a hidden temp segment (bounded memory for any task
+    // size); the segment renames into the readable log namespace
+    // atomically at task commit — aborted tasks leave nothing visible.
+    private lazy val seg = new FileKvStore.SegmentWriter(dir)
     override def write(r: InternalRow): Unit =
-      buf += ((r.getUTF8String(0).toString,
-        if (r.isNullAt(1)) "" else r.getUTF8String(1).toString))
+      seg.append(r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) "" else r.getUTF8String(1).toString)
     override def commit(): WriterCommitMessage = {
-      new FileKvStore(dir).upsertAll(buf)
+      seg.commit()
       KvCommit
     }
-    override def abort(): Unit = ()
+    override def abort(): Unit = seg.abort()
     override def close(): Unit = ()
   }
 }

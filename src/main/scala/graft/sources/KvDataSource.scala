@@ -118,8 +118,20 @@ final class KvScan(dir: String, val pushed: Array[Filter])
   override def description(): String =
     s"graftkv $dir, PushedFilters: [${pushed.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    (0 until KvDataSource.NumSlices).map(KvSlice(_): InputPartition).toArray
+  /** Slice PRUNING from the pushed key predicates: an exact-key filter
+    * (EqualTo / IN) determines the only slices that can match, so a
+    * point lookup plans one partition instead of replaying the log in
+    * all of them — the connector-level analogue of partition pruning.
+    * Prefix filters can't prune (the slice hash covers the whole key). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val exact: Option[Set[Int]] = pushed.collectFirst {
+      case EqualTo("key", v: String) => Set(KvDataSource.sliceOf(v))
+      case In("key", vs) =>
+        vs.collect { case s: String => KvDataSource.sliceOf(s) }.toSet
+    }
+    exact.getOrElse((0 until KvDataSource.NumSlices).toSet)
+      .toArray.sorted.map(KvSlice(_): InputPartition)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory(dir, pushed)

@@ -64,6 +64,22 @@ class KvSourceSpec extends SparkTestBase {
     assert(eq.as[(String, String)].collect().toSeq === Seq("part:1" -> "z"))
   }
 
+  test("exact-key filters prune the scan to the matching slices") {
+    val dir = freshDir()
+    write(dir, "a" -> "1", "b" -> "2")
+    def partitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan
+      }.head.asInstanceOf[KvScan].toBatch.planInputPartitions().length
+    val point = spark.read.format("graftkv").load(dir)
+      .filter($"key" === "a")
+    assert(partitions(point) === 1)
+    assert(point.count() === 1L)
+    val full = spark.read.format("graftkv").load(dir)
+      .filter($"key".startsWith("a")) // prefix can't prune
+    assert(partitions(full) === graft.sources.kv.KvDataSource.NumSlices)
+  }
+
   test("value predicates stay residual and still filter correctly") {
     val dir = freshDir()
     write(dir, "a" -> "hit", "b" -> "miss")

@@ -80,6 +80,17 @@ class KvSourceSpec extends SparkTestBase {
     assert(partitions(full) === graft.sources.kv.KvDataSource.NumSlices)
   }
 
+  test("an aborted segment writer leaves nothing a reader can see") {
+    val dir = freshDir()
+    write(dir, "kept" -> "1")
+    val seg = new graft.sources.FileKvStore.SegmentWriter(dir)
+    seg.append("phantom", "2")
+    seg.abort()
+    assert(graft.sources.FileKvStore.read(dir) === Map("kept" -> "1"))
+    assert(new java.io.File(dir).listFiles().forall(
+      !_.getName.endsWith(".tmp")))
+  }
+
   test("value predicates stay residual and still filter correctly") {
     val dir = freshDir()
     write(dir, "a" -> "hit", "b" -> "miss")

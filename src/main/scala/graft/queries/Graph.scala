@@ -31,7 +31,7 @@ object Graph extends QueryGroup {
     * Per-order fanout is bounded by lines-per-order (≤ 7), so the
     * self-join emits O(rows × lines-per-order) pair instances — never
     * order-count × order-count. */
-  private def coEdges(s: SparkSession, d: String): DataFrame = {
+  private[queries] def coEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
     li.as("a")
@@ -56,9 +56,15 @@ object Graph extends QueryGroup {
     * skinny rank relation moves. Ranks are fixed-point longs:
     * contribution = r div deg, update = 0.15·Scale + 85·Σ div 100 —
     * exact integers end to end. */
-  private def pagerank(s: SparkSession, d: String): DataFrame = {
+  private def pagerank(s: SparkSession, d: String): DataFrame =
+    pagerankOver(coEdges(s, d))
+
+  /** The iteration body over any canonical (src < dst) edge relation —
+    * shared by the from-scratch query above and the materialized-edge
+    * twin (`q_graph_pagerank_pre` in [[Materialized]]). */
+  private[queries] def pagerankOver(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
     import s.implicits._
-    val pairs = coEdges(s, d)
     val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val adj = edges.join(deg, "src").repartition($"src").localCheckpoint()

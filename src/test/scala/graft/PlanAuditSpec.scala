@@ -273,6 +273,8 @@ object PlanAuditSpec {
     // distinct + per-iteration contribution aggs + final top-100 sort;
     // every exchange carries (node, long) pairs, never lineitem payload.
     "q_graph_pagerank" -> 2,
+    // same iteration body over the parquet edge artifact.
+    "q_graph_pagerank_pre" -> 2,
     // 5 = wedge/closure equi-join exchanges over the CHECKPOINTED edge
     // set (+1 for the bloom scalar-subquery agg, which is what cuts the
     // closure exchange's ROW volume ~15x — one more exchange, far fewer

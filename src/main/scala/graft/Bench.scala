@@ -29,7 +29,15 @@ object Bench {
   private def consume(df: DataFrame): Unit = {
     val h = xxhash64(df.columns.map(col): _*)
     df.select(h.as("h")).agg(expr("bit_xor(h)")).collect()
-    ()
+    // The iterative queries (graph, cluster, keep-best) leave eager
+    // localCheckpoint blocks behind; they are only reclaimed when the
+    // backing RDDs are GC'd, so across a 170-query sweep they pile into
+    // real memory pressure (observed as multi-x inflation of
+    // checkpoint-heavy queries mid-bench). The consumed DataFrame is
+    // rebuilt from scratch on the next run, so dropping every registered
+    // block here is safe and makes the lifecycle deterministic.
+    val sc = df.sparkSession.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 
   def main(args: Array[String]): Unit = {

@@ -35,7 +35,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Semantics notes (documented, oracle-pinned by q_join_asof_native):
   *  - left rows with no qualifying right row null-pad the right side
   *    (LEFT-outer as-of, the DuckDB default);
-  *  - `right.time <= left.time` is inclusive;
+  *  - `right.time <= left.time` is inclusive; `forward = true` flips
+  *    the direction to the EARLIEST `right.time >= left.time` (pandas
+  *    `merge_asof` direction='forward'; DuckDB ASOF with `>=`) — the
+  *    forward merge needs no buffered state at all, the lookahead row
+  *    IS the candidate;
   *  - ties among right rows with equal (keys, time) resolve to the last
   *    row in sort order — collapse ties upstream (the catalog query
   *    pre-aggregates max(value) per (key, ts) exactly like the oracle);
@@ -50,7 +54,8 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Attribute],
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
-    rightTime: Attribute) extends BinaryNode {
+    rightTime: Attribute,
+    forward: Boolean) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -64,8 +69,8 @@ case class AsOfJoinPlan(
   * [[graft.GraftExtensions]] (`injectPlannerStrategy`). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -75,6 +80,7 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -128,7 +134,9 @@ case class AsOfJoinExec(
           rHeadTime = rTimeProj(rHead).copy()
         } else rHead = null
       advanceRight()
-      lIter.map { l =>
+      if (!forward) lIter.map { l =>
+        // BACKWARD (latest rt <= lt): consume right rows up to and
+        // including lt, remembering the last qualifying one.
         val lk = lKeyProj(l)
         val lt = lTimeProj(l)
         while (rHead != null && {
@@ -149,6 +157,24 @@ case class AsOfJoinExec(
           joined(l, lastMatch)
         else joined(l, nullRight)
       }
+      else lIter.map { l =>
+        // FORWARD (earliest rt >= lt): discard right rows strictly
+        // before lt; the lookahead row itself is then the match iff the
+        // keys agree. Nothing discarded is needed again — later left
+        // rows have (key, time) at least as large. Null right times
+        // sort first and are discarded by the same compare; a null left
+        // time matches nothing (`rt >= NULL` is never true).
+        val lk = lKeyProj(l)
+        val lt = lTimeProj(l)
+        while (rHead != null && {
+          val c = keyOrd.compare(rHeadKey, lk)
+          c < 0 || (c == 0 && timeOrd.compare(rHeadTime, lt) < 0)
+        }) advanceRight()
+        if (rHead != null && !lt.isNullAt(0) &&
+            keyOrd.compare(rHeadKey, lk) == 0)
+          joined(l, rHead)
+        else joined(l, nullRight)
+      }
     }
   }
 }
@@ -158,12 +184,15 @@ case class AsOfJoinExec(
 object AsOfJoin {
 
   /** Left-outer as-of join of `left` with `right` on equal `leftOn` /
-    * `rightOn` keys, each left row matching the latest right row with
-    * `rightTime <= leftTime`. Right-side columns keep their names —
-    * rename upstream if they collide with left's. */
+    * `rightOn` keys. Backward (default): each left row matches the
+    * LATEST right row with `rightTime <= leftTime`; `forward = true`
+    * matches the EARLIEST right row with `rightTime >= leftTime`
+    * (pandas `merge_asof` direction='forward'). Right-side columns keep
+    * their names — rename upstream if they collide with left's. */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftOn: Seq[String], rightOn: Seq[String],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      forward: Boolean = false): DataFrame = {
     val cl = left.asInstanceOf[classic.Dataset[Row]]
     val cr = right.asInstanceOf[classic.Dataset[Row]]
     val lPlan = cl.queryExecution.analyzed
@@ -179,7 +208,7 @@ object AsOfJoin {
           s"asofJoin: no column '$n' in [${attrs.map(_.name).mkString(", ")}]"))
     val node = AsOfJoinPlan(lPlan, rPlan,
       leftOn.map(pick(lPlan.output, _)), rightOn.map(pick(rAttrs, _)),
-      pick(lPlan.output, leftTime), pick(rAttrs, rightTime))
+      pick(lPlan.output, leftTime), pick(rAttrs, rightTime), forward)
     classic.Dataset.ofRows(cl.sparkSession, node)
   }
 }

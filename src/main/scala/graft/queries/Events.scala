@@ -128,6 +128,29 @@ object Events extends QueryGroup {
       .orderBy($"event_id")
   }
 
+  /** FORWARD as-of through the native operator: each view picks up the
+    * user's NEXT click at or after it — the "time to next action" /
+    * label-attribution shape (pandas merge_asof direction='forward').
+    * Same co-partition + sort as the backward exec; the forward merge
+    * carries zero buffered state (the lookahead row is the candidate).
+    * Ties among clicks at equal (user, ts) are pre-collapsed to the
+    * smallest event_id, exactly like the oracle's CTE. */
+  private def asofForward(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts")
+      .agg(min($"event_id").as("click_id"))
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"), $"click_id")
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts")
+    org.apache.spark.sql.graft.AsOfJoin
+      .asofJoin(views, clicks, Seq("user_id"), Seq("c_user"),
+        "ts", "click_ts", forward = true)
+      .select($"event_id", $"user_id", $"ts", $"click_ts", $"click_id")
+      .orderBy($"event_id")
+  }
+
   /** Deterministic event dedup — the batch twin of the streaming
     * stateful dedup ([[graft.streaming.EventsStreaming]] /
     * dropDuplicatesWithinWatermark): keep the FIRST event per
@@ -206,6 +229,7 @@ object Events extends QueryGroup {
     "q_events_dedup" -> eventsDedup,
     "q_join_asof" -> asof,
     "q_join_asof_native" -> asofNative,
+    "q_join_asof_fwd" -> asofForward,
   )
 
   val oracle: Map[String, String] = Map(
@@ -300,6 +324,18 @@ object Events extends QueryGroup {
     // Same spec on purpose: the rewrite and the native operator are
     // pinned to the identical DuckDB ASOF LEFT JOIN result.
     "q_join_asof_native" -> asofOracleSql,
+    "q_join_asof_fwd" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, min(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |), views AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        |)
+        |SELECT v.event_id, v.user_id, v.ts,
+        |  c.ts AS click_ts, c.click_id
+        |FROM views v ASOF LEFT JOIN clicks c
+        |  ON v.user_id = c.user_id AND c.ts >= v.ts
+        |ORDER BY v.event_id""".stripMargin,
   )
 
   private lazy val asofOracleSql =

@@ -63,6 +63,21 @@ class AsOfJoinSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(native === rewrite)
   }
 
+  test("forward direction picks the earliest quote at or after the trade") {
+    val r = AsOfJoin
+      .asofJoin(trades, quotes, Seq("k"), Seq("k"), "ts", "qts",
+        forward = true)
+      .select($"trade", $"quote").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None
+        else Some(x.getDouble(1)))).toMap
+    assert(r === Map(
+      100L -> Some(1.0), // before any quote -> first upcoming
+      101L -> Some(1.0), // exact ts is inclusive
+      102L -> Some(2.0), // between quotes -> next
+      103L -> None,      // after the last quote
+      104L -> Some(30.0), 105L -> None, 106L -> None))
+  }
+
   test("null times never match, null keys use null-safe equality") {
     val q = Seq(
       (Some("a"), None, 9.0),          // null time: must never match

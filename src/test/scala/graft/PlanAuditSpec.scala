@@ -261,6 +261,9 @@ object PlanAuditSpec {
     // + output sort. The union+window rewrite's 2 buys that with a
     // padded union and a running window instead.
     "q_join_asof_native" -> 4,
+    // forward direction, same exchange shape (views co-partition +
+    // click tie-collapse agg + its re-hash + output sort).
+    "q_join_asof_fwd" -> 4,
     // 3: both interval-join sides shuffle on user_id, the per-user agg
     // reuses that partitioning, final ORDER BY adds the range exchange.
     "q_events_view_click" -> 3,

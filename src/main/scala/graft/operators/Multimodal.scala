@@ -66,6 +66,38 @@ object Multimodal {
     }
   }
 
+  case class Thumb(media_id: Long, n_bytes: Int, thumb_bytes: Int,
+      thumb_sig: Long)
+
+  /** Resize stage: nearest-neighbor downsample of each payload to a
+    * fixed `target` size (src index = floor(i·n/t) — the 1-D analogue of
+    * image NN resize; payloads at or under target pass through
+    * unchanged). Emits the thumb's polynomial signature rather than the
+    * bytes so the result stays skinny and SQL-checkable; a real codec
+    * implementation would emit the resized payload and only this body
+    * changes. Narrow mapPartitions like the other stages — payloads
+    * never shuffle. */
+  def resizeThumbs(media: DataFrame, target: Int = 32): Dataset[Thumb] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map { r =>
+          val p = r.getAs[Array[Byte]]("payload")
+          val n = p.length
+          val t = math.min(target, n)
+          var sig = 0L
+          var i = 0
+          while (i < t) {
+            val b = p((i.toLong * n / t).toInt) & 0xff
+            sig = (sig * 31 + b) % 1000000007L
+            i += 1
+          }
+          Thumb(r.getAs[Long]("media_id"), n, t, sig)
+        }
+    }
+  }
+
   case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Frame sampling: every `stride` bytes, emit a fixed-size slice — the

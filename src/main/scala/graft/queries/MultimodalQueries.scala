@@ -53,10 +53,21 @@ object MultimodalQueries extends QueryGroup {
       .orderBy($"media_id")
   }
 
+  /** Resize stage: fixed-size NN-downsampled thumbnail per payload,
+    * pinned by its polynomial signature. */
+  private def resize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.resizeThumbs(
+      Multimodal.mediaTable(Tables.documents(s, d)))
+      .toDF()
+      .orderBy($"media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> meta,
     "q_multimodal_features" -> features,
     "q_multimodal_frames" -> frames,
+    "q_multimodal_resize" -> resize,
   )
 
   private val kindSql =
@@ -65,6 +76,21 @@ object MultimodalQueries extends QueryGroup {
       |     ELSE 'video' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // ASCII text => bytes == codepoints, so the byte-index NN downsample
+    // is a char-index downsample in SQL (src = floor(i*n/t), 1-based).
+    "q_multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(strlen(text) AS BIGINT) AS n FROM documents
+        |), t AS (
+        |  SELECT media_id, text, n, LEAST(32, n) AS tsize FROM m)
+        |SELECT media_id, CAST(n AS INTEGER) AS n_bytes,
+        |  CAST(tsize AS INTEGER) AS thumb_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(unicode(text[CAST((i*n)//tsize AS INTEGER)+1]) AS BIGINT)
+        |     FOR i IN range(0, CAST(tsize AS INTEGER))]),
+        |    (a, b) -> (a*31 + b) % 1000000007) AS thumb_sig
+        |FROM t ORDER BY media_id""".stripMargin,
     "q_multimodal_meta" ->
       s"""SELECT doc_id AS media_id, $kindSql AS kind,
          |  CAST(strlen(text) AS INT) AS n_bytes,

@@ -349,6 +349,8 @@ object PlanAuditSpec {
     "q_multimodal_features" -> 1,
     "q_multimodal_frames" -> 2,
     "q_multimodal_meta" -> 1,
+    // narrow resize mapPartitions; only the output sort shuffles.
+    "q_multimodal_resize" -> 1,
     // 2: block-partitioned window exchange + final range sort. The block
     // totals job (phase 1) runs at DataFrame-construction time and is a
     // |blocks|-row aggregate, not part of this plan.

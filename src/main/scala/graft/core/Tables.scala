@@ -25,21 +25,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet INT64 TIMESTAMP(NANOS), which Spark
-    * refuses natively; sessions set spark.sql.legacy.parquet.nanosAsLong
-    * and this loader truncates ns → µs timestamps (`ts div 1000`), the
-    * same truncation DuckDB applies reading the file. */
+  /** `events.ts` has shipped as parquet INT64 TIMESTAMP(NANOS) in some
+    * testdata generations and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (Spark: TIMESTAMP_NTZ) in others. Normalize every surface form to one
+    * canonical `TimestampType` so downstream queries and specs always
+    * collect `java.sql.Timestamp`, never `LocalDateTime`: sessions set
+    * spark.sql.legacy.parquet.nanosAsLong (ns → LongType → truncate to µs,
+    * the same truncation DuckDB applies), and NTZ is cast in the session
+    * time zone (pinned to UTC by every entrypoint, so the instant is the
+    * wall-clock value DuckDB sees). */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register every testdata table as a temp view for `spark.sql` queries. */
+  /** Register every testdata table as a temp view for `spark.sql` queries.
+    * Uses the normalizing loaders (not the raw scans) so SQL consumers see
+    * the same canonical `events.ts` type as the DataFrame API. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -45,6 +45,15 @@ class SmokeSpec extends SparkTestBase {
       s"cached RDDs left behind: ${pinned().values.map(r => s"${r.id}:${r.toString}").mkString(", ")}")
   }
 
+  test("events.ts collects as java.sql.Timestamp whatever the parquet surfaces") {
+    // The testdata generator has shipped ts as INT64 TIMESTAMP(NANOS) and
+    // as TIMESTAMP_NTZ(micros) across rounds; Tables.events must present
+    // one canonical type so getAs[java.sql.Timestamp] never class-casts.
+    val df = graft.core.Tables.events(spark, Sf0001)
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(df.select("ts").head.get(0).isInstanceOf[java.sql.Timestamp])
+  }
+
   test("known aggregate values at sf0.001 (pricing summary)") {
     val row = SparkEntry.queries("q_agg_pricing")(spark, Sf0001)
       .filter("l_returnflag = 'A'").collect()

@@ -10,18 +10,86 @@ import org.apache.spark.sql.types._
   * analogue of a Pandas-UDF `mapInPandas` batch — iterator-of-rows in,
   * iterator-of-rows out, schema declared up front).
   *
-  * The actual codec call is STUBBED with a deterministic fake (this
-  * container ships no image/audio libraries): [[fakeDecodeFeatures]]
-  * computes an 8-bin byte histogram in place of a real
-  * decode-and-embed. Everything AROUND the stub — binary schema,
-  * partition-wise batching, typed encoders, metadata struct, the
-  * catalog queries — is real and oracle-checked (the fake is exactly
-  * reproducible in SQL over UTF-8 text payloads).
+  * Codec seam: PNG and JPEG payloads (detected by magic bytes) are
+  * decoded with the JDK-built-in `javax.imageio` ([[ImageCodec]]) and
+  * yield REAL pixel statistics — an 8-bin luma histogram for features,
+  * a nearest-neighbor 2-D downsample for thumbnails. Every other
+  * payload falls back to a deterministic byte-level fake
+  * ([[fakeDecodeFeatures]]) so the text stand-in payloads used by the
+  * catalog queries stay exactly reproducible in SQL (the DuckDB
+  * oracle). Audio/video codecs are out of scope for this container and
+  * keep the byte fallback.
   *
   * Scale notes: payloads never shuffle — both stages are narrow
   * mapPartitions; only the (id, small-feature-vector) projection moves.
+  * Magic-byte sniffing is O(1) per row, so non-image payloads never pay
+  * ImageIO's cost.
   */
 object Multimodal {
+
+  /** Magic-byte sniffing + JDK `javax.imageio` decode for PNG/JPEG. */
+  object ImageCodec {
+    def isPng(p: Array[Byte]): Boolean =
+      p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+        p(3) == 'G'
+    def isJpeg(p: Array[Byte]): Boolean =
+      p.length > 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+        (p(2) & 0xff) == 0xff
+    def isImage(p: Array[Byte]): Boolean = isPng(p) || isJpeg(p)
+
+    /** Decode to a BufferedImage; None for non-image or corrupt payloads
+      * (callers fall back to the byte-level stub). */
+    def decode(p: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (!isImage(p)) None
+      else
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+        catch { case _: java.io.IOException => None }
+
+    /** Integer BT.601 luma in [0,255] from a packed ARGB pixel. */
+    def luma(argb: Int): Int = {
+      val r = (argb >> 16) & 0xff; val g = (argb >> 8) & 0xff
+      val b = argb & 0xff
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+
+    /** 8-bin luma histogram (bin = luma/32) normalized by pixel count —
+      * the real-decode analogue of the byte-histogram stub: same arity,
+      * same sums-to-1 contract. */
+    def lumaHistogram(img: java.awt.image.BufferedImage): Seq[Double] = {
+      val bins = new Array[Long](8)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          bins(luma(img.getRGB(x, y)) / 32) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = (img.getWidth.toLong * img.getHeight).toDouble
+      bins.toSeq.map(_ / n)
+    }
+
+    /** Nearest-neighbor downsample to a `side`×`side` luma grid
+      * (src = floor(i·w/side) — the 2-D form of the byte-path resize).
+      * Returns the luma bytes in row-major order. */
+    def resizeLuma(img: java.awt.image.BufferedImage, side: Int): Array[Int] = {
+      val w = img.getWidth; val h = img.getHeight
+      val s = math.min(side, math.min(w, h))
+      val out = new Array[Int](s * s)
+      var j = 0
+      while (j < s) {
+        var i = 0
+        while (i < s) {
+          out(j * s + i) =
+            luma(img.getRGB((i.toLong * w / s).toInt, (j.toLong * h / s).toInt))
+          i += 1
+        }
+        j += 1
+      }
+      out
+    }
+  }
 
   /** media(id, kind, payload binary, meta struct) — the multimodal table
     * shape; built here from `documents` (text bytes as stand-in payloads,
@@ -41,15 +109,24 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
       features: Seq[Double])
 
-  /** Deterministic stand-in for decode+embed: 8-bin histogram of
-    * byte % 8, normalized by payload length. A real implementation
-    * replaces ONLY the body of this function with a codec call. */
+  /** Deterministic byte-level fallback for non-image payloads: 8-bin
+    * histogram of byte % 8, normalized by payload length — exactly
+    * reproducible in SQL over UTF-8 text stand-ins, which is what the
+    * DuckDB oracle checks. */
   def fakeDecodeFeatures(payload: Array[Byte]): Seq[Double] = {
     val bins = new Array[Long](8)
     payload.foreach(b => bins((b & 0xff) % 8) += 1)
     val n = payload.length.toDouble
     bins.toSeq.map(_ / n)
   }
+
+  /** Codec dispatch: real luma histogram for decodable PNG/JPEG,
+    * byte-histogram fallback otherwise. Both emit 8 bins summing to 1. */
+  def decodeFeatures(payload: Array[Byte]): Seq[Double] =
+    ImageCodec.decode(payload) match {
+      case Some(img) => ImageCodec.lumaHistogram(img)
+      case None      => fakeDecodeFeatures(payload)
+    }
 
   /** Feature extraction as a partition-batched typed map — the
     * mapInPandas-shaped stage. */
@@ -61,7 +138,7 @@ object Multimodal {
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           MediaFeatures(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-            payload.length, fakeDecodeFeatures(payload))
+            payload.length, decodeFeatures(payload))
         }
     }
   }
@@ -69,14 +146,21 @@ object Multimodal {
   case class Thumb(media_id: Long, n_bytes: Int, thumb_bytes: Int,
       thumb_sig: Long)
 
-  /** Resize stage: nearest-neighbor downsample of each payload to a
-    * fixed `target` size (src index = floor(i·n/t) — the 1-D analogue of
-    * image NN resize; payloads at or under target pass through
-    * unchanged). Emits the thumb's polynomial signature rather than the
-    * bytes so the result stays skinny and SQL-checkable; a real codec
-    * implementation would emit the resized payload and only this body
-    * changes. Narrow mapPartitions like the other stages — payloads
-    * never shuffle. */
+  /** Polynomial signature over a value sequence — keeps thumbnail results
+    * skinny and SQL-checkable instead of shipping raw pixel bytes. */
+  def thumbSignature(values: Iterator[Int]): Long = {
+    var sig = 0L
+    values.foreach(v => sig = (sig * 31 + v) % 1000000007L)
+    sig
+  }
+
+  /** Resize stage. Decodable PNG/JPEG payloads get a REAL 2-D
+    * nearest-neighbor downsample to a `target`×`target` luma grid
+    * (`thumb_bytes` = side², the thumb pixel count); every other payload
+    * gets the 1-D byte-index analogue (src = floor(i·n/t), payloads at
+    * or under target pass through). Both emit the thumb's polynomial
+    * signature rather than the bytes. Narrow mapPartitions like the
+    * other stages — payloads never shuffle. */
   def resizeThumbs(media: DataFrame, target: Int = 32): Dataset[Thumb] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -84,16 +168,18 @@ object Multimodal {
       (rows: Iterator[Row]) =>
         rows.map { r =>
           val p = r.getAs[Array[Byte]]("payload")
-          val n = p.length
-          val t = math.min(target, n)
-          var sig = 0L
-          var i = 0
-          while (i < t) {
-            val b = p((i.toLong * n / t).toInt) & 0xff
-            sig = (sig * 31 + b) % 1000000007L
-            i += 1
+          ImageCodec.decode(p) match {
+            case Some(img) =>
+              val lumas = ImageCodec.resizeLuma(img, target)
+              Thumb(r.getAs[Long]("media_id"), p.length, lumas.length,
+                thumbSignature(lumas.iterator))
+            case None =>
+              val n = p.length
+              val t = math.min(target, n)
+              val sig = thumbSignature(
+                Iterator.range(0, t).map(i => p((i.toLong * n / t).toInt) & 0xff))
+              Thumb(r.getAs[Long]("media_id"), n, t, sig)
           }
-          Thumb(r.getAs[Long]("media_id"), n, t, sig)
         }
     }
   }

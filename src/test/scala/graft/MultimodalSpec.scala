@@ -41,6 +41,58 @@ class MultimodalSpec extends SparkTestBase {
     assert(f(0) == 0.0)
   }
 
+  // 4×4 grayscale PNG with known pixel values (r=g=b=v ⇒ BT.601 luma = v
+  // exactly; PNG is lossless so decode returns these bytes verbatim).
+  private val fixtureLumas =
+    Seq(0, 32, 64, 96, 128, 160, 192, 224, 255, 0, 255, 0, 16, 48, 80, 112)
+
+  private def fixturePng(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (j <- 0 until 4; i <- 0 until 4) {
+      val v = fixtureLumas(j * 4 + i)
+      img.setRGB(i, j, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("magic-byte sniffing: PNG and JPEG detected, text is not") {
+    val png = fixturePng()
+    assert(Multimodal.ImageCodec.isPng(png) && !Multimodal.ImageCodec.isJpeg(png))
+    val jpegHeader = Array(0xff, 0xd8, 0xff, 0xe0, 0x00).map(_.toByte)
+    assert(Multimodal.ImageCodec.isJpeg(jpegHeader))
+    assert(!Multimodal.ImageCodec.isImage("plain text payload".getBytes("UTF-8")))
+  }
+
+  test("planted PNG: real pixel decode pins the luma histogram") {
+    // luma/32 bins of fixtureLumas: [4,2,2,2,1,1,1,3] of 16 pixels
+    val f = Multimodal.decodeFeatures(fixturePng())
+    assert(f == Seq(4, 2, 2, 2, 1, 1, 1, 3).map(_ / 16.0))
+  }
+
+  test("planted PNG through the Spark stages: features and thumb signature") {
+    import spark.implicits._
+    val imageMedia = Seq((99L, "image", fixturePng()))
+      .toDF("media_id", "kind", "payload")
+    val feat = Multimodal.extractFeatures(imageMedia).collect().head
+    assert(feat.features == Seq(4, 2, 2, 2, 1, 1, 1, 3).map(_ / 16.0))
+    // 4×4 source under the 32-target ⇒ identity NN sample of all 16 lumas
+    val thumb = Multimodal.resizeThumbs(imageMedia).collect().head
+    assert(thumb.thumb_bytes == 16)
+    val expectedSig =
+      fixtureLumas.foldLeft(0L)((a, v) => (a * 31 + v) % 1000000007L)
+    assert(thumb.thumb_sig == expectedSig)
+  }
+
+  test("corrupt image payload falls back to the byte stub") {
+    // PNG magic but garbage body: decode fails, byte histogram applies
+    val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)
+    assert(Multimodal.ImageCodec.decode(junk).isEmpty)
+    assert(Multimodal.decodeFeatures(junk) == Multimodal.fakeDecodeFeatures(junk))
+  }
+
   test("frame sampling emits fixed-size frames at the stride") {
     val frames = Multimodal.sampleFrames(media).collect()
     assert(frames.nonEmpty)

@@ -84,42 +84,88 @@ object Graph extends QueryGroup {
       .limit(100)
   }
 
-  /** Global triangle count over the canonical (src < dst) edge set —
-    * the standard two-join motif shape: wedges a<b<c from edges (a,b)
-    * and (b,c), closed by probing edge (a,c).
+  /** Degree-ordered oriented edge set: each undirected edge {u,v} is
+    * directed from the lower-rank to the higher-rank endpoint, where
+    * rank = (degree, id) lexicographic — PACKED into one long as
+    * `deg << 32 | id`, so rank comparison is a single long compare and
+    * the edge relation stays two columns. The packing requires ids in
+    * [0, 2³²) and degrees < 2³¹; both hold for the co-purchase graph by
+    * construction (partkeys are ints) and the build asserts it per row,
+    * so a violation at larger scale fails loudly rather than
+    * miscounting (the unpacked (deg, id) struct form is the drop-in
+    * general fallback). Out-degree under degree orientation is bounded
+    * by O(√(2·|E|)) — the arboricity argument behind node-iterator++
+    * triangle counting — which is what tames wedge fanout on skewed
+    * graphs: a hub with degree h and a small id would otherwise sit on
+    * the left of all h of its edges and emit C(h,2) wedges. The deg
+    * relation is one row per node — broadcast both probes. */
+  private[queries] def orientedEdges(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val deg = pairs.select($"src".as("node"))
+      .union(pairs.select($"dst".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    def rank(id: String, dg: String) = {
+      val guarded = when(
+        col(id) < 0 || col(id) >= (1L << 32) || col(dg) >= (1L << 31),
+        raise_error(lit("orientedEdges: rank packing out of range")))
+        .otherwise(shiftleft(col(dg), 32).bitwiseOR(col(id)))
+      guarded.cast("long")
+    }
+    pairs
+      .join(broadcast(deg.select($"node".as("src"), $"deg".as("sdeg"))), "src")
+      .join(broadcast(deg.select($"node".as("dst"), $"deg".as("ddeg"))), "dst")
+      .select(
+        rank("src", "sdeg").as("r_src"), rank("dst", "ddeg").as("r_dst"))
+      .select(
+        least($"r_src", $"r_dst").as("u"),
+        greatest($"r_src", $"r_dst").as("v"))
+  }
+
+  /** Global triangle count — the two-join motif shape over the
+    * DEGREE-ORDERED oriented edges: wedges (b, c) from two out-edges of
+    * the lowest-rank corner u (rank(b) < rank(c)), closed by probing the
+    * oriented edge b→c. Each triangle is counted exactly once, from its
+    * minimum-rank corner.
     *
-    * The a<b<c orientation is what makes this scale: each wedge is
-    * generated exactly once and the join fanout per mid-node is
-    * deg_lo·deg_hi instead of deg² in all orientations (at true scale
-    * the further degree-ordering refinement bounds it by arboricity).
-    * Both joins are equi-joins; no cartesian anywhere.
+    * Why degree ordering and not raw id order: wedge fanout per corner is
+    * C(out-deg, 2), and degree orientation bounds out-deg by O(√(2|E|))
+    * (arboricity) instead of letting a high-degree hub with a small id
+    * emit deg² wedges. On the sf0.1 co-purchase graph this cuts wedge
+    * rows ~1.9x vs id order (GraphSpec pins the inequality).
     *
-    * Wedges vastly outnumber triangles (sf0.1: 49.3M wedges close into
-    * 1.9M triangles — 3.8%), so the closure join's exchange is THE cost:
-    * a bloom filter over the edge set (`bloom_agg`, the same surface
-    * q_join_bloom uses) prunes non-closing wedges map-side, BEFORE they
-    * hit the wire, cutting the closure shuffle ~15x. False positives
-    * just pass a few extra wedges to the exact join; the count is
-    * unchanged. */
+    * Wedges still vastly outnumber triangles, so the closure join's
+    * exchange is THE cost: a bloom filter over the oriented edge set
+    * (`bloom_agg`, the same surface q_join_bloom uses) prunes non-closing
+    * wedges map-side, BEFORE they hit the wire. False positives just pass
+    * a few extra wedges to the exact join; the count is unchanged. */
   private def triangles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     org.apache.spark.sql.graft.GraftSqlFunctions.ensure(s)
-    // The edge set is read FOUR times (bloom build, both wedge sides,
-    // closure probe): materialize it once (eager localCheckpoint) so the
-    // lineitem self-join + distinct runs once, not per reference.
-    coEdges(s, d).localCheckpoint().createOrReplaceTempView("graph_edges")
+    // The oriented edge set is read FOUR times (bloom build, both wedge
+    // sides, closure probe): materialize it once (eager localCheckpoint)
+    // so the lineitem self-join + distinct + degree join runs once. The
+    // repartition on u is the orientation's structural dividend: every
+    // consumer joins keyed on u (wedge self-join both sides, closure
+    // build side), so checkpointing hash-partitioned on u lets the wedge
+    // join run with ZERO exchanges — id order couldn't co-locate because
+    // it joined dst-to-src, two different keys.
+    orientedEdges(coEdges(s, d)).repartition($"u").localCheckpoint()
+      .createOrReplaceTempView("graph_oedges")
     val out = s.sql("""
       WITH w AS (
-        SELECT ab.src AS a, bc.dst AS c
-        FROM graph_edges ab JOIN graph_edges bc ON ab.dst = bc.src
+        SELECT e1.v AS b, e2.v AS c
+        FROM graph_oedges e1 JOIN graph_oedges e2
+          ON e1.u = e2.u AND e1.v < e2.v
         WHERE bloom_might_contain(
-          (SELECT bloom_agg(xxhash64(src, dst), 4000000) FROM graph_edges),
-          xxhash64(ab.src, bc.dst))
+            (SELECT bloom_agg(xxhash64(u, v), 4000000) FROM graph_oedges),
+            xxhash64(e1.v, e2.v))
       )
       SELECT COUNT(*) AS n_triangles
-      FROM w JOIN graph_edges ac ON w.a = ac.src AND w.c = ac.dst""")
+      FROM w JOIN graph_oedges bc ON w.b = bc.u AND w.c = bc.v""")
     // Analysis has inlined the view; drop it so the checkpointed blocks
     // are collectable once the result is dropped (same as reachability).
-    s.catalog.dropTempView("graph_edges")
+    s.catalog.dropTempView("graph_oedges")
     out
   }
 

@@ -50,6 +50,28 @@ class GraphSpec extends SparkTestBase {
     assert(got == expected && got > 0)
   }
 
+  test("degree orientation emits no more wedges than id orientation") {
+    // The triangle query's wedge stage fans out C(out-deg, 2) per corner;
+    // degree-ordered orientation bounds out-deg by arboricity where raw id
+    // order lets a small-id hub emit deg² wedges. Recompute both wedge
+    // totals independently and pin the inequality the rewrite relies on.
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val deg = nbrs.map { case (n, ns) => n -> ns.size }
+    def choose2(k: Long) = k * (k - 1) / 2
+    val idWedges = nbrs.map { case (b, ns) =>
+      ns.count(_ < b).toLong * ns.count(_ > b)
+    }.sum
+    val rankGt = (x: Long, y: Long) =>
+      deg(x) > deg(y) || (deg(x) == deg(y) && x > y)
+    val degWedges = nbrs.map { case (u, ns) =>
+      choose2(ns.count(v => rankGt(v, u)).toLong)
+    }.sum
+    assert(degWedges > 0 && idWedges > 0)
+    assert(degWedges <= idWedges,
+      s"degree orientation regressed wedge fanout: $degWedges > $idWedges")
+  }
+
   test("bloom filter admits every true dim key (no false negatives)") {
     org.apache.spark.sql.graft.GraftSqlFunctions.ensure(spark)
     graft.core.Tables.orders(spark, Sf0001)

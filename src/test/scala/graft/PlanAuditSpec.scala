@@ -278,11 +278,14 @@ object PlanAuditSpec {
     "q_graph_pagerank" -> 2,
     // same iteration body over the parquet edge artifact.
     "q_graph_pagerank_pre" -> 2,
-    // 5 = wedge/closure equi-join exchanges over the CHECKPOINTED edge
-    // set (+1 for the bloom scalar-subquery agg, which is what cuts the
-    // closure exchange's ROW volume ~15x — one more exchange, far fewer
-    // bytes); the edge-build dedup runs once inside the checkpoint.
-    "q_graph_triangles" -> 5,
+    // 4 = closure-join wedge-side exchange + the bloom scalar-subquery
+    // agg (which cuts the closure exchange's ROW volume ~15x) + count
+    // partials. The wedge SELF-join runs with NO exchange: the oriented
+    // edge checkpoint is hash-partitioned on u and every consumer joins
+    // keyed on u — the structural dividend of lowest-corner orientation
+    // (the old mid-node shape joined dst-to-src, two keys, and needed 5).
+    // Edge-build dedup + degree joins run once inside the checkpoint.
+    "q_graph_triangles" -> 4,
     // bloom scalar-subquery agg + post-prune join + final sort; the
     // fact side is filtered BEFORE its exchange — that's the point.
     "q_join_bloom" -> 3,

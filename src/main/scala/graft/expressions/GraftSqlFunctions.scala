@@ -37,6 +37,9 @@ object GraftSqlFunctions {
     throw new IllegalArgumentException(s"$fn: expected $usage")
 
   val descriptions: Seq[Description] = Seq(
+    (FunctionIdentifier("uuid5"), info("uuid5", classOf[Uuid5Expr]),
+      { case Seq(a) => Uuid5Expr(a)
+        case _ => bad("uuid5", "uuid5(name)") }),
     (FunctionIdentifier("simhash60"), info("simhash60", classOf[SimHash60]),
       { case Seq(a) => SimHash60(a)
         case _ => bad("simhash60", "simhash60(tokens)") }),

@@ -16,10 +16,8 @@ object GraftFunctions {
     if (s == null) null else s.toLowerCase.replaceAll("[^a-z0-9]+", "-")
 
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("uuid5",
-      (name: String) => if (name == null) null else Uuid5.uuid5Jvm(name))
     spark.udf.register("slugify", (s: String) => slugifyJvm(s))
-    // poly_hash & friends are native expressions with their own SQL
+    // uuid5, poly_hash & friends are native expressions with their own SQL
     // registration — a UDF here would shadow the codegen'd versions.
     org.apache.spark.sql.graft.GraftSqlFunctions.ensure(spark)
   }

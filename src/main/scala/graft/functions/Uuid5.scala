@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * so key-compatibility requires exactness (pinned by test vectors in
   * Uuid5Spec generated with CPython).
   *
-  * Implemented as a composition of codegen'd builtins — sha1 over
-  * (namespace bytes ++ utf8(name)), then hex-string surgery for the
-  * version/variant nibbles — rather than a UDF, so the whole key
-  * derivation stays inside WholeStageCodegen. A Scala-side twin
-  * ([[uuid5Jvm]]) serves driver-side callers and tests.
+  * Backed by the native Catalyst expression
+  * [[org.apache.spark.sql.graft.Uuid5Expr]] (`doGenCode` = one static
+  * call inside WholeStageCodegen; thread-local digest, no String
+  * round-trip) — SURVEY §7.2's "expression where a UDF sits" endgame.
+  * A Scala-side twin ([[uuid5Jvm]]) serves driver-side callers and
+  * tests; Uuid5Spec pins both against CPython vectors.
   */
 object Uuid5 {
 
@@ -22,22 +23,9 @@ object Uuid5 {
     Array(0x6b, 0xa7, 0xb8, 0x10, 0x9d, 0xad, 0x11, 0xd1,
       0x80, 0xb4, 0x00, 0xc0, 0x4f, 0xd4, 0x30, 0xc8).map(_.toByte)
 
-  /** uuid5(NAMESPACE_DNS, name) as a pure-builtin Column expression. */
-  def uuid5(name: Column): Column = {
-    // 40 lowercase hex chars of sha1(ns ++ utf8(name)); first 32 = uuid.
-    val h = sha1(concat(lit(NamespaceDns), encode(name, "UTF-8")))
-    // Variant nibble (17th hex char): (d & 0x3) | 0x8.
-    val variantChar = lower(conv(
-      (conv(substring(h, 17, 1), 16, 10).cast("int")
-        .bitwiseAND(3).bitwiseOR(8)).cast("string"), 10, 16))
-    concat_ws("-",
-      substring(h, 1, 8),
-      substring(h, 9, 4),
-      // Version nibble (13th hex char) is literally '5'.
-      concat(lit("5"), substring(h, 14, 3)),
-      concat(variantChar, substring(h, 18, 3)),
-      substring(h, 21, 12))
-  }
+  /** uuid5(NAMESPACE_DNS, name) as a native-expression Column. */
+  def uuid5(name: Column): Column =
+    org.apache.spark.sql.graft.Uuid5Expr.uuid5(name)
 
   /** Driver-side / test twin of [[uuid5]] (same bytes, plain JVM). */
   def uuid5Jvm(name: String): String = {

@@ -46,6 +46,21 @@ class Uuid5Spec extends SparkTestBase {
     }
   }
 
+  test("uuid5 plans as the native expression — no ScalaUDF anywhere") {
+    // Both the Column path and the SQL-registry path must resolve to
+    // Uuid5Expr (codegen), never a ScalaUDF wrapper.
+    Seq("q_uuid5_keys", "q_uuid5_sql_registry").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, Sf0001)
+        .queryExecution.optimizedPlan
+      val hasUdf = plan.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])))
+      assert(!hasUdf, s"$q plans a ScalaUDF")
+      val hasNative = plan.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.graft.Uuid5Expr])))
+      assert(hasNative, s"$q does not plan Uuid5Expr")
+    }
+  }
+
   test("version and variant nibbles are correct") {
     import spark.implicits._
     val u = Seq("anything").toDF("n").select(Uuid5.uuid5(lit("anything")))

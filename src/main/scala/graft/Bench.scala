@@ -128,7 +128,10 @@ object Bench {
     // A failed detail write must be LOUD: bench_proxy.py and the summary
     // line's "detail" pointer both read the committed artifact, so a
     // swallowed IOException leaves a stale file masquerading as current.
-    if (only.isEmpty) {
+    // Only a FULL sweep at the canonical bench scale may overwrite it —
+    // a full run at sf0.001 (e.g. a verify smoke) would otherwise
+    // replace the committed sf0.1 record with toy numbers.
+    if (only.isEmpty && sfDir.endsWith("sf0.1")) {
       try {
         val w = new java.io.PrintWriter("BENCH_DETAIL.json")
         try w.println(detail) finally w.close()

@@ -169,23 +169,45 @@ object Dedup extends QueryGroup {
   private def dedupPrefix(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.graft.ShingleHashSet.shingleHashes
+    // The exploded shingle relation feeds BOTH the dfreq aggregation and
+    // the join back onto it; left lazy, the tokenize+shingle-hash kernel
+    // (the query's dominant CPU) runs once per consumer. Materialize it
+    // ONCE, hash-partitioned on the common key, so the dfreq agg and the
+    // ex-side of the join both plan exchange-free (same precedent as the
+    // graph family's checkpointed edge sets; blocks are collectable after
+    // the result drops).
     val ex = Tables.documents(s, d)
       .select($"doc_id", shingleHashes(tokens($"text"), ShingleK).as("sh"))
       .filter($"sh".isNotNull)
       .select($"doc_id", size($"sh").as("sz"), explode($"sh").as("shingle"))
+      .repartition($"shingle")
+      .localCheckpoint()
     val dfreq = ex.groupBy($"shingle").agg(count(lit(1)).as("dfreq"))
     val rarity = Window.partitionBy($"doc_id").orderBy($"dfreq", $"shingle")
     val prefix = ex.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(rarity))
       .filter($"rn" <=
         $"sz" - floor(($"sz" * 4 + 4) / lit(5.0)).cast("int") + 1)
-      .select($"doc_id", $"shingle")
+      .select($"doc_id", $"shingle", $"sz")
+    // PPJoin length filter: jaccard ≤ min(|a|,|b|)/max(|a|,|b|), and the
+    // hashed-set jaccard upper-bounds the string-set jaccard (hashing only
+    // merges elements), so a size ratio below t prunes with zero false
+    // negatives — BEFORE the pair ever reaches the exact verify, which is
+    // this query's dominant cost (118k candidates at sf0.1; only ~24% of
+    // size pairs are length-compatible at t=0.8, so sizes alone kill
+    // ~3/4 of them — measured 4.5 s → 3.0 s).
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.sz" * 5 >= $"b.sz" * 4 && $"b.sz" * 5 >= $"a.sz" * 4)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    verifyJaccard(s, d, cand)
+    // Materialize the (skinny, rare-by-construction) candidate pairs:
+    // verifyJaccard consumes them twice (the candIds broadcast and the
+    // output spine), and a checkpointed LogicalRDD does not canonicalize
+    // for ReuseExchange, so leaving `cand` lazy would re-plan the whole
+    // prefix pipeline per consumer.
+    verifyJaccard(s, d, cand.localCheckpoint())
   }
 
   /** Incremental-batch boundary for [[dedupIncremental]]: docs below are

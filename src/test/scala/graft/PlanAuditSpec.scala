@@ -210,9 +210,12 @@ object PlanAuditSpec {
     // inside an InMemoryRelation that executedPlan doesn't walk. Runtime
     // shuffle work is unchanged; nothing stays pinned in the cache manager.
     "q_dedup_jaccard" -> 3,
-    // prefix filter: dfreq agg + ex-dfreq join + per-doc rarity window +
-    // candidate self-join on shingle; verify side is all broadcasts.
-    "q_dedup_prefix" -> 4,
+    // 3 = candIds semi-join agg + its re-use + final sort: the prefix
+    // pipeline (dfreq agg, rarity window, candidate self-join) runs ONCE
+    // inside the checkpointed candidate materialization, and the shingle
+    // exchanges vanished with the ex checkpoint partitioned on shingle;
+    // verify side is all broadcasts.
+    "q_dedup_prefix" -> 3,
     "q_dedup_jaccard_pre" -> 3,
     // blocked equi-join self-join; at sf0.001 the build side broadcasts,
     // leaving only the output range sort (at scale: SMJ on the block key).

@@ -59,6 +59,9 @@ object GraftSqlFunctions {
       info("bigram_stats", classOf[BigramStats]),
       { case Seq(a) => BigramStats(a)
         case _ => bad("bigram_stats", "bigram_stats(tokens)") }),
+    (FunctionIdentifier("set_overlap"), info("set_overlap", classOf[SetOverlap]),
+      { case Seq(a, b) => SetOverlap(a, b)
+        case _ => bad("set_overlap", "set_overlap(a, b)") }),
     (FunctionIdentifier("array_dot_long"),
       info("array_dot_long", classOf[ArrayDotLong]),
       { case Seq(a, b) => ArrayDotLong(a, b)

@@ -126,12 +126,20 @@ object Dedup extends QueryGroup {
       .select($"doc_id", tokens($"text").as("toks"))
       .filter(size($"toks") >= ShingleK)
       .select($"doc_id", array_distinct(shingles($"toks", ShingleK)).as("sh"))
+    // jaccard via ONE overlap count (|∪| = |a|+|b|−|∩| on the distinct
+    // arrays) — the codegen'd SetOverlap kernel replaces the builtin
+    // array_intersect + array_union pair, which built three hash
+    // structures and two throwaway arrays per candidate.
     cand
       .join(broadcast(candSh.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))),
         "doc_a")
       .join(broadcast(candSh.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))),
         "doc_b")
-      .withColumn("jac", jaccard($"sh_a", $"sh_b"))
+      .withColumn("ov",
+        org.apache.spark.sql.graft.SetOverlap
+          .setOverlap($"sh_a", $"sh_b").cast("double"))
+      .withColumn("jac",
+        $"ov" / (size($"sh_a") + size($"sh_b") - $"ov"))
       .filter($"jac" >= 0.8)
       .select($"doc_a", $"doc_b", $"jac")
       .orderBy($"doc_a", $"doc_b")

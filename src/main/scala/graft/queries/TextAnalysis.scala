@@ -487,7 +487,8 @@ object TextAnalysis extends QueryGroup {
       .join(broadcast(candSh
         .select($"doc_id".as("doc_train"), $"sh".as("sh_b"))), "doc_train")
       .withColumn("containment",
-        size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+        org.apache.spark.sql.graft.SetOverlap
+          .setOverlap($"sh_a", $"sh_b").cast("double") /
           size($"sh_a").cast("double"))
       .filter($"containment" >= ContainT)
       .select($"doc_eval", $"split_eval", $"doc_train", $"containment")

@@ -274,8 +274,14 @@ object Dedup extends QueryGroup {
     import s.implicits._
     val pairs = verifyJaccard(s, d, bandCandidates(bandTable(s, d)))
       .select($"doc_a", $"doc_b")
+    // Checkpoint the edge list hash-partitioned on dst — the key EVERY
+    // round's neighbor join probes — so iterations find the (static) edge
+    // side co-located and only the skinny label relation moves, instead
+    // of re-exchanging the edges once per round (the pagerank adjacency
+    // move).
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .repartition($"dst")
       .localCheckpoint(true)
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("lab", $"id")
@@ -286,14 +292,16 @@ object Dedup extends QueryGroup {
         .join(labels.select($"id".as("dst"), $"lab".as("nlab")), "dst")
         .groupBy($"src").agg(min($"nlab").as("nmin"))
         .select($"src".as("id"), $"nmin")
+      // The convergence flag rides the label update (min-labels only
+      // DECREASE, so changed = strict drop): the probe below is then a
+      // flat scan of the materialized round, not a second join per round.
       val next = labels.join(neigh, Seq("id"), "left")
-        .select($"id", least($"lab", coalesce($"nmin", $"lab")).as("lab"))
+        .select($"id", $"lab".as("prev"),
+          least($"lab", coalesce($"nmin", $"lab")).as("lab"))
+        .select($"id", $"lab", ($"lab" < $"prev").as("changed"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("p"), $"n.id" === $"p.id")
-        .filter($"n.lab" =!= $"p.lab")
-        .isEmpty
-      labels = next
+      converged = next.filter($"changed").isEmpty
+      labels = next.select($"id", $"lab")
     }
     labels
   }

@@ -68,16 +68,25 @@ object Graph extends QueryGroup {
     val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val adj = edges.join(deg, "src").repartition($"src").localCheckpoint()
-    var rank = adj.select($"src".as("node")).distinct()
-      .select($"node", lit(Scale).as("r"))
-    for (_ <- 1 to 2) {
+    // Iteration 1 unrolled: the initial rank is the SAME constant for
+    // every node, so the first round's contribution is Scale div deg
+    // straight off the adjacency — no init relation, no first join; the
+    // symmetrized graph has no rank-only nodes, so the receiving node set
+    // is identical to the joined form.
+    def update(s: org.apache.spark.sql.Column) =
+      lit(15L * Scale / 100) + expr("(85 * s) div 100")
+    var rank = adj
+      .select($"dst", expr(s"$Scale div deg").as("c"))
+      .groupBy($"dst")
+      .agg(sum($"c").as("s"))
+      .select($"dst".as("node"), update($"s").as("r"))
+    for (_ <- 2 to 2) {
       rank = adj
         .join(rank, adj("src") === rank("node"))
         .select($"dst", expr("r div deg").as("c"))
         .groupBy($"dst")
         .agg(sum($"c").as("s"))
-        .select($"dst".as("node"),
-          (lit(15L * Scale / 100) + expr("(85 * s) div 100")).as("r"))
+        .select($"dst".as("node"), update($"s").as("r"))
     }
     rank.select($"node".as("part"), $"r".as("rank_fp"))
       .orderBy(desc("rank_fp"), $"part")

@@ -54,6 +54,28 @@ class SetOverlapSpec extends SparkTestBase {
     }
   }
 
+  test("property: equals size(array_intersect) on generated arrays") {
+    // Adversarial inputs the corpus never produces: empty strings,
+    // unicode, heavy duplication, wildly asymmetric sizes. One Spark
+    // round-trip evaluates both formulations on every case.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val el = Gen.oneOf("", "a", "b", "日本", "x y", "aa", "ζ", "tok", "a")
+    val arr = Gen.choose(0, 24).flatMap(n => Gen.listOfN(n, el))
+    val pair = for { a <- arr; b <- arr } yield (a, b)
+    val gen: Seq[(Seq[String], Seq[String])] = (0 until 300).map { i =>
+      val (a, b) = pair(Gen.Parameters.default, Seed(i.toLong)).get
+      (a.toSeq, b.toSeq)
+    }
+    val rows = gen.toDF("a", "b")
+      .select(setOverlap($"a", $"b").as("got"),
+        size(array_intersect($"a", $"b")).as("want"))
+      .collect()
+    rows.zip(gen).foreach { case (r, c) =>
+      assert(r.getInt(0) == r.getInt(1), s"mismatch for $c")
+    }
+  }
+
   test("set_overlap is SQL-registered and codegen-callable") {
     org.apache.spark.sql.graft.GraftSqlFunctions.ensure(spark)
     val r = spark.sql(

@@ -61,6 +61,28 @@ class Uuid5Spec extends SparkTestBase {
     }
   }
 
+  test("property: expression equals JVM twin on generated strings") {
+    // The codegen path hashes raw UTF8String bytes with no String
+    // round-trip; the twin goes through String.getBytes. Generated
+    // unicode (incl. surrogate pairs), empties, and long inputs pin the
+    // two paths byte-identical.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val gen = Gen.oneOf(
+      Gen.asciiPrintableStr, Gen.identifier,
+      Gen.listOf(Gen.oneOf("日", "本", "ζ", "𝕊", " ", "é")).map(_.mkString),
+      Gen.choose(0, 400).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar)))
+    val names: Seq[String] = (0 until 200).map { i =>
+      gen(Gen.Parameters.default, Seed(i.toLong)).get
+    }
+    val got = names.toDF("name")
+      .select(Uuid5.uuid5(col("name"))).as[String].collect()
+    names.zip(got).foreach { case (n, u) =>
+      assert(u == Uuid5.uuid5Jvm(n), s"for name '$n'")
+    }
+  }
+
   test("version and variant nibbles are correct") {
     import spark.implicits._
     val u = Seq("anything").toDF("n").select(Uuid5.uuid5(lit("anything")))

@@ -40,6 +40,7 @@ object SparkEntry {
     Sketches,
     Privacy,
     Inference,
+    Mining,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

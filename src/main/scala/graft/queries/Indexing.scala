@@ -104,7 +104,7 @@ object Indexing extends QueryGroup {
     * survive the map side); df and the corpus stats are tiny broadcast
     * relations; the only real shuffle carries (doc, term) hits for the
     * query's terms — bounded by postings size, never corpus size. */
-  private def bm25(s: SparkSession, d: String): DataFrame = {
+  private[queries] def bm25(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
       .select($"doc_id", tokens($"text").as("toks"))
@@ -140,12 +140,13 @@ object Indexing extends QueryGroup {
     "q_text_bm25" -> bm25,
   )
 
-  val oracle: Map[String, String] = Map(
-    // Literals and association mirror the Spark column expressions
-    // EXACTLY (idf * (tf*2.2) / (tf + 1.2*(0.25 + 0.75*(dl/(sum/n))))) so
-    // the per-addend doubles are bit-equal before the decimal-exact sum.
-    "q_text_bm25" ->
-      s"""WITH dd AS (
+  // Literals and association mirror the Spark column expressions
+  // EXACTLY (idf * (tf*2.2) / (tf + 1.2*(0.25 + 0.75*(dl/(sum/n))))) so
+  // the per-addend doubles are bit-equal before the decimal-exact sum.
+  // The CTE chain (ending in `scored`) is shared with the hybrid-retrieval
+  // fusion oracle in [[Mining]], which re-ranks the same BM25 list.
+  private[queries] val bm25ScoredCtes: String =
+    s"""WITH dd AS (
          |  SELECT doc_id, string_split(lower(text), ' ') AS toks
          |  FROM documents),
          |dl AS (
@@ -168,7 +169,11 @@ object Indexing extends QueryGroup {
          |        (CAST(tf.dl AS DOUBLE)
          |          / (CAST(stats.sum_dl AS DOUBLE)
          |            / CAST(stats.n_docs AS DOUBLE))))) AS addend
-         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats)
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_text_bm25" ->
+      s"""$bm25ScoredCtes
          |SELECT doc_id, ${dsumSql("addend")} AS bm25,
          |  COUNT(*) AS n_terms, max(dl) AS dl
          |FROM scored GROUP BY doc_id

@@ -48,7 +48,7 @@ object Similarity extends QueryGroup {
   private val LshBands = 2
 
   /** floor(x * 1e7) int64 quantization of a float-array column. */
-  private def quantize(v: Column): Column =
+  private[queries] def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * QuantScale.toDouble))
 
   /** Exact integer dot product of two quantized vectors — the codegen'd
@@ -449,11 +449,11 @@ object Similarity extends QueryGroup {
   // DuckDB fragments ------------------------------------------------------
 
   /** Quantized int64 vector of the embedding column. */
-  private val duckQuant =
+  private[queries] val duckQuant =
     s"[CAST(floor(CAST(x AS DOUBLE) * $QuantScale.0) AS BIGINT) FOR x IN embedding]"
 
   /** Exact integer dot of two quantized list columns a/b (1-based index). */
-  private def duckDotInt(a: String, b: String): String =
+  private[queries] def duckDotInt(a: String, b: String): String =
     s"CAST(list_sum([$a[i+1] * $b[i+1] FOR i IN range(0, 64)]) AS BIGINT)"
 
   /** Left-fold double dot of two float-list columns (bit-identical to the

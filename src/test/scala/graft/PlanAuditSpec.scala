@@ -508,6 +508,23 @@ object PlanAuditSpec {
     "q_uuid5_sql_registry" -> 1,
     "q_vector_cosine" -> 2,
     "q_vector_topk" -> 2,
+    // one n_name partial agg of 6-number moment states + output sort —
+    // the whole corr/cov derivation is post-agg scalar arithmetic.
+    "q_agg_corr" -> 2,
+    // basket distinct + orderkey distinct + its 1-row count + item-count
+    // agg + pair agg + output sort; the a-priori frequent set and the
+    // count joins are broadcasts, the pair self-join reuses the basket
+    // relation's partitioning.
+    "q_assoc_rules" -> 6,
+    // bm25 postings-bounded tf agg + per-doc agg + the two K-bounded
+    // rank-count aggs + output sort; the dense side is TakeOrdered (no
+    // exchange), the fusion full-outer runs on two 25-row lists.
+    "q_search_rrf" -> 5,
+    // per-size min agg + output sort; dominance resolution runs on the
+    // broadcast size-domain reduction, never the full table.
+    "q_skyline" -> 2,
+    // countDistinct(source) expand pair + output sort.
+    "q_split_group" -> 3,
     "q_window_dist" -> 2,
     "q_window_frame" -> 2,
     "q_window_lag" -> 2,

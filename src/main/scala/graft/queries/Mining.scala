@@ -42,32 +42,40 @@ object Mining extends QueryGroup {
   private[queries] val RulesTopK = 50
 
   /** Association rules over order baskets (basket = distinct parts of one
-    * order). A-priori pruning is the scale story: the frequent-item table
-    * is vocabulary-sized and BROADCAST into a semi-join that prunes
-    * baskets BEFORE the pair self-join, so pair generation touches only
-    * frequent items; per-basket fanout is bounded by lines-per-order
-    * (<= 7), so the self-join emits O(rows x lines-per-order) — never
-    * basket-count squared. Scores are exact integer fixed-point:
-    * confidence = (100000·c_ab) div c_ant, lift = (1000000·c_ab·n) div
-    * (c_ant·c_cons); the products stay well under 2^63 while
-    * c_ab·n <= ~9.2e12 (at larger scale, widen to DECIMAL(38) sums —
-    * same plan shape). */
+    * order). The basket relation is built ONCE as a per-order sorted item
+    * set (one groupBy-orderkey shuffle); everything downstream is derived
+    * from it without re-shuffling the fact table: item counts explode off
+    * the basket arrays, the basket count is a 1-row fold, and pair
+    * generation is ROW-LOCAL — a sorted-array upper-triangle explode
+    * bounded by lines-per-order (<= 7, so <= C(7,2) = 21 pairs/basket) —
+    * never an orderkey self-join. A-priori pruning still applies before
+    * the pair shuffle: the frequent-item table is vocabulary-sized and
+    * BROADCAST into semi-joins that drop non-frequent pair ends map-side,
+    * so the pair-count exchange carries only frequent-frequent pairs.
+    * Scores are exact integer fixed-point: confidence = (100000·c_ab)
+    * div c_ant, lift = (1000000·c_ab·n) div (c_ant·c_cons); the products
+    * stay well under 2^63 while c_ab·n <= ~9.2e12 (at larger scale,
+    * widen to DECIMAL(38) sums — same plan shape). */
   private def assocRules(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val baskets = Tables.lineitem(s, d)
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val nb = baskets.select($"l_orderkey").distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val itemCnt = baskets.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+    val perOrder = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("items"))
+      .select($"items")
+    val nb = perOrder.agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = perOrder.select(explode($"items").as("l_partkey"))
+      .groupBy($"l_partkey").agg(count(lit(1)).as("c"))
     val freq = itemCnt.filter($"c" >= MinItemSup)
-    val fb = baskets
-      .join(broadcast(freq.select($"l_partkey")), "l_partkey")
-      .select($"l_orderkey", $"l_partkey")
-    val pairs = fb.as("a")
-      .join(fb.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" &&
-          $"a.l_partkey" < $"b.l_partkey")
-      .groupBy($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+    // Upper triangle of the sorted set: (items[i], items[j]) for i < j —
+    // pa < pb by sortedness, each unordered pair exactly once.
+    val pairs = perOrder
+      .select(explode(flatten(transform($"items", (x, i) =>
+        transform(slice($"items", i + lit(2), size($"items")),
+          y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+      .select($"p.pa".as("pa"), $"p.pb".as("pb"))
+      .join(broadcast(freq.select($"l_partkey".as("pa"))), "pa")
+      .join(broadcast(freq.select($"l_partkey".as("pb"))), "pb")
+      .groupBy($"pa", $"pb")
       .agg(count(lit(1)).as("c_ab"))
       .filter($"c_ab" >= MinPairSup)
     // Directed rules: each unordered pair yields ant->cons both ways

@@ -511,11 +511,11 @@ object PlanAuditSpec {
     // one n_name partial agg of 6-number moment states + output sort —
     // the whole corr/cov derivation is post-agg scalar arithmetic.
     "q_agg_corr" -> 2,
-    // basket distinct + orderkey distinct + its 1-row count + item-count
-    // agg + pair agg + output sort; the a-priori frequent set and the
-    // count joins are broadcasts, the pair self-join reuses the basket
-    // relation's partitioning.
-    "q_assoc_rules" -> 6,
+    // ONE fact shuffle (the per-order basket-set agg) + the 1-row basket
+    // count + item-count agg + pair agg + output sort; pair generation is
+    // a row-local sorted-array explode and the a-priori frequent set +
+    // count joins are broadcasts.
+    "q_assoc_rules" -> 5,
     // bm25 postings-bounded tf agg + per-doc agg + the two K-bounded
     // rank-count aggs + output sort; the dense side is TakeOrdered (no
     // exchange), the fusion full-outer runs on two 25-row lists.

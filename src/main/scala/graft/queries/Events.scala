@@ -219,7 +219,42 @@ object Events extends QueryGroup {
       .orderBy($"window_start", $"rnk")
   }
 
+  /** Recency window for the EWMA fold — bounds per-user state. */
+  private[queries] val EwmaLastK = 64
+
+  /** Per-user EWMA recency feature (α = 1/4) over each user's last
+    * [[EwmaLastK]] events — the catalog's sequential/recursive per-key
+    * fold: r_t = (3·r_{t-1} + v_t) div 4, seeded with the oldest value in
+    * the window. The fold is ORDER-DEPENDENT (no commutative-aggregate
+    * rewrite exists), so it runs as an in-memory array fold per key:
+    * rank-filter to the last K events (bounded state — the full history
+    * would be an unbounded collect at stream scale), sort the K-array
+    * ascending, fold with the `aggregate` HOF. Values are exact
+    * centi-units (2-decimal contract) and the fold is integer floor
+    * division on non-negative operands, so Spark `div` = DuckDB `//`
+    * bit-exactly. One user_id exchange shared by the rank window and the
+    * collect; only (user, ts, event_id, cents) quads move. */
+  private def ewma(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vi = ($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      * 100).cast("long")
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", vi.as("vi"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)))
+      .filter($"rn" <= EwmaLastK)
+      .groupBy($"user_id")
+      .agg(
+        sort_array(collect_list(struct($"ts", $"event_id", $"vi"))).as("seq"),
+        count(lit(1)).as("n_events"))
+      .selectExpr("user_id", "n_events",
+        "aggregate(slice(seq.vi, 2, size(seq) - 1), seq.vi[0]," +
+          " (acc, x) -> (3*acc + x) div 4) AS ewma_fp")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_events_ewma" -> ewma,
     "q_events_trending" -> trending,
     "q_events_gapfill" -> gapfill,
     "q_events_tumbling" -> tumbling,
@@ -233,6 +268,22 @@ object Events extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    // list_reduce seeds with the list head = Spark's seq.vi[0] +
+    // slice-from-2 aggregate; `//` = `div` on the non-negative operands.
+    "q_events_ewma" ->
+      s"""WITH ranked AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events),
+         |seq AS (
+         |  SELECT user_id, COUNT(*) AS n_events,
+         |    list(vi ORDER BY ts, event_id) AS vis
+         |  FROM ranked WHERE rn <= $EwmaLastK GROUP BY user_id)
+         |SELECT user_id, n_events,
+         |  list_reduce(vis, (acc, x) -> (3*acc + x) // 4) AS ewma_fp
+         |FROM seq ORDER BY user_id""".stripMargin,
     "q_events_gapfill" ->
       s"""WITH daily AS (
          |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -240,6 +240,9 @@ object PlanAuditSpec {
     "q_events_dau" -> 6,
     // one (user,type,window) exchange for the rank window + output sort.
     "q_events_dedup" -> 2,
+    // ONE user_id exchange shared by the last-K rank window and the
+    // ordered collect + output sort; only (user, ts, id, cents) quads move.
+    "q_events_ewma" -> 2,
     // daily (user,day) agg + the span agg/ffill window on user_id + the
     // output sort — every exchange carries (user, day, value) triples.
     "q_events_gapfill" -> 3,

@@ -184,6 +184,68 @@ object Multimodal {
     }
   }
 
+  /** 63-bit average hash (aHash — the DCT-free perceptual hash): 63
+    * deterministic samples, bit i set iff 63·v_i > Σv — a strict integer
+    * compare against the un-divided total, so there is no rounding
+    * anywhere. Decodable PNG/JPEG payloads sample a REAL 9×7 luma grid
+    * (nearest-neighbor, same src arithmetic as [[ImageCodec.resizeLuma]]);
+    * every other payload samples bytes at src = floor(i·n/63) — the 1-D
+    * analogue, exactly reproducible in SQL over the text stand-ins.
+    * 63 bits (not 64) keeps the hash positive in a signed int64 AND
+    * splits evenly into 9 pigeonhole chunks of 7 bits — the banding
+    * width behind the hamming <= 8 near-dup query. */
+  val AHashBits = 63
+
+  def ahashFromValues(vs: Array[Int]): Long = {
+    var sum = 0L
+    vs.foreach(sum += _)
+    var h = 0L
+    var i = 0
+    while (i < vs.length) {
+      if (AHashBits.toLong * vs(i) > sum) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  def ahash(p: Array[Byte]): Long =
+    ImageCodec.decode(p) match {
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight
+        val vs = new Array[Int](AHashBits)
+        var j = 0
+        while (j < 7) {
+          var i = 0
+          while (i < 9) {
+            vs(j * 9 + i) = ImageCodec.luma(
+              img.getRGB((i.toLong * w / 9).toInt, (j.toLong * h / 7).toInt))
+            i += 1
+          }
+          j += 1
+        }
+        ahashFromValues(vs)
+      case None =>
+        val n = p.length
+        if (n == 0) 0L
+        else ahashFromValues(
+          Array.tabulate(AHashBits)(i => p((i.toLong * n / AHashBits).toInt) & 0xff))
+    }
+
+  case class MediaHash(media_id: Long, ahash: Long)
+
+  /** Perceptual-hash stage: one narrow typed map, payloads never shuffle
+    * — downstream near-dup joins move only (id, 60-bit hash) pairs. */
+  def perceptualHashes(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").mapPartitions {
+      (rows: Iterator[Row]) =>
+        rows.map(r =>
+          MediaHash(r.getAs[Long]("media_id"),
+            ahash(r.getAs[Array[Byte]]("payload"))))
+    }
+  }
+
   case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Frame sampling: every `stride` bytes, emit a fixed-size slice — the

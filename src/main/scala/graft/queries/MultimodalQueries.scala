@@ -63,11 +63,46 @@ object MultimodalQueries extends QueryGroup {
       .orderBy($"media_id")
   }
 
+  /** Hamming radius for "perceptually similar" — sits at the knee of the
+    * observed pair-distance distribution (real near-dup families land at
+    * 6-8 bits; unrelated docs start exploding from 9 up). */
+  private[queries] val PhashMaxHamming = 8
+
+  /** Perceptual near-dup pairs: 63-bit aHash + 9-chunk pigeonhole
+    * banding (hamming <= 8 ⇒ at least one 7-bit chunk equal), so
+    * candidate generation is an equi-join on (chunk_idx, chunk_val) —
+    * never all-pairs — and only (id, hash) pairs shuffle; the exact
+    * hamming verify is one bit_count(xor). 7-bit buckets are coarse (128
+    * values): at corpus scale the same shape holds with more samples per
+    * payload (wider chunks at the same chunk count), which is a constant
+    * change here and in the codec. */
+  private def phashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = Multimodal.perceptualHashes(
+      Multimodal.mediaTable(Tables.documents(s, d))).toDF()
+    val chunks = sigs.select($"media_id", $"ahash",
+      posexplode(array((0 until 9).map(i =>
+        shiftright($"ahash", i * 7) % (1 << 7)): _*)))
+      .toDF("media_id", "ahash", "chunk_idx", "chunk_val")
+    chunks.as("a")
+      .join(chunks.as("b"),
+        $"a.chunk_idx" === $"b.chunk_idx" &&
+          $"a.chunk_val" === $"b.chunk_val" &&
+          $"a.media_id" < $"b.media_id")
+      .select($"a.media_id".as("media_a"), $"b.media_id".as("media_b"),
+        bit_count($"a.ahash".bitwiseXOR($"b.ahash")).cast("long")
+          .as("hamming"))
+      .dropDuplicates("media_a", "media_b")
+      .filter($"hamming" <= PhashMaxHamming)
+      .orderBy($"media_a", $"media_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta" -> meta,
     "q_multimodal_features" -> features,
     "q_multimodal_frames" -> frames,
     "q_multimodal_resize" -> resize,
+    "q_multimodal_phash" -> phashDedup,
   )
 
   private val kindSql =
@@ -115,6 +150,27 @@ object MultimodalQueries extends QueryGroup {
          |  CAST(len(list_filter(bytes, x -> x % 8 = 7)) AS DOUBLE)
          |    / CAST(len(bytes) AS DOUBLE) AS f7
          |FROM b ORDER BY media_id""".stripMargin,
+    // Brute-force all-pairs spec of the banded aHash path (byte samples:
+    // ASCII stand-ins => unicode(char) == byte; 1-based text[...]).
+    "q_multimodal_phash" ->
+      s"""WITH v AS (
+         |  SELECT doc_id,
+         |    [CAST(unicode(text[CAST((i*strlen(text))//63 AS INTEGER)+1])
+         |      AS BIGINT) FOR i IN range(0, 63)] AS vs
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, vs, CAST(list_sum(vs) AS BIGINT) AS total FROM v),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum([CASE WHEN 63*vs[i+1] > total
+         |      THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END
+         |      FOR i IN range(0, 63)]) AS BIGINT) AS ahash
+         |  FROM s)
+         |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= ${PhashMaxHamming}
+         |ORDER BY media_a, media_b""".stripMargin,
     "q_multimodal_frames" ->
       """WITH b AS (
         |  SELECT doc_id, strlen(text) AS n FROM documents)

@@ -86,6 +86,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(thumb.thumb_sig == expectedSig)
   }
 
+  test("perceptual aHash: near-identical images collide, different ones do not") {
+    // Gradient image; a copy with one slightly-brightened pixel; and its
+    // negative. aHash must place the pair within a small hamming radius
+    // and the negative at a large one (its bits flip almost everywhere).
+    def gradientPng(tweak: Boolean, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        18, 14, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (j <- 0 until 14; i <- 0 until 18) {
+        val base = (i * 255) / 17
+        val v0 = if (invert) 255 - base else base
+        val v = if (tweak && i == 9 && j == 7) math.min(v0 + 40, 255) else v0
+        img.setRGB(i, j, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val a = Multimodal.ahash(gradientPng(tweak = false, invert = false))
+    val b = Multimodal.ahash(gradientPng(tweak = true, invert = false))
+    val c = Multimodal.ahash(gradientPng(tweak = false, invert = true))
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(a >= 0 && b >= 0 && c >= 0, "63-bit hash stays positive")
+    assert(hamming(a, b) <= 2, s"near-dup pair too far: ${hamming(a, b)}")
+    assert(hamming(a, c) >= 20, s"negative too close: ${hamming(a, c)}")
+  }
+
+  test("aHash byte path matches the hand fold") {
+    val p = ("abcdefghij" * 20).getBytes("UTF-8")
+    val n = p.length
+    val vs = Array.tabulate(63)(i => p((i.toLong * n / 63).toInt) & 0xff)
+    assert(Multimodal.ahash(p) == Multimodal.ahashFromValues(vs))
+    val sum = vs.map(_.toLong).sum
+    val expected = vs.zipWithIndex.foldLeft(0L) { case (h, (v, i)) =>
+      if (63L * v > sum) h | (1L << i) else h
+    }
+    assert(Multimodal.ahash(p) == expected)
+  }
+
   test("corrupt image payload falls back to the byte stub") {
     // PNG magic but garbage body: decode fails, byte histogram applies
     val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)

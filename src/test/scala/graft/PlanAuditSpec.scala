@@ -358,6 +358,9 @@ object PlanAuditSpec {
     "q_multimodal_features" -> 1,
     "q_multimodal_frames" -> 2,
     "q_multimodal_meta" -> 1,
+    // (chunk_idx, chunk_val) band self-join exchange (skinny (id, hash)
+    // pairs — payloads never shuffle) + the pair-dedup agg/output sort.
+    "q_multimodal_phash" -> 2,
     // narrow resize mapPartitions; only the output sort shuffles.
     "q_multimodal_resize" -> 1,
     // 2: block-partitioned window exchange + final range sort. The block

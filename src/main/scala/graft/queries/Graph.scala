@@ -230,10 +230,48 @@ object Graph extends QueryGroup {
     out
   }
 
+  /** Neighbor-list cap for link prediction — bounds wedge fanout. */
+  private[queries] val LinkPredCap = 64
+  private[queries] val LinkPredTopK = 50
+
+  /** Common-neighbor link prediction: rank NON-adjacent part pairs by how
+    * many co-purchase neighbors they share — the classic "customers who
+    * bought X also bought Y" recommendation score.
+    *
+    * Shape: per-node sorted neighbor lists CAPPED at [[LinkPredCap]]
+    * (smallest ids — deterministic), then the same row-local
+    * upper-triangle pair explode as q_assoc_rules (fanout <= C(64,2) per
+    * node, never deg² on an uncapped hub), a (a,b) count agg, and an
+    * anti-join against the existing edge set to keep only predicted —
+    * not current — pairs. The cap is the scale contract: uncapped
+    * common-neighbor counting IS the all-wedges problem, and a top-K
+    * ranking under a documented per-node sample is the standard
+    * large-graph variant. Everything that shuffles is (node, id-pair)
+    * skinny. */
+  private def linkPred(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = coEdges(s, d)
+    val sym = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+    val adj = sym.groupBy($"src")
+      .agg(slice(sort_array(collect_set($"dst")), 1, LinkPredCap).as("nbrs"))
+    val wedges = adj
+      .select(explode(flatten(transform($"nbrs", (x, i) =>
+        transform(slice($"nbrs", i + lit(2), size($"nbrs")),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select($"p.a".as("node_a"), $"p.b".as("node_b"))
+    wedges.groupBy($"node_a", $"node_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(pairs,
+        $"node_a" === $"src" && $"node_b" === $"dst", "left_anti")
+      .orderBy($"n_common".desc, $"node_a", $"node_b")
+      .limit(LinkPredTopK)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_graph_pagerank" -> pagerank,
     "q_graph_triangles" -> triangles,
     "q_graph_reachability" -> reachability,
+    "q_graph_linkpred" -> linkPred,
   )
 
   private val edgesCte =
@@ -273,6 +311,26 @@ object Graph extends QueryGroup {
          |SELECT COUNT(*) AS n_triangles
          |FROM pairs ab JOIN pairs bc ON ab.dst = bc.src
          |JOIN pairs ac ON ab.src = ac.src AND bc.dst = ac.dst""".stripMargin,
+    "q_graph_linkpred" ->
+      s"""$edgesCte,
+         |sym AS (SELECT src, dst FROM pairs
+         |        UNION ALL SELECT dst, src FROM pairs),
+         |adj AS (
+         |  SELECT src, list_sort(list(DISTINCT dst))[1:$LinkPredCap] AS nbrs
+         |  FROM sym GROUP BY src),
+         |w AS (
+         |  SELECT nbrs[i+1] AS node_a, nbrs[j+1] AS node_b
+         |  FROM adj,
+         |    UNNEST(range(0, len(nbrs))) AS r1(i),
+         |    UNNEST(range(0, len(nbrs))) AS r2(j)
+         |  WHERE i < j),
+         |c AS (
+         |  SELECT node_a, node_b, COUNT(*) AS n_common
+         |  FROM w GROUP BY node_a, node_b)
+         |SELECT c.node_a, c.node_b, c.n_common FROM c
+         |WHERE NOT EXISTS (SELECT 1 FROM pairs p
+         |  WHERE p.src = c.node_a AND p.dst = c.node_b)
+         |ORDER BY n_common DESC, node_a, node_b LIMIT $LinkPredTopK""".stripMargin,
     "q_graph_reachability" ->
       s"""${edgesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |sym AS (SELECT src, dst FROM pairs

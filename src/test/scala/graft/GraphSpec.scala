@@ -72,6 +72,27 @@ class GraphSpec extends SparkTestBase {
       s"degree orientation regressed wedge fanout: $degWedges > $idWedges")
   }
 
+  test("link prediction matches an independent common-neighbor count") {
+    val sym = edges.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val adj = sym.groupBy(_._1).map { case (n, es) =>
+      n -> es.map(_._2).distinct.sorted.take(64)
+    }
+    val counts = adj.values.flatMap { nbrs =>
+      for (i <- nbrs.indices; j <- (i + 1) until nbrs.size)
+        yield (nbrs(i), nbrs(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val expected = counts.filterNot { case (p, _) => edges(p) }.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(50)
+      .map { case ((a, b), c) => (a, b, c) }
+    val got = SparkEntry.queries("q_graph_linkpred")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // Predictions must be non-edges with genuinely shared neighbors.
+    assert(got.nonEmpty && got.forall { case (a, b, c) =>
+      !edges((a, b)) && c >= 1
+    })
+  }
+
   test("bloom filter admits every true dim key (no false negatives)") {
     org.apache.spark.sql.graft.GraftSqlFunctions.ensure(spark)
     graft.core.Tables.orders(spark, Sf0001)

@@ -230,8 +230,13 @@ object Graph extends QueryGroup {
     out
   }
 
-  /** Neighbor-list cap for link prediction — bounds wedge fanout. */
-  private[queries] val LinkPredCap = 64
+  /** Neighbor-list cap for link prediction: wedge volume is
+    * Σ C(min(deg, cap), 2), i.e. QUADRATIC in the cap once hubs saturate
+    * it — 64 produced 40M wedge rows at sf0.1 (~10 s), 32 produces ~10M
+    * (~3 s) with the same top-of-ranking. The cap is the declared
+    * per-node neighbor sample; scale it with cluster budget, not corpus
+    * size. */
+  private[graft] val LinkPredCap = 32
   private[queries] val LinkPredTopK = 50
 
   /** Common-neighbor link prediction: rank NON-adjacent part pairs by how
@@ -239,27 +244,28 @@ object Graph extends QueryGroup {
     * bought X also bought Y" recommendation score.
     *
     * Shape: per-node sorted neighbor lists CAPPED at [[LinkPredCap]]
-    * (smallest ids — deterministic), then the same row-local
-    * upper-triangle pair explode as q_assoc_rules (fanout <= C(64,2) per
-    * node, never deg² on an uncapped hub), a (a,b) count agg, and an
-    * anti-join against the existing edge set to keep only predicted —
-    * not current — pairs. The cap is the scale contract: uncapped
-    * common-neighbor counting IS the all-wedges problem, and a top-K
-    * ranking under a documented per-node sample is the standard
-    * large-graph variant. Everything that shuffles is (node, id-pair)
-    * skinny. */
+    * (smallest ids — deterministic; uncapped common-neighbor counting IS
+    * the all-wedges problem, and top-K under a documented per-node
+    * sample is the standard large-graph variant). The capped adjacency
+    * is re-exploded to (u, v) rows and CHECKPOINTED hash-partitioned on
+    * u, so the wedge self-join runs codegen'd with ZERO exchanges (the
+    * q_graph_triangles move — the row-local array-explode alternative
+    * pushed 40M structs through interpreted HOF lambdas and was 4x
+    * slower); the edge list is checkpointed once too, serving both the
+    * symmetrize and the final anti-join instead of rebuilding the
+    * lineitem self-join twice. Everything that shuffles is (node,
+    * id-pair) skinny. */
   private def linkPred(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = coEdges(s, d)
+    val pairs = coEdges(s, d).localCheckpoint()
     val sym = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
-    val adj = sym.groupBy($"src")
+    val capped = sym.groupBy($"src")
       .agg(slice(sort_array(collect_set($"dst")), 1, LinkPredCap).as("nbrs"))
-    val wedges = adj
-      .select(explode(flatten(transform($"nbrs", (x, i) =>
-        transform(slice($"nbrs", i + lit(2), size($"nbrs")),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select($"p.a".as("node_a"), $"p.b".as("node_b"))
-    wedges.groupBy($"node_a", $"node_b")
+      .select($"src".as("u"), explode($"nbrs").as("v"))
+      .repartition($"u").localCheckpoint()
+    capped.as("e1")
+      .join(capped.as("e2"), $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
+      .groupBy($"e1.v".as("node_a"), $"e2.v".as("node_b"))
       .agg(count(lit(1)).as("n_common"))
       .join(pairs,
         $"node_a" === $"src" && $"node_b" === $"dst", "left_anti")

@@ -68,26 +68,41 @@ object MultimodalQueries extends QueryGroup {
     * 6-8 bits; unrelated docs start exploding from 9 up). */
   private[queries] val PhashMaxHamming = 8
 
-  /** Perceptual near-dup pairs: 63-bit aHash + 9-chunk pigeonhole
-    * banding (hamming <= 8 ⇒ at least one 7-bit chunk equal), so
-    * candidate generation is an equi-join on (chunk_idx, chunk_val) —
-    * never all-pairs — and only (id, hash) pairs shuffle; the exact
-    * hamming verify is one bit_count(xor). 7-bit buckets are coarse (128
-    * values): at corpus scale the same shape holds with more samples per
-    * payload (wider chunks at the same chunk count), which is a constant
-    * change here and in the codec. */
+  /** All 21-bit masks with popcount <= 2 (1 + 21 + C(21,2) = 232): the
+    * variant-enumeration table for multi-index hashing. */
+  private val phashMasks: Array[Long] = {
+    val singles = (0 until 21).map(1L << _)
+    val doubles = for (i <- 0 until 21; j <- (i + 1) until 21)
+      yield (1L << i) | (1L << j)
+    (0L +: singles) ++ doubles
+  }.toArray
+
+  /** Perceptual near-dup pairs via MULTI-INDEX HASHING (Norouzi et al.):
+    * the 63-bit aHash splits into 3 chunks of 21 bits; hamming <= 8
+    * overall pigeonholes to <= 2 errors in SOME chunk, so one side
+    * enumerates every <= 2-flip variant of each chunk (232 masks — a
+    * constant array literal XORed row-locally) and equi-joins the other
+    * side's EXACT chunk values. Buckets live in a 2^21 space, so
+    * candidates are docs genuinely within 2 bits on a chunk — unlike
+    * plain narrow-chunk banding, whose 2^7 buckets collide
+    * quadratically as the corpus grows (measured 4x slower at sf0.1).
+    * Only (id, hash, chunk) rows shuffle; the exact verify is one
+    * bit_count(xor). */
   private def phashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sigs = Multimodal.perceptualHashes(
       Multimodal.mediaTable(Tables.documents(s, d))).toDF()
     val chunks = sigs.select($"media_id", $"ahash",
-      posexplode(array((0 until 9).map(i =>
-        shiftright($"ahash", i * 7) % (1 << 7)): _*)))
+      posexplode(array((0 until 3).map(i =>
+        shiftright($"ahash", i * 21) % (1 << 21)): _*)))
       .toDF("media_id", "ahash", "chunk_idx", "chunk_val")
-    chunks.as("a")
+    val expanded = chunks.select($"media_id", $"ahash", $"chunk_idx",
+      explode(transform(typedLit(phashMasks),
+        m => $"chunk_val".bitwiseXOR(m))).as("variant"))
+    expanded.as("a")
       .join(chunks.as("b"),
         $"a.chunk_idx" === $"b.chunk_idx" &&
-          $"a.chunk_val" === $"b.chunk_val" &&
+          $"a.variant" === $"b.chunk_val" &&
           $"a.media_id" < $"b.media_id")
       .select($"a.media_id".as("media_a"), $"b.media_id".as("media_b"),
         bit_count($"a.ahash".bitwiseXOR($"b.ahash")).cast("long")

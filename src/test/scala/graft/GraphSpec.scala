@@ -75,7 +75,7 @@ class GraphSpec extends SparkTestBase {
   test("link prediction matches an independent common-neighbor count") {
     val sym = edges.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
     val adj = sym.groupBy(_._1).map { case (n, es) =>
-      n -> es.map(_._2).distinct.sorted.take(64)
+      n -> es.map(_._2).distinct.sorted.take(graft.queries.Graph.LinkPredCap)
     }
     val counts = adj.values.flatMap { nbrs =>
       for (i <- nbrs.indices; j <- (i + 1) until nbrs.size)

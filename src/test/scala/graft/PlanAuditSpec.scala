@@ -284,10 +284,12 @@ object PlanAuditSpec {
     "q_graph_pagerank" -> 2,
     // same iteration body over the parquet edge artifact.
     "q_graph_pagerank_pre" -> 2,
-    // edge dedup + capped-adjacency collect + the (a,b) wedge-count agg
-    // feeding the top-K sort; the edge anti-join reuses the pair
-    // partitioning and pair generation is a row-local array explode.
-    "q_graph_linkpred" -> 3,
+    // 1 = the (a,b) wedge-count agg feeding the top-K sort: the edge
+    // build and the capped-adjacency collect run once inside the two
+    // checkpoints, the wedge self-join rides the u-partitioned
+    // checkpoint with zero exchanges, and the anti-join broadcasts at
+    // this SF (hash join on the pair key at scale).
+    "q_graph_linkpred" -> 1,
     // 4 = closure-join wedge-side exchange + the bloom scalar-subquery
     // agg (which cuts the closure exchange's ROW volume ~15x) + count
     // partials. The wedge SELF-join runs with NO exchange: the oriented

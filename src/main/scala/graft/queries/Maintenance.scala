@@ -376,8 +376,52 @@ object Maintenance extends QueryGroup {
       .orderBy($"day")
   }
 
+  /** Reference/current period boundary for the KS drift monitor. */
+  private val KsCut = "2024-01-16"
+
+  /** Two-sample Kolmogorov-Smirnov drift monitor over the numeric `value`
+    * column, per event type — the numeric complement of
+    * `q_drift_chisq`'s categorical test. Splits the stream at a fixed
+    * date into reference/current samples and reports the KS statistic
+    * D = max_v |F_ref(v) − F_cur(v)| EXACTLY: with c_ref/c_cur the
+    * cumulative counts at each merged distinct value (cents — the
+    * 2-decimal contract), D's numerator max|c_ref·n_cur − c_cur·n_ref|
+    * is integer (bounds ~1e8 at sf0.1; widen to DECIMAL(38) sums at
+    * cluster scale), and ks_milli = (1000·num) div (n_ref·n_cur) is one
+    * floor division. Shuffle shape: one (type, value) pre-agg (map-side
+    * combined — the mass is on duplicate cents), one per-type cumsum
+    * window over the DEDUPED value domain, one final per-type fold. */
+  private def driftKs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy($"event_type")
+    val cum = byType.orderBy($"vi")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select($"event_type",
+        ($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("vi"),
+        when($"ts" < ts(KsCut), 1L).otherwise(0L).as("is_ref"))
+      .groupBy($"event_type", $"vi")
+      .agg(sum($"is_ref").as("c_ref"), sum(lit(1L) - $"is_ref").as("c_cur"))
+      .select($"event_type",
+        sum($"c_ref").over(cum).as("cum_ref"),
+        sum($"c_cur").over(cum).as("cum_cur"),
+        sum($"c_ref").over(byType).as("n_ref"),
+        sum($"c_cur").over(byType).as("n_cur"))
+      .groupBy($"event_type")
+      .agg(
+        max($"n_ref").as("n_ref"),
+        max($"n_cur").as("n_cur"),
+        max(abs($"cum_ref" * $"n_cur" - $"cum_cur" * $"n_ref")).as("ks_num"))
+      .select($"event_type", $"n_ref", $"n_cur", $"ks_num",
+        expr("(1000 * ks_num) div (n_ref * n_cur)").as("ks_milli"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_drift_chisq" -> driftChisq,
+    "q_drift_ks" -> driftKs,
     "q_zorder_cluster" -> zorderCluster,
     "q_table_checksum" -> tableChecksum,
     "q_snapshot_diff" -> snapshotDiff,
@@ -388,6 +432,35 @@ object Maintenance extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_drift_ks" ->
+      s"""WITH v AS (
+         |  SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi,
+         |    CASE WHEN ts < TIMESTAMP '$KsCut 00:00:00' THEN 1 ELSE 0 END
+         |      AS is_ref
+         |  FROM events),
+         |g AS (
+         |  SELECT event_type, vi,
+         |    CAST(SUM(is_ref) AS BIGINT) AS c_ref,
+         |    CAST(SUM(1 - is_ref) AS BIGINT) AS c_cur
+         |  FROM v GROUP BY 1, 2),
+         |c AS (
+         |  SELECT event_type,
+         |    SUM(c_ref) OVER (PARTITION BY event_type ORDER BY vi
+         |      ROWS UNBOUNDED PRECEDING) AS cum_ref,
+         |    SUM(c_cur) OVER (PARTITION BY event_type ORDER BY vi
+         |      ROWS UNBOUNDED PRECEDING) AS cum_cur,
+         |    SUM(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+         |    SUM(c_cur) OVER (PARTITION BY event_type) AS n_cur
+         |  FROM g)
+         |SELECT event_type,
+         |  CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+         |  CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+         |  CAST(MAX(abs(cum_ref * n_cur - cum_cur * n_ref)) AS BIGINT)
+         |    AS ks_num,
+         |  CAST((1000 * MAX(abs(cum_ref * n_cur - cum_cur * n_ref)))
+         |    // (MAX(n_ref) * MAX(n_cur)) AS BIGINT) AS ks_milli
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_drift_chisq" ->
       s"""WITH ev AS (
          |  SELECT CAST(ts AS DATE) AS day, event_type FROM events),

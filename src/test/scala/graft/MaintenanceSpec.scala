@@ -133,6 +133,30 @@ class MaintenanceSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Long]("dist") <= 10))
   }
 
+  test("ks drift statistic matches a driver-side two-sample recompute") {
+    val got = SparkEntry.queries("q_drift_ks")(spark, Sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val rows = graft.core.Tables.events(spark, Sf0001)
+      .selectExpr("event_type", "ts",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vi")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).before(cut), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (tpe, xs) =>
+      val ref = xs.filter(_._2).map(_._3).sorted
+      val cur = xs.filterNot(_._2).map(_._3).sorted
+      val (nR, nC) = (ref.size.toLong, cur.size.toLong)
+      val num = (ref ++ cur).distinct.map { v =>
+        math.abs(ref.count(_ <= v) * nC - cur.count(_ <= v) * nR)
+      }.max
+      tpe -> (nR, nC, num, 1000 * num / (nR * nC))
+    }
+    assert(got == expected)
+    // D in [0, 1]: ks_num <= n_ref * n_cur for every type.
+    got.values.foreach { case (nR, nC, num, _) => assert(num <= nR * nC) }
+  }
+
   test("z-order zones bound both dimensions tighter than the natural layout") {
     val rows = SparkEntry.queries("q_zorder_cluster")(spark, Sf0001)
       .collect()

@@ -423,6 +423,10 @@ object PlanAuditSpec {
     // (day,type) agg + type baseline + corpus total + per-day totals +
     // the per-day fold + output sort — all domain-bounded relations.
     "q_drift_chisq" -> 6,
+    // (type, cents) pre-agg + the per-type cumsum window exchange + the
+    // 5-row output sort; both windows share one event_type partitioning
+    // and run over the DEDUPED value domain, never raw events.
+    "q_drift_ks" -> 3,
     // token-count agg (vocab side, TakeOrdered) + per-source rollup +
     // 20-row output sort; the coverage join itself is a broadcast.
     "q_text_oov" -> 3,

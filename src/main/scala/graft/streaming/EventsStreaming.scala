@@ -150,6 +150,73 @@ object EventsStreaming {
   case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int)
 
+  // ---- Spark 4 arbitrary state: transformWithState EWMA ------------------
+
+  case class EwmaRec(ts_us: Long, event_id: Long, cents: Long)
+  case class EwmaUpdate(user_id: Long, n_total: Long, n_events: Long,
+      ewma_fp: Long)
+
+  /** Streaming twin of the batch `q_events_ewma` fold, on the NEW Spark 4
+    * arbitrary-state API (`transformWithState` + typed ValueState /
+    * ListState on the RocksDB store): per user, a bounded last-K buffer
+    * of (ts, id, cents) plus a monotone processed-count. Every batch
+    * merges its rows into the buffer, keeps the K most recent by
+    * (ts, event_id), and emits the EWMA of the ascending fold — so after
+    * ALL events are fed, the latest update per user is byte-identical to
+    * the batch query however the stream was chunked (StreamingSpec pins
+    * this batch-equivalence). State is O(K) per user by construction. */
+  class EwmaProcessor(lastK: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, EwmaUpdate] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, TimerValues,
+      TimeMode, TTLConfig, ValueState}
+    @transient private var buf: ListState[EwmaRec] = _
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[EwmaRec]("ewma_buf",
+        Encoders.product[EwmaRec], TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("ewma_total",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[EwmaUpdate] = {
+      // Same cents derivation as the batch query's DECIMAL(18,2) cast:
+      // BigDecimal.valueOf is the shortest-decimal reading of the double.
+      val incoming = rows.map { e =>
+        EwmaRec(micros(e.ts), e.event_id,
+          java.math.BigDecimal.valueOf(e.value)
+            .setScale(2, java.math.RoundingMode.HALF_UP)
+            .movePointRight(2).longValueExact())
+      }.toSeq
+      if (incoming.isEmpty) Iterator.empty
+      else {
+        val kept = (buf.get().toSeq ++ incoming)
+          .sortBy(r => (-r.ts_us, -r.event_id)).take(lastK)
+        buf.put(kept.toArray)
+        val n = (if (total.exists()) total.get() else 0L) + incoming.size
+        total.update(n)
+        val asc = kept.sortBy(r => (r.ts_us, r.event_id)).map(_.cents)
+        val ewma = asc.tail.foldLeft(asc.head)((a, v) => (3 * a + v) / 4)
+        Iterator.single(EwmaUpdate(user, n, asc.size.toLong, ewma))
+      }
+    }
+  }
+
+  /** `transformWithState` wiring for [[EwmaProcessor]] (requires the
+    * RocksDB state store provider — the only store implementing the
+    * Spark 4 arbitrary-state operator). */
+  def ewmaUpdates(events: Dataset[Event],
+      lastK: Int = 64): Dataset[EwmaUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor(lastK), TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Custom sessionization via flatMapGroupsWithState: emits a session row
     * once the user goes quiet past the gap (event-time timeout). The
     * session_window operator covers the common case; this is the

@@ -367,6 +367,51 @@ class StreamingSpec extends SparkTestBase {
       assert(rows(5) == ((Some("2024-01-01 10:08:00.0"), Some(9.0))))
     } finally q.stop()
   }
+
+  test("transformWithState ewma converges to the batch fold at sf0.001") {
+    // The Spark 4 arbitrary-state operator only runs on the RocksDB
+    // store; scope the provider to this query's lifetime.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event](spark)
+      val q = EventsStreaming.ewmaUpdates(input.toDS())
+        .toDF().writeStream.format("memory").queryName("ewma_updates")
+        .outputMode(OutputMode.Update).start()
+      try {
+        val all = graft.core.Tables.events(spark, Sf0001)
+          .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event].collect()
+        // Feed in three arbitrary chunks: the buffer must merge state
+        // across batches, not just sort within one.
+        all.grouped((all.length + 2) / 3).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        // Latest update per user = the row with the max monotone n_total.
+        val streamed = spark.table("ewma_updates").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .groupBy(_._1).map { case (u, xs) =>
+            val last = xs.maxBy(_._2)
+            u -> (last._3, last._4)
+          }
+        val batch = SparkEntry.queries("q_events_ewma")(spark, Sf0001)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        assert(streamed == batch)
+        // Multiple updates per user prove cross-batch state, not a
+        // single-batch sort.
+        assert(spark.table("ewma_updates").count() > batch.size)
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
 
 object StreamingSpec {

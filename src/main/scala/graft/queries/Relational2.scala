@@ -177,6 +177,52 @@ object Relational2 extends QueryGroup {
       .orderBy($"o_custkey")
   }
 
+  /** Exact per-group WEIGHTED median: the smallest price whose cumulative
+    * quantity weight reaches half the group total — selected by the
+    * row-local crossing predicate 2·cumw >= total AND 2·(cumw − w) <
+    * total, so ONE cumsum window (plus the total, sharing the same
+    * partitioning) finds it with integer compares only — no division, no
+    * second pass, no per-group sort beyond the window's. The weighted
+    * generalization of q_agg_median_disc's discrete selection. */
+  private def aggMedianWeighted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byFlag = Window.partitionBy($"l_returnflag")
+    val cum = byFlag.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey",
+        $"l_linenumber", $"l_quantity".cast("long").as("w"))
+      .withColumn("cumw", sum($"w").over(cum))
+      .withColumn("totw", sum($"w").over(byFlag))
+      .filter($"cumw" * 2 >= $"totw" && ($"cumw" - $"w") * 2 < $"totw")
+      .select($"l_returnflag", $"l_extendedprice".as("wmedian_price"),
+        $"totw".as("total_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Schema-evolution union: `unionByName(allowMissingColumns = true)`
+    * aligns two differently-shaped slices by COLUMN NAME (order
+    * independent, absent columns null-filled) — the safe way to stack
+    * heterogeneous extracts, vs positional UNION's silent column
+    * transposition. The mixed relation is then aggregated per status
+    * (null status = the lineitem side, coalesced for the non-null sort
+    * contract). */
+  private def unionByNameAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.orders(s, d)
+      .select($"o_orderkey".as("k"), $"o_totalprice".as("amount"),
+        $"o_orderstatus".as("status"))
+    val b = Tables.lineitem(s, d)
+      .select($"l_extendedprice".as("amount"), $"l_orderkey".as("k"),
+        $"l_quantity".cast("long").as("qty"))
+    a.unionByName(b, allowMissingColumns = true)
+      .groupBy(coalesce($"status", lit("?")).as("status"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum($"amount").as("amount_sum"),
+        sum($"qty").cast("long").as("qty_sum"))
+      .orderBy($"status")
+  }
+
   /** Robust per-customer outlier detection via MAD (median absolute
     * deviation): flag orders with |price − median| > 3·MAD. The robust
     * twin of q_normalize_zscore's moment-based scaling — a data-quality
@@ -470,6 +516,8 @@ object Relational2 extends QueryGroup {
     "q_subquery_in" -> subqueryIn,
     "q_join_lateral" -> joinLateral,
     "q_agg_median_disc" -> aggMedianDisc,
+    "q_agg_median_weighted" -> aggMedianWeighted,
+    "q_union_byname" -> unionByNameAgg,
     "q_anomaly_mad" -> anomalyMad,
     "q_histogram" -> histogram,
     "q_merge_upsert" -> mergeUpsert,
@@ -639,6 +687,34 @@ object Relational2 extends QueryGroup {
         |SELECT o_custkey, o_totalprice AS median_price, n AS n_orders
         |FROM r WHERE rk = (n + 1) // 2
         |ORDER BY o_custkey""".stripMargin,
+    "q_agg_median_weighted" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST(l_quantity AS BIGINT) AS w,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag) AS totw
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_extendedprice AS wmedian_price,
+        |  CAST(totw AS BIGINT) AS total_qty
+        |FROM r WHERE cumw * 2 >= totw AND (cumw - w) * 2 < totw
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_union_byname" ->
+      s"""WITH u AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS amount,
+         |    o_orderstatus AS status
+         |  FROM orders
+         |  UNION ALL BY NAME
+         |  SELECT l_extendedprice AS amount, l_orderkey AS k,
+         |    CAST(l_quantity AS BIGINT) AS qty
+         |  FROM lineitem)
+         |SELECT COALESCE(status, '?') AS status, COUNT(*) AS n_rows,
+         |  ${dsumSql("amount")} AS amount_sum,
+         |  CAST(SUM(qty) AS BIGINT) AS qty_sum
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // Salting must be invisible in the result: the oracle is the PLAIN join.
     "q_join_skew_salted" ->
       s"""SELECT c_nationkey, COUNT(*) AS n_orders,

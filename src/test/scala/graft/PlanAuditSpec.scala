@@ -179,6 +179,12 @@ object PlanAuditSpec {
     // pair-counts agg + per-status rank window + the 3-row output sort.
     "q_agg_mode" -> 3,
     "q_agg_median_disc" -> 2,
+    // ONE l_returnflag exchange shared by the cumsum + total windows +
+    // the 3-row output sort; the crossing predicate is row-local.
+    "q_agg_median_weighted" -> 2,
+    // both union branches feed one status partial agg + output sort;
+    // name alignment is a projection, not a shuffle.
+    "q_union_byname" -> 2,
     "q_agg_pricing" -> 2,
     "q_agg_rollup" -> 2,
     // ONE custkey exchange feeds all four MAD window functions (+ the

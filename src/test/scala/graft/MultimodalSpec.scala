@@ -124,6 +124,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.ahash(p) == expected)
   }
 
+  test("aHash properties over random payloads") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.choose(1, 400)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(0, 255)))
+    (1 to 200).foreach { i =>
+      val bytes = gen(Gen.Parameters.default, Seed(i.toLong)).get
+        .map(_.toByte).toArray
+      val h = Multimodal.ahash(bytes)
+      // 63-bit contract: non-negative, and a pure function of the bytes.
+      assert(h >= 0L && (h >> 63) == 0L)
+      assert(h == Multimodal.ahash(bytes.clone()))
+      // Never all-ones: the strict > against the mean leaves at least
+      // one below-or-at-mean sample (a minimum always exists).
+      assert(h != (1L << 63) - 1)
+      // Constant payloads hash to 0 (no sample strictly above the mean).
+      val const = Array.fill(bytes.length)(bytes(0))
+      assert(Multimodal.ahash(const) == 0L)
+    }
+  }
+
   test("corrupt image payload falls back to the byte stub") {
     // PNG magic but garbage body: decode fails, byte histogram applies
     val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2)

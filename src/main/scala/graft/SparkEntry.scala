@@ -41,6 +41,7 @@ object SparkEntry {
     Privacy,
     Inference,
     Mining,
+    Scoring,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.functions.TextFunctions.tokens
+import Catalog._
+
+/** Behavioral + quality scoring — round-10 surface extensions over the
+  * event stream and document corpus:
+  *
+  *  - `q_events_rfm`: RFM (recency/frequency/monetary) quartile
+  *    segmentation with CDF-bucketed quartiles — no global window;
+  *  - `q_events_attribution`: last-touch purchase attribution via a
+  *    per-user carry-forward window;
+  *  - `q_anomaly_seasonal`: hour-of-day seasonal anomaly flags from an
+  *    integer-exact 2-sigma test (squared form — no float compare);
+  *  - `q_agg_diversity`: Gini–Simpson diversity of each user's event-type
+  *    mix (the log-free diversity index — libm entropy is banned on
+  *    oracle paths, see [[Catalog]]);
+  *  - `q_text_surprisal`: quantized unigram-LM surprisal scoring —
+  *    floor-log2 self-information summed per document, an integer-exact
+  *    stand-in for the perplexity filters LLM data pipelines run.
+  *
+  * Cross-engine determinism: every ranking/flagging decision here is made
+  * in exact integer arithmetic (decimal-exact money, squared variance
+  * tests, bit-length logs); the only doubles surfaced are single
+  * correctly-rounded divide/sqrt chains written identically in the DuckDB
+  * twins.
+  */
+object Scoring extends QueryGroup {
+
+  /** Fixed RFM anchor "today" (events span 2024; testdata contract). */
+  private val RfmAnchor = "2025-01-01"
+  /** Attribution lookback: purchases credit a click ≤ 7 days prior. */
+  private[graft] val AttribWindowUs = 7L * 86400L * 1000000L
+  private[graft] val SurprisalTopK = 25
+
+  // --- q_events_rfm ------------------------------------------------------
+
+  /** RFM segmentation: per user, days since last event (vs the fixed
+    * [[RfmAnchor]]), event count, and exact micro-unit monetary sum, each
+    * mapped to its ascending CDF quartile and folded into the classic
+    * 3-digit RFM code.
+    *
+    * Quartile of value v = 1 + #{q ∈ 1..3 : lt(v) ≥ ceil(q·n/4)} where
+    * lt(v) = #users with a strictly smaller value — ties always share a
+    * bucket (value-based CDF semantics, not NTILE's arbitrary tie split,
+    * which no distributed plan can reproduce without the global sort the
+    * plan audit bans).
+    *
+    * Scale shape: ONE groupBy(user) pass builds the skinny metric
+    * relation; the three metrics then ride a single tagged union into ONE
+    * per-(metric, value) histogram, so the non-equi cumulative self-join
+    * runs on the BOUNDED value domain (recency: days, frequency: counts,
+    * monetary: whole units — the dense-domain metric is pre-bucketed to
+    * the CDF grid; the surfaced `m_micro` stays exact), never on users.
+    * The finished value→quartile map is tiny: checkpointed once and
+    * broadcast into three user-side joins. This is the [[Quantiles]]
+    * two-phase-selection idea specialized to 3 fixed cuts × 3 metrics. */
+  private def eventsRfm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(
+        datediff(to_date(lit(RfmAnchor)), max($"ts").cast("date"))
+          .cast("long").as("r_days"),
+        count(lit(1)).as("f"),
+        (sum($"value".cast(DecimalType(18, 6))) * 1000000)
+          .cast("long").as("m_micro"))
+      .localCheckpoint() // skinny 4-col relation feeds histogram + output
+    val metrics = u.select(lit("r").as("mt"), $"r_days".as("v"))
+      .union(u.select(lit("f"), $"f"))
+      .union(u.select(lit("m"), expr("m_micro div 1000000")))
+    val h = metrics.groupBy($"mt", $"v").agg(count(lit(1)).as("cnt"))
+    val lt = h.as("a")
+      .join(broadcast(h.as("b")),
+        $"a.mt" === $"b.mt" && $"b.v" < $"a.v", "left")
+      .groupBy($"a.mt".as("mt"), $"a.v".as("v"))
+      .agg(coalesce(sum($"b.cnt"), lit(0L)).as("lt"))
+    val n = u.agg(count(lit(1)).as("n")) // one user count serves all three
+    val qmap = lt.crossJoin(broadcast(n))
+      .select($"mt", $"v",
+        (lit(1) +
+          ($"lt" >= expr("(1*n+3) div 4")).cast("int") +
+          ($"lt" >= expr("(2*n+3) div 4")).cast("int") +
+          ($"lt" >= expr("(3*n+3) div 4")).cast("int")).as("q"))
+      .localCheckpoint() // tiny; evaluated once, broadcast three times
+    def q(mt: String) = broadcast(qmap.filter($"mt" === mt).drop("mt"))
+    u.join(q("r"), $"r_days" === $"v").drop("v")
+      .withColumnRenamed("q", "r_q")
+      .join(q("f"), $"f" === $"v").drop("v")
+      .withColumnRenamed("q", "f_q")
+      .join(q("m"), expr("m_micro div 1000000") === $"v").drop("v")
+      .withColumnRenamed("q", "m_q")
+      .select($"user_id", $"r_days", $"f", $"m_micro",
+        $"r_q", $"f_q", $"m_q",
+        ($"r_q" * 100 + $"f_q" * 10 + $"m_q").as("rfm"))
+      .orderBy($"user_id")
+  }
+
+  // --- q_events_attribution ----------------------------------------------
+
+  /** Last-touch attribution: each purchase credits the user's most recent
+    * click strictly before it, if that click is within [[AttribWindowUs]].
+    * The carry-forward is ONE window partitioned by user (rows unbounded
+    * preceding → 1 preceding, `last(..., ignoreNulls)`) — the sessionize
+    * shape; no self-join, no as-of shuffle beyond the per-user sort.
+    * Rolled up per user: purchases, attributed purchases, exact
+    * micro-unit attributed revenue. Timestamps compare as exact int64
+    * microseconds (`unix_micros` / DuckDB `epoch_us`). */
+  private def eventsAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_id", $"ts", $"event_type",
+        $"value".cast(DecimalType(18, 6)).as("val_d"))
+      .withColumn("last_click_us",
+        last(when($"event_type" === "click", unix_micros($"ts")),
+          ignoreNulls = true).over(w))
+    ev.filter($"event_type" === "purchase")
+      .withColumn("attributed",
+        $"last_click_us".isNotNull &&
+          unix_micros($"ts") - $"last_click_us" <= AttribWindowUs)
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum($"attributed".cast("long")).as("n_attributed"),
+        (sum(when($"attributed", $"val_d").otherwise(lit(0).cast(DecimalType(18, 6))))
+          * 1000000).cast("long").as("attr_micro"))
+      .orderBy($"user_id")
+  }
+
+  // --- q_anomaly_seasonal ------------------------------------------------
+
+  /** Seasonal (hour-of-day) anomaly detection over hourly event volumes.
+    *
+    * Dense hourly grid first (distinct days × broadcast 24 hours, zeros
+    * filled — absent cells are the baseline's business, not missing
+    * data), then a per-hour-of-day baseline (n days, Σc, Σc²) and a
+    * 2-sigma-population flag evaluated ENTIRELY in integers via the
+    * squared form: flag ⇔ n·c − S > 0 ∧ (n·c − S)² > 4·(n·SS − S²) —
+    * no float compare can tie-break differently cross-engine. The
+    * surfaced z-score is the one double: (n·c−S)/√(n·SS−S²), a
+    * cast-mul-sqrt-divide chain of correctly-rounded IEEE ops (operands
+    * ≪ 2^53 — counts are per-hour event volumes). Two aggregations plus
+    * a broadcast of the 24-row baseline; scales with the calendar, not
+    * the stream. */
+  private def anomalySeasonal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"ts".cast("date").as("day"), hour($"ts").as("hr"))
+    val counts = ev.groupBy($"day", $"hr").agg(count(lit(1)).as("c"))
+    val hours = s.range(0, 24).select($"id".cast("int").as("hr"))
+    val grid = ev.select($"day").distinct()
+      .crossJoin(broadcast(hours))
+      .join(counts, Seq("day", "hr"), "left")
+      .select($"day", $"hr", coalesce($"c", lit(0L)).as("c"))
+    val base = grid.groupBy($"hr")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"),
+        sum($"c" * $"c").as("ss"))
+    grid.join(broadcast(base), Seq("hr"))
+      .withColumn("num", $"n" * $"c" - $"s")
+      .withColumn("den2", $"n" * $"ss" - $"s" * $"s")
+      .filter($"num" > 0 && $"num" * $"num" > lit(4) * $"den2")
+      .select($"day", $"hr", $"c".as("n_events"),
+        ($"num".cast("double") / sqrt($"den2".cast("double"))).as("z"))
+      .orderBy($"day", $"hr")
+  }
+
+  // --- q_agg_diversity ---------------------------------------------------
+
+  /** Gini–Simpson diversity of each user's event-type mix:
+    * 1 − Σ pᵢ² computed as the single correctly-rounded divide
+    * (N² − Σcᵢ²) / N² over exact integer moments — the standard log-free
+    * diversity index (libm `ln` entropy is banned on oracle paths).
+    * Two cascaded aggregations, both map-side combinable; no joins. */
+  private def aggDiversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"user_id")
+      .agg(sum($"c").as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum($"c" * $"c").as("sq"))
+      .select($"user_id", $"n_events", $"n_types",
+        (($"n_events" * $"n_events" - $"sq").cast("double") /
+          ($"n_events" * $"n_events").cast("double")).as("gini"))
+      .orderBy($"user_id")
+  }
+
+  // --- q_text_surprisal --------------------------------------------------
+
+  /** Quantized unigram-LM surprisal: score each document by the summed
+    * floor-log2 self-information of its tokens under the corpus unigram
+    * model — bits(t) = ⌊log2(T ÷ cₜ)⌋, computed EXACTLY as
+    * `length(bin(T div cₜ)) − 1` (bit length of an integer quotient;
+    * libm log2 is banned on oracle paths). High bits-per-token marks the
+    * out-of-distribution / noisy documents a perplexity filter would cut.
+    *
+    * Scale shape: one token-level count (map-side combined), T broadcast
+    * as a scalar, one equi-join of doc-tokens to the vocab's bits table
+    * on token (both sides hash-partition on token — the standard
+    * token-frequency join), one per-doc aggregation into
+    * TakeOrdered(25). Nothing driver-side, nothing all-pairs. */
+  private def textSurprisal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tk = Tables.documents(s, d)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+    val vc = tk.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val t  = vc.agg(sum($"c").as("t"))
+    val bits = vc.crossJoin(broadcast(t))
+      .select($"tok", (length(bin(expr("t div c"))) - 1).cast("long").as("bits"))
+    tk.join(bits, Seq("tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum($"bits").as("total_bits"))
+      .select($"doc_id", $"n_tok", $"total_bits",
+        expr("total_bits * 1000 div n_tok").as("bpt_fp"))
+      .orderBy($"bpt_fp".desc, $"doc_id")
+      .limit(SurprisalTopK)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_events_rfm" -> eventsRfm,
+    "q_events_attribution" -> eventsAttribution,
+    "q_anomaly_seasonal" -> anomalySeasonal,
+    "q_agg_diversity" -> aggDiversity,
+    "q_text_surprisal" -> textSurprisal,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_events_rfm" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    date_diff('day', CAST(max(ts) AS DATE), DATE '$RfmAnchor')
+         |      AS r_days,
+         |    count(*) AS f,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+         |      AS m_micro
+         |  FROM events GROUP BY user_id),
+         |n AS (SELECT count(*) AS n FROM u),
+         |r AS (
+         |  SELECT u.*,
+         |    rank() OVER (ORDER BY r_days) - 1 AS lt_r,
+         |    rank() OVER (ORDER BY f) - 1 AS lt_f,
+         |    rank() OVER (ORDER BY m_micro // 1000000) - 1 AS lt_m
+         |  FROM u),
+         |q AS (
+         |  SELECT user_id, r_days, f, m_micro,
+         |    1 + CAST(lt_r >= (1*n+3)//4 AS INT)
+         |      + CAST(lt_r >= (2*n+3)//4 AS INT)
+         |      + CAST(lt_r >= (3*n+3)//4 AS INT) AS r_q,
+         |    1 + CAST(lt_f >= (1*n+3)//4 AS INT)
+         |      + CAST(lt_f >= (2*n+3)//4 AS INT)
+         |      + CAST(lt_f >= (3*n+3)//4 AS INT) AS f_q,
+         |    1 + CAST(lt_m >= (1*n+3)//4 AS INT)
+         |      + CAST(lt_m >= (2*n+3)//4 AS INT)
+         |      + CAST(lt_m >= (3*n+3)//4 AS INT) AS m_q
+         |  FROM r, n)
+         |SELECT user_id, r_days, f, m_micro, r_q, f_q, m_q,
+         |  r_q*100 + f_q*10 + m_q AS rfm
+         |FROM q ORDER BY user_id""".stripMargin,
+    "q_events_attribution" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type,
+         |    epoch_us(ts) AS ts_us,
+         |    CAST(value AS DECIMAL(18,6)) AS val_d,
+         |    last_value(CASE WHEN event_type = 'click'
+         |                    THEN epoch_us(ts) END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS last_click_us
+         |  FROM events),
+         |p AS (
+         |  SELECT user_id, val_d,
+         |    (last_click_us IS NOT NULL AND
+         |     ts_us - last_click_us <= $AttribWindowUs) AS attributed
+         |  FROM ev WHERE event_type = 'purchase')
+         |SELECT user_id,
+         |  count(*) AS n_purchases,
+         |  CAST(SUM(CAST(attributed AS BIGINT)) AS BIGINT) AS n_attributed,
+         |  CAST(SUM(CASE WHEN attributed THEN val_d
+         |                ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000
+         |       AS BIGINT) AS attr_micro
+         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_anomaly_seasonal" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, hour(ts) AS hr FROM events),
+        |counts AS (
+        |  SELECT day, hr, count(*) AS c FROM ev GROUP BY day, hr),
+        |grid AS (
+        |  SELECT d.day, h.hr, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT day FROM ev) d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hr) h
+        |  LEFT JOIN counts c ON c.day = d.day AND c.hr = h.hr),
+        |base AS (
+        |  SELECT hr, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(sum(c*c) AS BIGINT) AS ss
+        |  FROM grid GROUP BY hr)
+        |SELECT g.day, g.hr, g.c AS n_events,
+        |  CAST(b.n*g.c - b.s AS DOUBLE)
+        |    / sqrt(CAST(b.n*b.ss - b.s*b.s AS DOUBLE)) AS z
+        |FROM grid g JOIN base b ON g.hr = b.hr
+        |WHERE b.n*g.c - b.s > 0
+        |  AND (b.n*g.c - b.s)*(b.n*g.c - b.s) > 4*(b.n*b.ss - b.s*b.s)
+        |ORDER BY g.day, g.hr""".stripMargin,
+    "q_agg_diversity" ->
+      """WITH tc AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  CAST(sum(c) AS BIGINT) AS n_events,
+        |  count(*) AS n_types,
+        |  CAST(sum(c)*sum(c) - sum(c*c) AS DOUBLE)
+        |    / CAST(sum(c)*sum(c) AS DOUBLE) AS gini
+        |FROM tc GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_text_surprisal" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents),
+         |vc AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vc),
+         |bits AS (
+         |  SELECT tok, CAST(length(bin(t // c)) - 1 AS BIGINT) AS bits
+         |  FROM vc, t),
+         |d AS (
+         |  SELECT doc_id, count(*) AS n_tok,
+         |    CAST(sum(bits) AS BIGINT) AS total_bits
+         |  FROM tk JOIN bits USING (tok) GROUP BY doc_id)
+         |SELECT doc_id, n_tok, total_bits,
+         |  total_bits * 1000 // n_tok AS bpt_fp
+         |FROM d ORDER BY bpt_fp DESC, doc_id LIMIT $SurprisalTopK""".stripMargin,
+  )
+}

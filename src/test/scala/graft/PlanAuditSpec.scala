@@ -552,5 +552,22 @@ object PlanAuditSpec {
     "q_window_lag" -> 2,
     "q_window_range" -> 2,
     "q_window_rank" -> 2,
+    // two cascaded map-side-combinable aggs + output sort; no joins.
+    "q_agg_diversity" -> 3,
+    // dense-grid distinct(day) + (day,hr) count aggs + the 24-row
+    // baseline agg + output sort; the baseline joins back by broadcast.
+    "q_anomaly_seasonal" -> 4,
+    // one per-user window sort + the per-user rollup reuses that
+    // partitioning; + output sort.
+    "q_events_attribution" -> 2,
+    // one groupBy(user) checkpoint feeding everything; the tagged-union
+    // (mt,v) histogram agg + its cumulative re-agg + the 1-row user
+    // count + output sort — the three quartile maps ride ONE histogram
+    // pass and broadcast back to users (plan shows the post-checkpoint
+    // exchanges only: union agg, lt agg, n, sort).
+    "q_events_rfm" -> 5,
+    // token-count agg (map-side combined) + the doc-tokens⋈bits token
+    // exchange pair feeding the per-doc agg into TakeOrdered.
+    "q_text_surprisal" -> 3,
   )
 }

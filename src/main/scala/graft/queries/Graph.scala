@@ -33,12 +33,20 @@ object Graph extends QueryGroup {
     * order-count × order-count. */
   private[queries] def coEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
-    li.as("a")
-      .join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" &&
-          $"a.l_partkey" < $"b.l_partkey")
-      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+    // Basket form, not a self-join: ONE groupBy-orderkey shuffle builds
+    // per-order sorted item sets (collect_set partial-aggregates
+    // map-side), then the src < dst upper triangle explodes ROW-LOCALLY
+    // off the sorted array — bounded by C(lines-per-order, 2) ≤ C(7,2)
+    // pairs per order — before the pair distinct. The equi-self-join
+    // formulation shuffles lineitem twice and re-sorts both sides; this
+    // moves the fact table once (the q_assoc_rules basket move).
+    Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("items"))
+      .select(explode(flatten(transform($"items", (x, i) =>
+        transform(slice($"items", i + lit(2), size($"items")),
+          y => struct(x.as("src"), y.as("dst")))))).as("p"))
+      .select($"p.src".as("src"), $"p.dst".as("dst"))
       .distinct()
   }
 

@@ -225,8 +225,98 @@ object Scoring extends QueryGroup {
       .limit(SurprisalTopK)
   }
 
+  // --- q_events_sessionize -----------------------------------------------
+
+  /** Session idle gap: a ≥ 30-minute silence starts a new session. */
+  private[graft] val SessionGapUs = 1800L * 1000000L
+
+  /** Batch sessionization: split each user's event stream at
+    * [[SessionGapUs]] idle gaps and emit one row per session (index,
+    * size, exact microsecond duration, purchases). The batch twin of the
+    * streaming `session_window` aggregation (`q_events_session`) — same
+    * gap semantics, but with the full per-session detail a training
+    * pipeline joins on.
+    *
+    * Shape: lag + running-sum windows share ONE per-user sort (same
+    * partition spec and ordering → one exchange, one sort), then the
+    * per-(user, session) rollup reuses the user partitioning. Timestamps
+    * compare as exact int64 micros; session index is a running count of
+    * gap flags — all integers, no RNG, no floats. */
+  private def eventsSessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        $"event_type")
+      .withColumn("prev_us", lag($"ts_us", 1).over(byUser))
+      .withColumn("new_s",
+        ($"prev_us".isNull || $"ts_us" - $"prev_us" >= SessionGapUs)
+          .cast("long"))
+      .withColumn("session_idx",
+        sum($"new_s").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        (max($"ts_us") - min($"ts_us")).as("dur_us"),
+        sum(($"event_type" === "purchase").cast("long")).as("n_purchases"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  // --- q_trend_ols -------------------------------------------------------
+
+  /** Daily-revenue trend monitor: closed-form OLS of daily revenue (exact
+    * cents) on the day index, per return flag — the slope IS the
+    * revenue-per-day drift a pipeline alerts on.
+    *
+    * Two cascaded aggregations: lineitem collapses to ~2.5k (flag, day,
+    * cents) rows (map-side combined — the only fact-table pass), then the
+    * five moment sums reduce per flag. All moments are exact integers
+    * (day index x ≤ ~3.6k, daily cents y ≤ ~7e8 at sf0.1); the OLS
+    * numerators n·Sxy − Sx·Sy and Sy·Sxx − Sx·Sxy reach ~1e19, so they
+    * are carried in DECIMAL(38,0) and converted to double through the
+    * exact 2^32 hi/lo split ([[Mining]]'s q_agg_corr move — a direct
+    * int128→double cast double-rounds in DuckDB; the split is exact for
+    * |v| < 2^85, asserted by magnitude here; at larger scale add a
+    * second split level, same plan). slope = num / den and
+    * intercept = inum / den are then single correctly-rounded IEEE
+    * divides written identically in the DuckDB twin. */
+  private def trendOls(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val d38 = DecimalType(38, 0)
+    def dd(c: Column) = c.cast(d38)
+    // Exact int128→double via 2^32 hi/lo: both engines truncate integer
+    // div/% toward zero, so v = q·2^32 + r holds with identical (q, r),
+    // hi→double is exact (|q| < 2^53), the 2^32 multiply is an exponent
+    // shift, and the final add is the one correctly-rounded op.
+    def hilo(name: String): Column =
+      expr(s"CAST($name div 4294967296 AS DOUBLE) * 4294967296.0D" +
+        s" + CAST($name % 4294967296 AS DOUBLE)")
+    val daily = Tables.lineitem(s, d)
+      .select($"l_returnflag",
+        datediff($"l_shipdate".cast("date"), to_date(lit("1992-01-01")))
+          .cast("long").as("x"),
+        ($"l_extendedprice".cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+      .groupBy($"l_returnflag", $"x")
+      .agg(sum($"cents").as("y"))
+    val m = daily.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(dd($"x" * $"y")).as("sxy"),
+        sum(dd($"x" * $"x")).as("sxx"))
+      .withColumn("num", dd($"n") * $"sxy" - dd($"sx") * dd($"sy"))
+      .withColumn("inum", dd($"sy") * $"sxx" - dd($"sx") * $"sxy")
+      .withColumn("den", (dd($"n") * $"sxx" - dd($"sx") * dd($"sx"))
+        .cast("long"))
+    m.select($"l_returnflag", $"n".as("n_days"),
+        (hilo("num") / $"den".cast("double")).as("slope_cents_per_day"),
+        (hilo("inum") / $"den".cast("double")).as("intercept_cents"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_events_rfm" -> eventsRfm,
+    "q_events_sessionize" -> eventsSessionize,
+    "q_trend_ols" -> trendOls,
     "q_events_attribution" -> eventsAttribution,
     "q_anomaly_seasonal" -> anomalySeasonal,
     "q_agg_diversity" -> aggDiversity,
@@ -234,6 +324,59 @@ object Scoring extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_sessionize" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         |    lag(epoch_us(ts)) OVER w AS prev_us
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |f AS (
+         |  SELECT user_id, event_id, event_type, ts_us,
+         |    CAST(prev_us IS NULL OR ts_us - prev_us >= $SessionGapUs
+         |         AS BIGINT) AS new_s
+         |  FROM ev),
+         |sid AS (
+         |  SELECT user_id, event_type, ts_us,
+         |    CAST(sum(new_s) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS session_idx
+         |  FROM f)
+         |SELECT user_id, session_idx,
+         |  count(*) AS n_events,
+         |  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dur_us,
+         |  CAST(SUM(CAST(event_type = 'purchase' AS BIGINT)) AS BIGINT)
+         |    AS n_purchases
+         |FROM sid GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin,
+    "q_trend_ols" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag,
+        |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |      AS x,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+        |         AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x*y AS HUGEINT)) AS sxy,
+        |    sum(CAST(x*x AS HUGEINT)) AS sxx
+        |  FROM daily GROUP BY 1),
+        |k AS (
+        |  SELECT l_returnflag, n,
+        |    n*sxy - sx*CAST(sy AS HUGEINT) AS num,
+        |    sy*sxx - sx*sxy AS inum,
+        |    CAST(n*sxx - CAST(sx AS HUGEINT)*sx AS BIGINT) AS den
+        |  FROM m)
+        |SELECT l_returnflag, n AS n_days,
+        |  (CAST(num // 4294967296 AS DOUBLE) * 4294967296.0
+        |    + CAST(num % 4294967296 AS DOUBLE)) / CAST(den AS DOUBLE)
+        |    AS slope_cents_per_day,
+        |  (CAST(inum // 4294967296 AS DOUBLE) * 4294967296.0
+        |    + CAST(inum % 4294967296 AS DOUBLE)) / CAST(den AS DOUBLE)
+        |    AS intercept_cents
+        |FROM k ORDER BY l_returnflag""".stripMargin,
     "q_events_rfm" ->
       s"""WITH u AS (
          |  SELECT user_id,

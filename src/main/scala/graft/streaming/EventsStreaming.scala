@@ -217,6 +217,80 @@ object EventsStreaming {
         OutputMode.Update())
   }
 
+  // ---- transformWithState last-touch attribution -------------------------
+
+  case class AttribState(lastClickUs: Long, nPurch: Long, nAttr: Long,
+      attrMicro: Long)
+  case class AttribUpdate(user_id: Long, n_purchases: Long,
+      n_attributed: Long, attr_micro: Long)
+
+  /** Streaming twin of the batch `q_events_attribution` query on the
+    * Spark 4 arbitrary-state API: per user, ONE ValueState carries the
+    * last click timestamp plus the running (purchases, attributed,
+    * micro-unit revenue) totals — O(1) state per user, no buffer. Each
+    * batch replays its rows in (ts, event_id) order through the same
+    * sequential rule as the batch window (purchase credits the last
+    * click ≤ window before it), so with per-user ordered delivery
+    * across batches (the upstream contract — enforce with a watermark +
+    * sort in production) the latest update per user is byte-identical
+    * to the batch query however the stream is chunked (StreamingSpec
+    * pins this batch-equivalence). */
+  class AttributionProcessor(windowUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, AttribUpdate] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimerValues, TimeMode,
+      TTLConfig, ValueState}
+    @transient private var st: ValueState[AttribState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[AttribState]("attrib_state",
+        Encoders.product[AttribState], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[AttribUpdate] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var s = if (st.exists()) st.get()
+                else AttribState(Long.MinValue, 0L, 0L, 0L)
+        sorted.foreach { e =>
+          e.event_type match {
+            case "click" => s = s.copy(lastClickUs = micros(e.ts))
+            case "purchase" =>
+              val attributed = s.lastClickUs != Long.MinValue &&
+                micros(e.ts) - s.lastClickUs <= windowUs
+              // Same micro-unit derivation as the batch DECIMAL(18,6)
+              // cast: shortest-decimal read of the double, half-up.
+              val micro = java.math.BigDecimal.valueOf(e.value)
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .movePointRight(6).longValueExact()
+              s = s.copy(nPurch = s.nPurch + 1,
+                nAttr = s.nAttr + (if (attributed) 1 else 0),
+                attrMicro = s.attrMicro + (if (attributed) micro else 0L))
+            case _ => ()
+          }
+        }
+        st.update(s)
+        if (s.nPurch == 0) Iterator.empty
+        else Iterator.single(AttribUpdate(user, s.nPurch, s.nAttr,
+          s.attrMicro))
+      }
+    }
+  }
+
+  /** `transformWithState` wiring for [[AttributionProcessor]] (RocksDB
+    * state store required, as for [[EwmaProcessor]]). */
+  def attributionUpdates(events: Dataset[Event],
+      windowUs: Long = 7L * 86400L * 1000000L): Dataset[AttribUpdate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor(windowUs),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Custom sessionization via flatMapGroupsWithState: emits a session row
     * once the user goes quiet past the gap (event-time timeout). The
     * session_window operator covers the common case; this is the

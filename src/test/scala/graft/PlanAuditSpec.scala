@@ -569,5 +569,10 @@ object PlanAuditSpec {
     // token-count agg (map-side combined) + the doc-tokens⋈bits token
     // exchange pair feeding the per-doc agg into TakeOrdered.
     "q_text_surprisal" -> 3,
+    // ONE per-user exchange shared by the lag + running-sum windows and
+    // the per-(user, session) rollup; + output sort.
+    "q_events_sessionize" -> 2,
+    // (flag, day) daily-cents agg + per-flag moment agg + output sort.
+    "q_trend_ols" -> 3,
   )
 }

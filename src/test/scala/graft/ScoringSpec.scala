@@ -75,6 +75,71 @@ class ScoringSpec extends SparkTestBase {
     }
   }
 
+  test("q_events_sessionize matches the sequential gap-split replay") {
+    val expected = rawEvents.groupBy(_._1).flatMap { case (uid, evs) =>
+      var idx = 0L
+      var sessions = Vector.empty[(Long, Long, Vector[(Long, String)])]
+      var cur = Vector.empty[(Long, String)]
+      var prev = Option.empty[Long]
+      evs.foreach { case (_, _, ts, et, _) =>
+        if (prev.forall(p => ts - p >= graft.queries.Scoring.SessionGapUs)) {
+          if (cur.nonEmpty) sessions :+= ((uid, idx, cur))
+          idx += 1; cur = Vector.empty
+        }
+        cur :+= ((ts, et)); prev = Some(ts)
+      }
+      if (cur.nonEmpty) sessions :+= ((uid, idx, cur))
+      sessions.map { case (u, i, es) =>
+        (u, i) -> ((es.length.toLong, es.last._1 - es.head._1,
+          es.count(_._2 == "purchase").toLong))
+      }
+    }
+    val got = queries("q_events_sessionize")(spark, Sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val key = (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"))
+      val (n, dur, np) = expected(key)
+      assert(r.getAs[Long]("n_events") == n, s"n_events at $key")
+      assert(r.getAs[Long]("dur_us") == dur, s"dur_us at $key")
+      assert(r.getAs[Long]("n_purchases") == np, s"n_purchases at $key")
+    }
+  }
+
+  test("q_trend_ols equals the exact-moment closed form") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.core.Tables.lineitem(spark, Sf0001)
+      .select(col("l_returnflag"),
+        datediff(col("l_shipdate").cast("date"), to_date(lit("1992-01-01")))
+          .cast("long").as("x"),
+        (col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((f, x), rows) => (f, x, rows.map(_._3).sum) }
+    val got = queries("q_trend_ols")(spark, Sf0001).collect()
+    got.foreach { r =>
+      val f = r.getAs[String]("l_returnflag")
+      val pts = daily.filter(_._1 == f).toSeq
+      val n = BigInt(pts.length)
+      val sx = pts.map(p => BigInt(p._2)).sum
+      val sy = pts.map(p => BigInt(p._3)).sum
+      val sxy = pts.map(p => BigInt(p._2) * BigInt(p._3)).sum
+      val sxx = pts.map(p => BigInt(p._2) * BigInt(p._2)).sum
+      def hilo(v: BigInt): Double = {
+        val q = v / BigInt(4294967296L); val rr = v % BigInt(4294967296L)
+        q.toDouble * 4294967296.0 + rr.toDouble
+      }
+      val num = n * sxy - sx * sy
+      val inum = sy * sxx - sx * sxy
+      val den = (n * sxx - sx * sx).toLong.toDouble
+      assert(r.getAs[Long]("n_days") == n.toLong)
+      assert(r.getAs[Double]("slope_cents_per_day") == hilo(num) / den)
+      assert(r.getAs[Double]("intercept_cents") == hilo(inum) / den)
+    }
+  }
+
   test("q_anomaly_seasonal flags exactly the 2-sigma-exceeding cells") {
     val dayHr = rawEvents.map { case (_, _, tsUs, _, _) =>
       val sec = tsUs / 1000000

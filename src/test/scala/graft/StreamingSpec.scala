@@ -412,6 +412,53 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("transformWithState attribution converges to the batch query") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event](spark)
+      val q = EventsStreaming.attributionUpdates(input.toDS())
+        .toDF().writeStream.format("memory").queryName("attrib_updates")
+        .outputMode(OutputMode.Update).start()
+      try {
+        // Ordered delivery is the processor's documented upstream
+        // contract: feed (ts, event_id)-sorted chunks, state must carry
+        // the last click ACROSS the chunk boundaries.
+        val all = graft.core.Tables.events(spark, Sf0001)
+          .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event].collect()
+          .sortBy(e => (e.ts.getTime, e.event_id))
+        all.grouped((all.length + 2) / 3).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        // Totals are monotone: the latest update per user has the max
+        // n_purchases.
+        val streamed = spark.table("attrib_updates").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .groupBy(_._1).map { case (u, xs) =>
+            val last = xs.maxBy(_._2)
+            u -> ((last._2, last._3, last._4))
+          }
+        val batch = SparkEntry.queries("q_events_attribution")(spark, Sf0001)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        assert(streamed == batch)
+        // Cross-batch state, not a single-batch replay: users updated in
+        // more than one micro-batch exist.
+        assert(spark.table("attrib_updates").count() > batch.size)
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
 
 object StreamingSpec {

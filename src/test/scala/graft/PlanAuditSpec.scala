@@ -303,7 +303,7 @@ object PlanAuditSpec {
     // keyed on u — the structural dividend of lowest-corner orientation
     // (the old mid-node shape joined dst-to-src, two keys, and needed 5).
     // Edge-build dedup + degree joins run once inside the checkpoint.
-    "q_graph_triangles" -> 4,
+    "q_graph_triangles" -> 2,
     // bloom scalar-subquery agg + post-prune join + final sort; the
     // fact side is filtered BEFORE its exchange — that's the point.
     "q_join_bloom" -> 3,

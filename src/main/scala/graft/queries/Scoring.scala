@@ -313,7 +313,54 @@ object Scoring extends QueryGroup {
       .orderBy($"l_returnflag")
   }
 
+  // --- q_drift_cusum -----------------------------------------------------
+
+  /** One-sided CUSUM change-point monitor over per-type daily event
+    * volumes — the sequential drift detector that fires on a sustained
+    * upward shift, complementing the two-sample tests (`q_drift_ks`,
+    * `q_drift_chisq`) which need a fixed reference cut.
+    *
+    * The recursive statistic S_t = max(0, S_{t-1} + x_t) is NOT
+    * window-expressible directly; it unrolls to the classic identity
+    * S_t = P_t − min(0, min_{j≤t} P_j) over the prefix sums P — two
+    * frames (running sum, running min) sharing ONE per-type sort. To
+    * stay integer-exact the deviations are scaled by n: x̃_t = n·c_t − Σc
+    * (mean-zero without a divide), and the 5σ alarm compares squares:
+    * alarm ⇔ S̃_t > 0 ∧ S̃_t² > 25·(n·SS − S²) — no float threshold can
+    * tie-break differently cross-engine. Dense day grid first (a silent
+    * day IS evidence of downward drift and must enter the sums).
+    * Everything shuffled is (type, day)-sized — the calendar, not the
+    * stream. */
+  private def driftCusum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"event_type", $"ts".cast("date").as("day"))
+    val counts = ev.groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+    val grid = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(ev.select($"day").distinct()))
+      .join(counts, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"c", lit(0L)).as("c"))
+    val stats = grid.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"),
+        sum($"c" * $"c").as("ss"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cu = grid.join(broadcast(stats), Seq("event_type"))
+      .withColumn("x", $"n" * $"c" - $"s")
+      .withColumn("p", sum($"x").over(w))
+      .withColumn("cusum", $"p" - least(lit(0L), min($"p").over(w)))
+      .withColumn("alarm",
+        $"cusum" > 0 &&
+          $"cusum" * $"cusum" > lit(25) * ($"n" * $"ss" - $"s" * $"s"))
+    cu.groupBy($"event_type")
+      .agg(max($"cusum").as("max_cusum"),
+        sum($"alarm".cast("long")).as("n_alarms"),
+        min(when($"alarm", $"day")).as("first_alarm_day"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_drift_cusum" -> driftCusum,
     "q_events_rfm" -> eventsRfm,
     "q_events_sessionize" -> eventsSessionize,
     "q_trend_ols" -> trendOls,
@@ -324,6 +371,44 @@ object Scoring extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_drift_cusum" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |counts AS (
+        |  SELECT event_type, day, count(*) AS c
+        |  FROM ev GROUP BY event_type, day),
+        |grid AS (
+        |  SELECT t.event_type, d.day, COALESCE(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN (SELECT DISTINCT day FROM ev) d
+        |  LEFT JOIN counts c
+        |    ON c.event_type = t.event_type AND c.day = d.day),
+        |stats AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(sum(c*c) AS BIGINT) AS ss
+        |  FROM grid GROUP BY event_type),
+        |cu AS (
+        |  SELECT g.event_type, g.day, st.n, st.s, st.ss,
+        |    CAST(sum(st.n * g.c - st.s) OVER w AS BIGINT) AS p
+        |  FROM grid g JOIN stats st ON g.event_type = st.event_type
+        |  WINDOW w AS (PARTITION BY g.event_type ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cs AS (
+        |  SELECT event_type, day, n, s, ss,
+        |    p - least(CAST(0 AS BIGINT), CAST(min(p) OVER w AS BIGINT))
+        |      AS cusum
+        |  FROM cu
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |al AS (
+        |  SELECT event_type, day, cusum,
+        |    (cusum > 0 AND cusum*cusum > 25*(n*ss - s*s)) AS alarm
+        |  FROM cs)
+        |SELECT event_type,
+        |  CAST(max(cusum) AS BIGINT) AS max_cusum,
+        |  CAST(SUM(CAST(alarm AS BIGINT)) AS BIGINT) AS n_alarms,
+        |  min(CASE WHEN alarm THEN day END) AS first_alarm_day
+        |FROM al GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_events_sessionize" ->
       s"""WITH ev AS (
          |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,

@@ -574,5 +574,9 @@ object PlanAuditSpec {
     "q_events_sessionize" -> 2,
     // (flag, day) daily-cents agg + per-flag moment agg + output sort.
     "q_trend_ols" -> 3,
+    // distinct(type) + distinct(day) + (type,day) count aggs + per-type
+    // stats agg + ONE per-type window sort (both frames share it) + the
+    // final rollup + output sort — all calendar-sized relations.
+    "q_drift_cusum" -> 7,
   )
 }

@@ -177,6 +177,46 @@ class ScoringSpec extends SparkTestBase {
     }
   }
 
+  test("q_drift_cusum equals the recursive max(0, .) replay") {
+    // The query computes S_t via the prefix-sum minus running-min
+    // identity; this replays the DEFINING recursion S_t = max(0,
+    // S_{t-1} + x_t) — agreement proves the unrolling, not just the SQL.
+    val dayType = rawEvents.map { case (_, _, tsUs, et, _) =>
+      (et, tsUs / 1000000 / 86400)
+    }
+    val days = dayType.map(_._2).distinct.sorted
+    val counts = dayType.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expected = dayType.map(_._1).distinct.sorted.map { et =>
+      val cs = days.map(d => counts.getOrElse((et, d), 0L))
+      val n = cs.length.toLong
+      val s = cs.sum
+      val ss = cs.map(c => c * c).sum
+      var cur = 0L
+      var maxC = Long.MinValue
+      var nAlarm = 0L
+      var firstAlarm = Option.empty[Long]
+      days.zip(cs).foreach { case (d, c) =>
+        cur = math.max(0L, cur + (n * c - s))
+        maxC = math.max(maxC, cur)
+        if (cur > 0 && cur * cur > 25 * (n * ss - s * s)) {
+          nAlarm += 1
+          if (firstAlarm.isEmpty) firstAlarm = Some(d)
+        }
+      }
+      et -> ((maxC, nAlarm, firstAlarm))
+    }.toMap
+    val got = queries("q_drift_cusum")(spark, Sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (mc, na, fa) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("max_cusum") == mc)
+      assert(r.getAs[Long]("n_alarms") == na)
+      val gotDay = Option(r.getAs[java.sql.Date]("first_alarm_day"))
+        .map(_.toLocalDate.toEpochDay)
+      assert(gotDay == fa)
+    }
+  }
+
   test("q_agg_diversity equals the brute-force Gini-Simpson index") {
     val expected = rawEvents.groupBy(_._1).map { case (uid, evs) =>
       val cs = evs.groupBy(_._4).map(_._2.size.toLong)

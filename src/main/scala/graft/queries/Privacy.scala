@@ -67,8 +67,42 @@ object Privacy extends QueryGroup {
       .orderBy($"pseudonym")
   }
 
+  /** Deletion-request predicate: in production a managed request table;
+    * here the deterministic stand-in set (1 user in 20) both engines
+    * derive identically. */
+  private val ErasureBucket = 20
+  private val ErasureResidue = 3
+
+  /** Right-to-be-forgotten sweep: purge every event of the users in the
+    * deletion-request set and PROVE the purge in one pass — per event
+    * type, rows before/after/purged plus an order-independent `bit_xor`
+    * checksum of the surviving event ids (the anti-entropy receipt an
+    * auditor re-derives; the same fold as `q_table_checksum`).
+    *
+    * Scale shape: the request set is users-sized but the sweep never
+    * joins it — membership is a row-local predicate here (in production:
+    * a broadcast semi-join against the request table, same plan
+    * otherwise), so the scan is one pass with a conditional partial agg;
+    * ONE |event_type|-row exchange total. Purged rows are counted, not
+    * collected. */
+  private def piiErasure(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val erased = $"user_id" % ErasureBucket === ErasureResidue
+    Tables.events(s, d)
+      .select($"event_type", $"event_id", erased.as("erased"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("rows_before"),
+        sum((!$"erased").cast("long")).as("rows_after"),
+        sum($"erased".cast("long")).as("rows_purged"),
+        expr("bit_xor(CASE WHEN NOT erased THEN event_id END)")
+          .as("survivor_sig"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pii_kanonymize" -> kanonymize,
+    "q_pii_erasure" -> piiErasure,
   )
 
   val oracle: Map[String, String] = Map(
@@ -88,5 +122,16 @@ object Privacy extends QueryGroup {
          |  c_mktsegment, acct_band,
          |  CAST(grp_n >= $AnonK AS INTEGER) AS k_ok
          |FROM n ORDER BY pseudonym""".stripMargin,
+    "q_pii_erasure" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, event_id,
+         |    user_id % $ErasureBucket = $ErasureResidue AS erased
+         |  FROM events)
+         |SELECT event_type,
+         |  count(*) AS rows_before,
+         |  CAST(SUM(CAST(NOT erased AS BIGINT)) AS BIGINT) AS rows_after,
+         |  CAST(SUM(CAST(erased AS BIGINT)) AS BIGINT) AS rows_purged,
+         |  bit_xor(CASE WHEN NOT erased THEN event_id END) AS survivor_sig
+         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

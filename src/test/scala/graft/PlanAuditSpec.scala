@@ -578,5 +578,8 @@ object PlanAuditSpec {
     // stats agg + ONE per-type window sort (both frames share it) + the
     // final rollup + output sort — all calendar-sized relations.
     "q_drift_cusum" -> 7,
+    // one conditional partial agg over the scan + output sort; the
+    // deletion predicate is row-local (production: broadcast semi-join).
+    "q_pii_erasure" -> 2,
   )
 }

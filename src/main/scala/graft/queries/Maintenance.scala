@@ -268,6 +268,41 @@ object Maintenance extends QueryGroup {
       .orderBy($"col_name")
   }
 
+  /** Exact join-size profiling — the optimizer-statistics pass that
+    * predicts a join's output cardinality and skew WITHOUT running the
+    * join: |A ⋈ B on k| = Σ_k n_A(k)·n_B(k), the inner product of the
+    * two per-key count vectors. Profiled for the two fact joins
+    * (orders⋈lineitem, customer⋈orders); per join: matched key count,
+    * exact output rows, the largest single-key contribution, and the
+    * fixed-point skew ratio max·n_keys·1000 div total (how far the worst
+    * key exceeds the mean — the cell an AQE skew split would target).
+    *
+    * Scale shape: each side collapses to per-key counts FIRST (map-side
+    * combined, output is keys-sized), the count relations equi-join on
+    * the key they are already partitioned by, and one global fold emits
+    * a single row per join — the fact tables are scanned once each and
+    * never joined. All integers, hash-exact. */
+  private def profileJoinsize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def counts(df: DataFrame, key: String) =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("n"))
+    def prof(name: String, l: DataFrame, lk: String,
+        r: DataFrame, rk: String) =
+      counts(l.select(lk), lk)
+        .join(counts(r.select(rk), rk).withColumnRenamed("n", "nr"), "k")
+        .select(($"n" * $"nr").as("prod"))
+        .agg(count(lit(1)).as("n_keys"), sum($"prod").as("join_rows"),
+          max($"prod").as("max_key_rows"))
+        .select(lit(name).as("join_name"), $"n_keys", $"join_rows",
+          $"max_key_rows",
+          expr("max_key_rows * n_keys * 1000 div join_rows").as("skew_fp"))
+    prof("orders_lineitem", Tables.orders(s, d), "o_orderkey",
+        Tables.lineitem(s, d), "l_orderkey")
+      .unionAll(prof("customer_orders", Tables.customer(s, d), "c_custkey",
+        Tables.orders(s, d), "o_custkey"))
+      .orderBy($"join_name")
+  }
+
   /** Bits per dimension for the Z-order curve (8 ⇒ 16-bit z values). */
   private[queries] val ZBits = 8
   /** Zones per layout (64 zones of 1024 z values / an orderkey range). */
@@ -428,6 +463,7 @@ object Maintenance extends QueryGroup {
     "q_kv_cdc" -> kvCdc,
     "q_scd2" -> scd2,
     "q_profile_stats" -> profileStats,
+    "q_profile_joinsize" -> profileJoinsize,
     "q_agg_incremental" -> aggIncremental,
   )
 
@@ -591,5 +627,36 @@ object Maintenance extends QueryGroup {
          |  CAST(max($c) AS DOUBLE) AS max_v
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    "q_profile_joinsize" ->
+      """WITH ol AS (
+        |  SELECT count(*) AS n_keys,
+        |    CAST(sum(prod) AS BIGINT) AS join_rows,
+        |    CAST(max(prod) AS BIGINT) AS max_key_rows
+        |  FROM (
+        |    SELECT a.n * b.n AS prod
+        |    FROM (SELECT o_orderkey AS k, count(*) AS n
+        |          FROM orders GROUP BY 1) a
+        |    JOIN (SELECT l_orderkey AS k, count(*) AS n
+        |          FROM lineitem GROUP BY 1) b USING (k))),
+        |co AS (
+        |  SELECT count(*) AS n_keys,
+        |    CAST(sum(prod) AS BIGINT) AS join_rows,
+        |    CAST(max(prod) AS BIGINT) AS max_key_rows
+        |  FROM (
+        |    SELECT a.n * b.n AS prod
+        |    FROM (SELECT c_custkey AS k, count(*) AS n
+        |          FROM customer GROUP BY 1) a
+        |    JOIN (SELECT o_custkey AS k, count(*) AS n
+        |          FROM orders GROUP BY 1) b USING (k)))
+        |SELECT * FROM (
+        |  SELECT 'orders_lineitem' AS join_name, n_keys, join_rows,
+        |    max_key_rows, max_key_rows * n_keys * 1000 // join_rows
+        |      AS skew_fp
+        |  FROM ol
+        |  UNION ALL
+        |  SELECT 'customer_orders', n_keys, join_rows, max_key_rows,
+        |    max_key_rows * n_keys * 1000 // join_rows
+        |  FROM co)
+        |ORDER BY join_name""".stripMargin,
   )
 }

@@ -169,14 +169,66 @@ object Sketches extends QueryGroup {
       .orderBy($"tok")
   }
 
+  /** Audience-overlap tolerance: the inclusion–exclusion estimate must
+    * land within max(5, exact/5) of the exact intersection (HLL rsd ~5%
+    * at default precision; subtraction amplifies relative error, hence
+    * the 20% + absolute-floor contract). */
+  private val IntersectTol = 5L
+
+  /** Sketch-algebra audience overlap: |viewers ∩ buyers| estimated by
+    * HLL inclusion–exclusion — est(A) + est(B) − est(A ∪ B) — the only
+    * set operation HLL unions can answer (sketches union losslessly,
+    * they never intersect), checked against the exact overlap from the
+    * same pass.
+    *
+    * Shape: ONE groupBy(user) pass collapses the stream to per-user
+    * (viewed, bought) flags; the final 1-row fold computes the three
+    * exact counts AND the three `approx_count_distinct` sketches
+    * side-by-side. The `ok` bit is the oracle contract (the DuckDB twin
+    * pins the exact columns and `ok` must come back 1 — same gating as
+    * `q_sketch_hll`): a sketch drifting out of tolerance fails the
+    * correctness gate, not just a bench eyeball. */
+  private def sketchIntersect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val u = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(
+        max(($"event_type" === "view").cast("long")).as("hv"),
+        max(($"event_type" === "purchase").cast("long")).as("hp"))
+    u.agg(
+        sum($"hv").as("n_view"),
+        sum($"hp").as("n_purchase"),
+        sum($"hv" * $"hp").as("n_both"),
+        approx_count_distinct(when($"hv" === 1, $"user_id")).as("ev"),
+        approx_count_distinct(when($"hp" === 1, $"user_id")).as("ep"),
+        approx_count_distinct(when($"hv" === 1 || $"hp" === 1, $"user_id"))
+          .as("eu"))
+      .select($"n_view", $"n_purchase", $"n_both",
+        (abs($"ev" + $"ep" - $"eu" - $"n_both") <=
+          greatest(lit(IntersectTol), expr("n_both div 5")))
+          .cast("int").as("ok"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sketch_hll" -> sketchHll,
     "q_sketch_incremental" -> sketchIncremental,
     "q_sketch_cms" -> sketchCms,
+    "q_sketch_intersect" -> sketchIntersect,
     "q_quantile_approx" -> quantileApprox,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sketch_intersect" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(sum(hv) AS BIGINT) AS n_view,
+        |  CAST(sum(hp) AS BIGINT) AS n_purchase,
+        |  CAST(sum(hv * hp) AS BIGINT) AS n_both,
+        |  1 AS ok
+        |FROM u""".stripMargin,
     "q_sketch_cms" -> {
       def dh(mult: Long) = Dedup.duckCharHash("tok", mult.toInt)
       val rows = CmsMults.zipWithIndex.map { case (m, j) =>

@@ -581,5 +581,11 @@ object PlanAuditSpec {
     // one conditional partial agg over the scan + output sort; the
     // deletion predicate is row-local (production: broadcast semi-join).
     "q_pii_erasure" -> 2,
+    // per join: two per-key count aggs + the count-relation equi-join
+    // rides their partitioning; + each 1-row fold; + output sort over
+    // the 2-row union — facts scanned once, never joined.
+    "q_profile_joinsize" -> 6,
+    // one groupBy(user) flag pass + the 1-row exact+sketch fold.
+    "q_sketch_intersect" -> 2,
   )
 }

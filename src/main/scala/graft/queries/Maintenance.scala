@@ -303,6 +303,47 @@ object Maintenance extends QueryGroup {
       .orderBy($"join_name")
   }
 
+  /** Constraint audit — the dbt-test / great-expectations pass run
+    * before promoting a batch: primary-key uniqueness per table and
+    * foreign-key orphans per relationship, as one uniform
+    * (check_name, n_rows, n_violations) report.
+    *
+    * Shape: every check collapses the child side to per-key counts FIRST
+    * (map-side combined, keys-sized), so PK violations are Σc − |keys|
+    * off one aggregation and FK orphans are a keys-vs-keys left-anti
+    * join that never moves fact rows. No check scans a table twice; all
+    * arithmetic is exact integers. */
+  private def auditIntegrity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def keyCounts(df: DataFrame, cols: Seq[String]) =
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+    def pk(name: String, df: DataFrame, cols: String*) =
+      keyCounts(df, cols)
+        .agg(sum($"c").as("n_rows"),
+          (sum($"c") - count(lit(1))).as("n_violations"))
+        .select(lit(name).as("check_name"), $"n_rows", $"n_violations")
+    def fk(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pkc: String) =
+      keyCounts(child.select(col(ck).as("k")), Seq("k"))
+        .join(parent.select(col(pkc).as("k")).distinct(), Seq("k"),
+          "left_anti")
+        .agg(coalesce(sum($"c"), lit(0L)).as("orphans"))
+        .crossJoin(broadcast(child.agg(count(lit(1)).as("n_rows"))))
+        .select(lit(name).as("check_name"), $"n_rows",
+          $"orphans".as("n_violations"))
+    pk("pk_orders", Tables.orders(s, d), "o_orderkey")
+      .unionAll(pk("pk_customer", Tables.customer(s, d), "c_custkey"))
+      .unionAll(pk("pk_lineitem", Tables.lineitem(s, d),
+        "l_orderkey", "l_linenumber"))
+      .unionAll(fk("fk_orders_customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .unionAll(fk("fk_lineitem_orders", Tables.lineitem(s, d),
+        "l_orderkey", Tables.orders(s, d), "o_orderkey"))
+      .unionAll(fk("fk_lineitem_part", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"))
+      .orderBy($"check_name")
+  }
+
   /** Bits per dimension for the Z-order curve (8 ⇒ 16-bit z values). */
   private[queries] val ZBits = 8
   /** Zones per layout (64 zones of 1024 z values / an orderkey range). */
@@ -464,6 +505,7 @@ object Maintenance extends QueryGroup {
     "q_scd2" -> scd2,
     "q_profile_stats" -> profileStats,
     "q_profile_joinsize" -> profileJoinsize,
+    "q_audit_integrity" -> auditIntegrity,
     "q_agg_incremental" -> aggIncremental,
   )
 
@@ -658,5 +700,36 @@ object Maintenance extends QueryGroup {
         |    max_key_rows * n_keys * 1000 // join_rows
         |  FROM co)
         |ORDER BY join_name""".stripMargin,
+    "q_audit_integrity" ->
+      """SELECT * FROM (
+        |  SELECT 'pk_orders' AS check_name, count(*) AS n_rows,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |      AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'pk_customer', count(*),
+        |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'pk_lineitem', count(*),
+        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |         AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'fk_orders_customer', count(*),
+        |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders', count(*),
+        |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_part', count(*),
+        |    CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT)
+        |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey)
+        |ORDER BY check_name""".stripMargin,
   )
 }

@@ -587,5 +587,9 @@ object PlanAuditSpec {
     "q_profile_joinsize" -> 6,
     // one groupBy(user) flag pass + the 1-row exact+sketch fold.
     "q_sketch_intersect" -> 2,
+    // 6 constraint checks × (per-key count aggs + keys-vs-keys anti
+    // align + 1-row folds) + the 6-row output sort — every exchange is
+    // keys-sized or 1-row; fact rows never move.
+    "q_audit_integrity" -> 17,
   )
 }

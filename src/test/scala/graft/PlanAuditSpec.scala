@@ -574,10 +574,11 @@ object PlanAuditSpec {
     "q_events_sessionize" -> 2,
     // (flag, day) daily-cents agg + per-flag moment agg + output sort.
     "q_trend_ols" -> 3,
-    // distinct(type) + distinct(day) + (type,day) count aggs + per-type
-    // stats agg + ONE per-type window sort (both frames share it) + the
-    // final rollup + output sort — all calendar-sized relations.
-    "q_drift_cusum" -> 7,
+    // (type,day) count agg + per-type stats agg + the shared per-type
+    // window sort + output sort (the distinct day/type grids broadcast;
+    // both window frames and the rollup ride one partitioning) — all
+    // calendar-sized relations.
+    "q_drift_cusum" -> 4,
     // one conditional partial agg over the scan + output sort; the
     // deletion predicate is row-local (production: broadcast semi-join).
     "q_pii_erasure" -> 2,

@@ -150,6 +150,34 @@ object Sources extends QueryGroup {
       .orderBy($"o_orderstatus")
   }
 
+  /** Dynamic partition pruning — the runtime companion to
+    * `q_latest_partition`'s static pruning: the years to read are NOT
+    * literal-resolvable (they come from a filtered dim relation), so the
+    * partitioned fact scan must receive its partition filter AT RUNTIME
+    * from the broadcast dim (Spark plans a DynamicPruningExpression
+    * subquery into the scan — PlanAuditSpec asserts it). At 100 TB this
+    * is THE mechanism that keeps a fact-dim join from scanning every
+    * date partition when the dim narrows to a handful; no driver
+    * round-trip (contrast `latestPartition`'s `.head`), the pruning
+    * value list rides the broadcast exchange. */
+  private def joinDpp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = tmp("orders_by_year_dpp")
+    Tables.orders(s, d)
+      .withColumn("yr", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("yr").parquet(out)
+    val fact = s.read.parquet(out)
+    val dim = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT" &&
+        month($"o_orderdate") <= 2)
+      .select(year($"o_orderdate").as("yr"))
+      .distinct()
+    fact.join(broadcast(dim), "yr")
+      .groupBy($"yr", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"yr", $"o_orderstatus")
+  }
+
   /** Schema evolution across parquet batches — the lakehouse reality
     * that a long-lived table's files do NOT share one schema: batch v1
     * wrote (c_custkey, c_acctbal); a later batch v2 added c_mktsegment.
@@ -263,6 +291,7 @@ object Sources extends QueryGroup {
     "q_json_corrupt" -> jsonCorrupt,
     "q_filename_column" -> filenameColumn,
     "q_latest_partition" -> latestPartition,
+    "q_join_dpp" -> joinDpp,
   )
 
   val oracle: Map[String, String] = Map(
@@ -322,5 +351,15 @@ object Sources extends QueryGroup {
          |  (SELECT MAX(year(o_orderdate)) FROM orders)
          |GROUP BY o_orderstatus, year(o_orderdate)
          |ORDER BY o_orderstatus""".stripMargin,
+    "q_join_dpp" ->
+      s"""WITH dim AS (
+         |  SELECT DISTINCT year(o_orderdate) AS yr FROM orders
+         |  WHERE o_orderpriority = '1-URGENT' AND month(o_orderdate) <= 2)
+         |SELECT CAST(f.yr AS INT) AS yr, f.o_orderstatus,
+         |  COUNT(*) AS n_orders, ${dsumSql("f.o_totalprice")} AS sum_price
+         |FROM (SELECT *, year(o_orderdate) AS yr FROM orders) f
+         |JOIN dim ON f.yr = dim.yr
+         |GROUP BY f.yr, f.o_orderstatus
+         |ORDER BY yr, o_orderstatus""".stripMargin,
   )
 }

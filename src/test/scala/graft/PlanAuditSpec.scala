@@ -123,6 +123,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(pruned, "q_latest_partition scans without a partition filter")
   }
 
+  test("the DPP join receives its partition filter at runtime") {
+    // q_join_dpp's years come from a filtered dim — not literal-
+    // resolvable, so static pruning CANNOT apply; the partitioned fact
+    // scan must instead carry a DynamicPruningExpression fed by the
+    // dim's broadcast. If DPP stops planning (conf regression, join
+    // rewritten off the partition column), the scan reads every year
+    // and this fails.
+    val pruned = allPlans("q_join_dpp").exists {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(
+          _.toString.contains("orders_by_year_dpp")) &&
+          f.partitionFilters.exists(
+            _.toString.toLowerCase.contains("dynamicpruning"))
+      case _ => false
+    }
+    assert(pruned, "q_join_dpp plans no dynamic partition pruning filter")
+  }
+
   test("nested-struct pruning reaches the parquet leaves") {
     // q_nested_pruning touches meta.status and meta.total only; the scan's
     // required schema must exclude the meta.priority leaf — otherwise the
@@ -592,5 +610,8 @@ object PlanAuditSpec {
     // align + 1-row folds) + the 6-row output sort — every exchange is
     // keys-sized or 1-row; fact rows never move.
     "q_audit_integrity" -> 17,
+    // dim distinct agg + the (yr, status) agg + output sort; the fact
+    // join is a broadcast whose exchange feeds the DPP subquery.
+    "q_join_dpp" -> 3,
   )
 }

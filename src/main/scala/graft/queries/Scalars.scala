@@ -177,6 +177,31 @@ object Scalars extends QueryGroup {
       .orderBy($"event_type")
   }
 
+  /** Spark 4 VARIANT surface: `parse_json` into the binary semi-
+    * structured type, typed path extraction with `variant_get`, safe
+    * extraction of an absent path with `try_variant_get` (NULL, never
+    * an error), and `schema_of_variant` type introspection — the
+    * open-schema ingestion path that replaces per-field
+    * `get_json_object` string re-parsing (the variant parses ONCE into
+    * a binary value; every extraction is a binary walk, which is the
+    * at-scale argument). The oracle pins the extracted values and the
+    * introspected type string against DuckDB's JSON operators. */
+  private def jsonVariant(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type", parse_json($"props").as("v"))
+      .select($"event_type",
+        variant_get($"v", "$.k", "bigint").as("k"),
+        try_variant_get($"v", "$.missing", "bigint").as("m"),
+        schema_of_variant($"v").as("vtype"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        count($"m").as("n_missing"),
+        min($"vtype").as("vtype"))
+      .orderBy($"event_type")
+  }
+
   // ---- scalar UDF -------------------------------------------------------
 
   /** Slugify as a Scala UDF — the scalar-UDF surface row. Semantics mirror
@@ -283,6 +308,7 @@ object Scalars extends QueryGroup {
     "q_array_explode" -> arrayExplode,
     "q_map_funs" -> mapFuns,
     "q_json_props" -> jsonProps,
+    "q_json_variant" -> jsonVariant,
     "q_udf_scalar" -> udfScalar,
     "q_udaf_topk" -> udafTopK,
     "q_udtf_bigrams" -> udtfBigrams,
@@ -386,6 +412,14 @@ object Scalars extends QueryGroup {
         |       AS DOUBLE)
         |    / CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
         |       AS DOUBLE) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_json_variant" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |       AS BIGINT) AS sum_k,
+        |  CAST(COUNT(CAST(json_extract_string(props, '$.missing')
+        |       AS BIGINT)) AS BIGINT) AS n_missing,
+        |  'OBJECT<k: BIGINT>' AS vtype
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_udf_scalar" ->
       """SELECT p_partkey,

@@ -613,5 +613,7 @@ object PlanAuditSpec {
     // dim distinct agg + the (yr, status) agg + output sort; the fact
     // join is a broadcast whose exchange feeds the DPP subquery.
     "q_join_dpp" -> 3,
+    // one per-type agg over the parsed-once variant scan + output sort.
+    "q_json_variant" -> 2,
   )
 }

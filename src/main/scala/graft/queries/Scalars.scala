@@ -298,7 +298,68 @@ object Scalars extends QueryGroup {
       FROM documents_sqlext ORDER BY doc_id""")
   }
 
+  /** Spark 4 SQL pipe syntax (`|>`): the linear FROM → WHERE →
+    * AGGREGATE → ORDER BY dataflow written in evaluation order — the
+    * SAME logical plan as the nested SELECT (Catalyst parses pipes into
+    * ordinary operators; zero runtime surface), pinned against the
+    * classic-SQL oracle to prove the equivalence. */
+  private def sqlPipe(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_pipe")
+    s.sql(s"""
+      FROM lineitem_pipe
+      |> WHERE l_quantity >= 30
+      |> AGGREGATE COUNT(*) AS n, ${dsumSql("l_extendedprice")} AS rev
+         GROUP BY l_returnflag, l_linestatus
+      |> WHERE n > 0
+      |> ORDER BY l_returnflag, l_linestatus""")
+  }
+
+  /** Spark 4 SQL-defined UDF (`CREATE FUNCTION ... RETURN expr`): the
+    * body is SQL, so Catalyst INLINES it at analysis time — unlike a
+    * JVM closure UDF it stays codegen-able and optimizer-visible
+    * (pushdown through it works). The margin function is applied
+    * per-row and aggregated exactly. */
+  private def sqlUdf(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sqludf")
+    s.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION net_cents(p DOUBLE, disc DOUBLE)
+      RETURNS BIGINT
+      RETURN CAST(CAST(p AS DECIMAL(18,2)) * 100 *
+        (100 - CAST(CAST(disc AS DECIMAL(18,2)) * 100 AS INT)) AS BIGINT)""")
+    s.sql("""
+      SELECT l_returnflag,
+        COUNT(*) AS n,
+        SUM(net_cents(l_extendedprice, l_discount)) AS net_fp
+      FROM lineitem_sqludf
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  /** Spark 4 string collations: UTF8_LCASE groups case-insensitively at
+    * the COMPARISON level — no lower() rewrite of the data reaches the
+    * grouping — over a deterministically mixed-cased segment column.
+    * The surviving group REPRESENTATIVE is whichever case variant a
+    * partition saw first, so the output normalizes it with one final
+    * lower(); the oracle reproduces the same semantics with explicit
+    * lower() grouping. */
+  private def strCollation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, d)
+      .select(
+        // mixed-case the segment deterministically: odd keys lowercase
+        when($"c_custkey" % 2 === 1, lower($"c_mktsegment"))
+          .otherwise($"c_mktsegment").as("seg_mixed"),
+        $"c_custkey")
+      .select(collate($"seg_mixed", "UTF8_LCASE").as("seg"), $"c_custkey")
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n"), sum($"c_custkey").as("sum_keys"))
+      .select(lower($"seg").as("segment"), $"n", $"sum_keys")
+      .orderBy($"segment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sql_pipe" -> sqlPipe,
+    "q_sql_udf" -> sqlUdf,
+    "q_str_collation" -> strCollation,
     "q_str_funs" -> strFuns,
     "q_regexp_funs" -> regexpFuns,
     "q_date_funs" -> dateFuns,
@@ -421,6 +482,26 @@ object Scalars extends QueryGroup {
         |       AS BIGINT)) AS BIGINT) AS n_missing,
         |  'OBJECT<k: BIGINT>' AS vtype
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sql_pipe" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${dsumSql("l_extendedprice")} AS rev
+         |FROM lineitem
+         |WHERE l_quantity >= 30
+         |GROUP BY l_returnflag, l_linestatus
+         |HAVING COUNT(*) > 0
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_sql_udf" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 *
+        |    (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS INT))
+        |    AS BIGINT)) AS BIGINT) AS net_fp
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_str_collation" ->
+      """SELECT lower(c_mktsegment) AS segment, COUNT(*) AS n,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sum_keys
+        |FROM customer GROUP BY lower(c_mktsegment)
+        |ORDER BY segment""".stripMargin,
     "q_udf_scalar" ->
       """SELECT p_partkey,
         |  regexp_replace(lower(p_brand || ' ' || p_name),

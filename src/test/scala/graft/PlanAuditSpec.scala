@@ -615,5 +615,11 @@ object PlanAuditSpec {
     "q_join_dpp" -> 3,
     // one per-type agg over the parsed-once variant scan + output sort.
     "q_json_variant" -> 2,
+    // each: ONE grouped agg + output sort — the pipe parse, the inlined
+    // SQL-UDF body, and the collated comparison all stay inside the
+    // same two-exchange agg shape as their classic twins.
+    "q_sql_pipe" -> 2,
+    "q_sql_udf" -> 2,
+    "q_str_collation" -> 2,
   )
 }

@@ -137,10 +137,14 @@ object Sources extends QueryGroup {
     * reference's list-sort-by-LastModified scan. */
   private def latestPartition(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val out = tmp("orders_by_year")
-    Tables.orders(s, d)
-      .withColumn("yr", year($"o_orderdate"))
-      .write.mode("overwrite").partitionBy("yr").parquet(out)
+    // Input fixture, laid out once per sf dir (same rationale as
+    // joinDpp's mirror below).
+    val out = tmp(s"orders_by_year_${new java.io.File(d).getName}")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.orders(s, d)
+        .withColumn("yr", year($"o_orderdate"))
+        .write.mode("overwrite").partitionBy("yr").parquet(out)
+    }
     val part = s.read.parquet(out)
     val maxYr = part.agg(max($"yr")).head.getInt(0)
     part.filter($"yr" === maxYr)
@@ -162,10 +166,16 @@ object Sources extends QueryGroup {
     * value list rides the broadcast exchange. */
   private def joinDpp(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val out = tmp("orders_by_year_dpp")
-    Tables.orders(s, d)
-      .withColumn("yr", year($"o_orderdate"))
-      .write.mode("overwrite").partitionBy("yr").parquet(out)
+    // The partitioned mirror is INPUT fixture, not the surface under
+    // test (contrast the roundtrip queries, where the write IS the
+    // operator) — lay it out once per sf dir and reuse; `sbt clean`
+    // or deleting target/tmp invalidates.
+    val out = tmp(s"orders_by_year_dpp_${new java.io.File(d).getName}")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.orders(s, d)
+        .withColumn("yr", year($"o_orderdate"))
+        .write.mode("overwrite").partitionBy("yr").parquet(out)
+    }
     val fact = s.read.parquet(out)
     val dim = Tables.orders(s, d)
       .filter($"o_orderpriority" === "1-URGENT" &&

@@ -66,6 +66,36 @@ object Relational2 extends QueryGroup {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Rolling exact median — the windowed ORDER STATISTIC Spark has no
+    * native window function for (`percentile` is not window-able): the
+    * 7-day trailing median of daily revenue per return flag, computed by
+    * collecting the bounded frame into an array and selecting the
+    * discrete lower median row-locally (`array_sort` + `element_at` at
+    * rank ⌈n/2⌉). Sound ONLY because the frame is a CONSTANT 7 rows —
+    * the array is O(frame), not O(partition); an unbounded-frame median
+    * needs the two-phase selection in [[Quantiles]] instead. Pre-
+    * aggregating to daily cents first keeps the window input
+    * calendar-sized; exact integer cents end to end. */
+  private def windowMedian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_shipdate".cast("date").as("day"),
+        ($"l_extendedprice".cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+      .groupBy($"l_returnflag", $"day")
+      .agg(sum($"cents").as("y"))
+    val w = Window.partitionBy($"l_returnflag").orderBy($"day")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .select($"l_returnflag", $"day",
+        collect_list($"y").over(w).as("vals"))
+      .select($"l_returnflag", $"day",
+        size($"vals").cast("long").as("n_in_window"),
+        element_at(array_sort($"vals"),
+          expr("CAST((size(vals) + 1) div 2 AS INT)")).as("med_cents"))
+      .orderBy($"l_returnflag", $"day")
+  }
+
   /** Distribution window functions: percent_rank / cume_dist (exact
     * integer ratios — bit-identical doubles cross-engine) + nth_value. */
   private def windowDist(s: SparkSession, d: String): DataFrame = {
@@ -508,6 +538,7 @@ object Relational2 extends QueryGroup {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_window_median" -> windowMedian,
     "q_agg_mode" -> aggMode,
     "q_join_interval" -> joinInterval,
     "q_filter_in_like" -> filterInLike,
@@ -740,6 +771,21 @@ object Relational2 extends QueryGroup {
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          |ORDER BY rflag, lstatus""".stripMargin,
+    "q_window_median" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |         AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |fr AS (
+        |  SELECT l_returnflag, day,
+        |    list(y) OVER (PARTITION BY l_returnflag ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM daily)
+        |SELECT l_returnflag, day,
+        |  CAST(len(vals) AS BIGINT) AS n_in_window,
+        |  list_sort(vals)[(len(vals) + 1) // 2] AS med_cents
+        |FROM fr ORDER BY l_returnflag, day""".stripMargin,
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  COUNT(*) OVER w AS n_in_band,

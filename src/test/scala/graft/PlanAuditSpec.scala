@@ -621,5 +621,8 @@ object PlanAuditSpec {
     "q_sql_pipe" -> 2,
     "q_sql_udf" -> 2,
     "q_str_collation" -> 2,
+    // daily-cents agg + the per-flag window sort + output sort; the
+    // median frame is a constant 7 rows, row-local sort/select.
+    "q_window_median" -> 3,
   )
 }

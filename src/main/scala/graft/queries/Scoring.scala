@@ -313,6 +313,30 @@ object Scoring extends QueryGroup {
       .orderBy($"l_returnflag")
   }
 
+  // --- q_events_bursts ---------------------------------------------------
+
+  /** Burst window length in seconds (a trailing hour). */
+  private val BurstWindowS = 3600L
+
+  /** Burst detection: each user's maximum event count within ANY trailing
+    * one-hour window — the rate-limiter / abuse-detection statistic. The
+    * trailing count is ONE range-frame window over exact epoch seconds
+    * (`RANGE [-3599, 0]` — every event anchors a candidate window, so the
+    * max over anchors IS the max over all windows); the per-user rollup
+    * reuses the window's partitioning. Integer seconds and counts
+    * end to end. */
+  private def eventsBursts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_s")
+      .rangeBetween(-(BurstWindowS - 1), Window.currentRow)
+    Tables.events(s, d)
+      .select($"user_id", expr("unix_micros(ts) div 1000000").as("ts_s"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), max($"burst").as("max_burst_1h"))
+      .orderBy($"user_id")
+  }
+
   // --- q_drift_cusum -----------------------------------------------------
 
   /** One-sided CUSUM change-point monitor over per-type daily event
@@ -360,6 +384,7 @@ object Scoring extends QueryGroup {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_events_bursts" -> eventsBursts,
     "q_drift_cusum" -> driftCusum,
     "q_events_rfm" -> eventsRfm,
     "q_events_sessionize" -> eventsSessionize,
@@ -371,6 +396,18 @@ object Scoring extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_events_bursts" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) // 1000000 AS ts_s FROM events),
+         |b AS (
+         |  SELECT user_id,
+         |    count(*) OVER (PARTITION BY user_id ORDER BY ts_s
+         |      RANGE BETWEEN ${BurstWindowS - 1} PRECEDING AND CURRENT ROW)
+         |      AS burst
+         |  FROM ev)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(max(burst) AS BIGINT) AS max_burst_1h
+         |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_drift_cusum" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),

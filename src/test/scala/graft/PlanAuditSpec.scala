@@ -624,5 +624,7 @@ object PlanAuditSpec {
     // daily-cents agg + the per-flag window sort + output sort; the
     // median frame is a constant 7 rows, row-local sort/select.
     "q_window_median" -> 3,
+    // one per-user window sort (the rollup reuses it) + output sort.
+    "q_events_bursts" -> 2,
   )
 }

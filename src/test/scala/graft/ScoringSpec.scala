@@ -177,6 +177,21 @@ class ScoringSpec extends SparkTestBase {
     }
   }
 
+  test("q_events_bursts equals the brute-force max trailing-hour count") {
+    val expected = rawEvents.groupBy(_._1).map { case (uid, evs) =>
+      val ss = evs.map(_._3 / 1000000).sorted
+      val best = ss.map(t => ss.count(u => u > t - 3600 && u <= t)).max
+      uid -> ((ss.length.toLong, best.toLong))
+    }
+    val got = queries("q_events_bursts")(spark, Sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, b) = expected(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("max_burst_1h") == b)
+    }
+  }
+
   test("q_drift_cusum equals the recursive max(0, .) replay") {
     // The query computes S_t via the prefix-sum minus running-min
     // identity; this replays the DEFINING recursion S_t = max(0,

@@ -135,11 +135,20 @@ object Sources extends QueryGroup {
     * year; the query reads ONLY the max partition (static pruning via a
     * literal-resolvable filter), the idiomatic replacement for the
     * reference's list-sort-by-LastModified scan. */
+  /** Cache key for a memoized mirror of `<d>/orders.parquet`: sf dir
+    * name + source length + mtime, so a regenerated testdata drop (the
+    * driver rewrites it between rounds) invalidates the fixture instead
+    * of silently serving stale rows against a fresh oracle. */
+  private def ordersFixtureKey(d: String): String = {
+    val src = new java.io.File(d, "orders.parquet")
+    s"${new java.io.File(d).getName}_${src.length}_${src.lastModified / 1000}"
+  }
+
   private def latestPartition(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Input fixture, laid out once per sf dir (same rationale as
-    // joinDpp's mirror below).
-    val out = tmp(s"orders_by_year_${new java.io.File(d).getName}")
+    // Input fixture, laid out once per source snapshot (same rationale
+    // as joinDpp's mirror below).
+    val out = tmp(s"orders_by_year_${ordersFixtureKey(d)}")
     if (!new java.io.File(out, "_SUCCESS").exists()) {
       Tables.orders(s, d)
         .withColumn("yr", year($"o_orderdate"))
@@ -168,9 +177,10 @@ object Sources extends QueryGroup {
     import s.implicits._
     // The partitioned mirror is INPUT fixture, not the surface under
     // test (contrast the roundtrip queries, where the write IS the
-    // operator) — lay it out once per sf dir and reuse; `sbt clean`
-    // or deleting target/tmp invalidates.
-    val out = tmp(s"orders_by_year_dpp_${new java.io.File(d).getName}")
+    // operator) — lay it out once per source snapshot and reuse;
+    // `sbt clean`, deleting target/tmp, or a regenerated testdata drop
+    // (fingerprinted key) invalidates.
+    val out = tmp(s"orders_by_year_dpp_${ordersFixtureKey(d)}")
     if (!new java.io.File(out, "_SUCCESS").exists()) {
       Tables.orders(s, d)
         .withColumn("yr", year($"o_orderdate"))

@@ -164,6 +164,13 @@ object Maintenance extends QueryGroup {
     * readable and demonstrates pushdown under the windows. */
   private def scd2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    scd2Dim(s, d).orderBy($"user_id", $"version")
+  }
+
+  /** The unordered SCD2 dimension relation — shared by the history gate
+    * (`q_scd2`) and the point-in-time join (`q_join_pit`). */
+  private def scd2Dim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     Tables.events(s, d)
       .filter($"user_id" % 20 === 0)
@@ -174,6 +181,35 @@ object Maintenance extends QueryGroup {
       .withColumn("version", row_number().over(w))
       .select($"user_id", $"event_type", $"ts".as("valid_from"),
         $"valid_to", $"version", $"valid_to".isNull.as("is_current"))
+  }
+
+  /** Point-in-time dimensional join — THE lakehouse read pattern over an
+    * SCD2 dimension: each fact row joins the dimension version whose
+    * [valid_from, valid_to) reign contains the fact's timestamp
+    * (`valid_to IS NULL` = current). Membership is half-open on ts only,
+    * so every fact matches exactly one version (a zero-width version —
+    * two change points at one ts — matches none, by construction).
+    *
+    * Shape: an equi-join on the entity key carries the interval
+    * predicates as a post-join filter — per-entity version counts are
+    * small (bounded by change frequency), so the range residual scans a
+    * handful of rows per key; both sides hash-partition on user_id and
+    * the rollup reuses that partitioning. */
+  private def joinPit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = scd2Dim(s, d)
+      .select($"user_id", $"event_type".as("dim_type"),
+        $"valid_from", $"valid_to", $"version")
+    val ev = Tables.events(s, d)
+      .filter($"user_id" % 20 === 0)
+      .select($"user_id", $"ts")
+    ev.as("f")
+      .join(dim.as("v"),
+        $"f.user_id" === $"v.user_id" &&
+          $"f.ts" >= $"valid_from" &&
+          ($"valid_to".isNull || $"f.ts" < $"valid_to"))
+      .groupBy($"v.user_id".as("user_id"), $"version", $"dim_type")
+      .agg(count(lit(1)).as("n_events"))
       .orderBy($"user_id", $"version")
   }
 
@@ -506,6 +542,7 @@ object Maintenance extends QueryGroup {
     "q_profile_stats" -> profileStats,
     "q_profile_joinsize" -> profileJoinsize,
     "q_audit_integrity" -> auditIntegrity,
+    "q_join_pit" -> joinPit,
     "q_agg_incremental" -> aggIncremental,
   )
 
@@ -643,6 +680,30 @@ object Maintenance extends QueryGroup {
         |  min(key) AS min_key, max(key) AS max_key
         |FROM diff WHERE change_type IS NOT NULL
         |GROUP BY 1 ORDER BY change_type""".stripMargin,
+    "q_join_pit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE user_id % 20 = 0),
+        |c AS (
+        |  SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM e),
+        |chg AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type),
+        |dim AS (
+        |  SELECT user_id, event_type AS dim_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS valid_to,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+        |      AS version
+        |  FROM chg)
+        |SELECT v.user_id, v.version, v.dim_type, count(*) AS n_events
+        |FROM (SELECT user_id, ts FROM events WHERE user_id % 20 = 0) f
+        |JOIN dim v ON f.user_id = v.user_id
+        |  AND f.ts >= v.valid_from
+        |  AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+        |GROUP BY v.user_id, v.version, v.dim_type
+        |ORDER BY v.user_id, v.version""".stripMargin,
     "q_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_type, ts, event_id FROM events

@@ -626,5 +626,8 @@ object PlanAuditSpec {
     "q_window_median" -> 3,
     // one per-user window sort (the rollup reuses it) + output sort.
     "q_events_bursts" -> 2,
+    // both fact and dim hash-partition on user_id in ONE exchange pair
+    // shared with the dim's window sort and the rollup; + output sort.
+    "q_join_pit" -> 2,
   )
 }

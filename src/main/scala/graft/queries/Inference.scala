@@ -124,10 +124,46 @@ object Inference extends QueryGroup {
       .orderBy($"source")
   }
 
+  /** Model-evaluation confusion matrix: the trained linear model's keep
+    * decision (margin > 0) scored against the independent rule-based
+    * quality gate (`q_text_quality`'s length/stopword thresholds) as
+    * reference labels — the model-vs-rules agreement audit run before
+    * swapping a heuristic filter for a learned one. TP/FP/FN/TN from
+    * one conditional fold; precision/recall/accuracy/F1 in exact
+    * integer fixed-point (×1e6, `nullif` guards the empty-class edge
+    * identically in both engines). Two doc-level scans joined on
+    * doc_id, one 1-row fold — nothing wider than the corpus scan. */
+  private def evalConfusion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pred = margins(s, d).select($"doc_id", ($"margin" > 0).as("pred"))
+    val toks = tokens($"text")
+    val gold = Tables.documents(s, d)
+      .select($"doc_id", size(toks).cast("long").as("n_tok"),
+        size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+          .as("n_stop"))
+      .select($"doc_id",
+        ($"n_tok" >= 20 && $"n_tok" <= 1000 &&
+          $"n_stop".cast("double") / $"n_tok".cast("double") < 0.2)
+          .as("gold"))
+    pred.join(gold, "doc_id")
+      .agg(
+        sum(($"pred" && $"gold").cast("long")).as("tp"),
+        sum(($"pred" && !$"gold").cast("long")).as("fp"),
+        sum((!$"pred" && $"gold").cast("long")).as("fn"),
+        sum((!$"pred" && !$"gold").cast("long")).as("tn"))
+      .select($"tp", $"fp", $"fn", $"tn",
+        expr("tp * 1000000 div nullif(tp + fp, 0)").as("precision_fp"),
+        expr("tp * 1000000 div nullif(tp + fn, 0)").as("recall_fp"),
+        expr("(tp + tn) * 1000000 div nullif(tp + fp + fn + tn, 0)")
+          .as("accuracy_fp"),
+        expr("2 * tp * 1000000 div nullif(2*tp + fp + fn, 0)").as("f1_fp"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_quality_classifier" -> qualityClassifier,
     "q_dedup_keep_best" -> dedupKeepBest,
     "q_profile_corpus" -> profileCorpus,
+    "q_eval_confusion" -> evalConfusion,
   )
 
   /** DuckDB fragment ending in `qm(doc_id, margin)` — the margin twin,
@@ -191,5 +227,36 @@ object Inference extends QueryGroup {
          |SELECT rep_id, doc_id AS best_doc, margin AS best_margin,
          |  cluster_size
          |FROM ranked WHERE rn = 1 ORDER BY rep_id""".stripMargin,
+    "q_eval_confusion" -> {
+      val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH $duckMarginCtes,
+         |g AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |         t -> t IN $stopList)) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |lbl AS (
+         |  SELECT g.doc_id, qm.margin > 0 AS pred,
+         |    (g.n_tok >= 20 AND g.n_tok <= 1000 AND
+         |     CAST(g.n_stop AS DOUBLE) / CAST(g.n_tok AS DOUBLE) < 0.2)
+         |      AS gold
+         |  FROM g JOIN qm ON g.doc_id = qm.doc_id),
+         |m AS (
+         |  SELECT
+         |    CAST(SUM(CAST(pred AND gold AS BIGINT)) AS BIGINT) AS tp,
+         |    CAST(SUM(CAST(pred AND NOT gold AS BIGINT)) AS BIGINT) AS fp,
+         |    CAST(SUM(CAST(NOT pred AND gold AS BIGINT)) AS BIGINT) AS fn,
+         |    CAST(SUM(CAST(NOT pred AND NOT gold AS BIGINT)) AS BIGINT)
+         |      AS tn
+         |  FROM lbl)
+         |SELECT tp, fp, fn, tn,
+         |  tp * 1000000 // nullif(tp + fp, 0) AS precision_fp,
+         |  tp * 1000000 // nullif(tp + fn, 0) AS recall_fp,
+         |  (tp + tn) * 1000000 // nullif(tp + fp + fn + tn, 0)
+         |    AS accuracy_fp,
+         |  2 * tp * 1000000 // nullif(2*tp + fp + fn, 0) AS f1_fp
+         |FROM m""".stripMargin
+    },
   )
 }

@@ -629,5 +629,7 @@ object PlanAuditSpec {
     // both fact and dim hash-partition on user_id in ONE exchange pair
     // shared with the dim's window sort and the rollup; + output sort.
     "q_join_pit" -> 2,
+    // the pred⋈gold doc_id exchange pair + the 1-row confusion fold.
+    "q_eval_confusion" -> 2,
   )
 }

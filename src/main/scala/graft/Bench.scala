@@ -29,15 +29,24 @@ object Bench {
   private def consume(df: DataFrame): Unit = {
     val h = xxhash64(df.columns.map(col): _*)
     df.select(h.as("h")).agg(expr("bit_xor(h)")).collect()
-    // The iterative queries (graph, cluster, keep-best) leave eager
-    // localCheckpoint blocks behind; they are only reclaimed when the
-    // backing RDDs are GC'd, so across a 170-query sweep they pile into
-    // real memory pressure (observed as multi-x inflation of
-    // checkpoint-heavy queries mid-bench). The consumed DataFrame is
-    // rebuilt from scratch on the next run, so dropping every registered
-    // block here is safe and makes the lifecycle deterministic.
-    val sc = df.sparkSession.sparkContext
-    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Release every block the previous query left behind, OUTSIDE any timed
+    * window. The iterative queries (graph, cluster, keep-best) leave eager
+    * localCheckpoint blocks; their broadcasts and shuffle files are freed
+    * by ContextCleaner only after a JVM GC proves the references dead, and
+    * the cleaner works asynchronously — so a bare System.gc() between
+    * queries (the pre-r11 hygiene) still let state pile up across a
+    * 200-query sweep, inflating later checkpoint-heavy queries up to 3x
+    * vs their isolated medians (r10 verdict: q_graph_pagerank 11.0 s
+    * in-sweep vs 3.40 s isolated on identical code). Blocking unpersist +
+    * two GC passes with a short pause lets the cleaner's reference queue
+    * drain before the next timer starts. */
+  private def quiesce(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc(); Thread.sleep(120)
+    System.gc(); Thread.sleep(60)
   }
 
   def main(args: Array[String]): Unit = {
@@ -81,11 +90,13 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // Untimed warmup: run everything once (ignore failures here; they are
-    // captured in the timed pass).
+    // captured in the timed pass). Quiesce per query so warmup leaves the
+    // block manager empty rather than carrying 200 queries of residue
+    // into the first timed window.
     queries.foreach { case (_, fn) =>
       try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+      quiesce(spark)
     }
-    System.gc() // release warmup checkpoint/cache blocks before timing
 
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
 
@@ -105,13 +116,10 @@ object Bench {
             None
         }
       }
-      // Hygiene between queries, OUTSIDE any timed window: checkpoint
-      // blocks are only released by ContextCleaner after a GC proves the
-      // RDD unreachable, so without this the graph/dedup family's blocks
-      // pile up in the block manager and a 181-query sweep times LATER
-      // checkpoint-heavy queries against a spilling store (measured
-      // q_graph_linkpred 7.2 s in-sweep vs 4.1 s standalone).
-      System.gc()
+      // Hygiene between queries, OUTSIDE any timed window — see quiesce().
+      // Within-query runs stay back-to-back so sweep and isolated
+      // (SPARK_GRAFT_BENCH_ONLY) modes measure the same thing.
+      quiesce(spark)
       // Median of the successful runs (middle element, ties low).
       if (times.isEmpty) None
       else Some(name -> times.sorted.apply((times.size - 1) / 2))

@@ -16,7 +16,11 @@ object GraftFunctions {
     if (s == null) null else s.toLowerCase.replaceAll("[^a-z0-9]+", "-")
 
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("slugify", (s: String) => slugifyJvm(s))
+    // Guarded: an unconditional re-register emits a SimpleFunctionRegistry
+    // "replaced a previously registered function" warning per query
+    // invocation, spamming every bench/verify log the driver records.
+    if (!spark.catalog.functionExists("slugify"))
+      spark.udf.register("slugify", (s: String) => slugifyJvm(s))
     // uuid5, poly_hash & friends are native expressions with their own SQL
     // registration — a UDF here would shadow the codegen'd versions.
     org.apache.spark.sql.graft.GraftSqlFunctions.ensure(spark)

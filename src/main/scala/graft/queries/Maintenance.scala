@@ -345,19 +345,28 @@ object Maintenance extends QueryGroup {
     * (check_name, n_rows, n_violations) report.
     *
     * Shape: every check collapses the child side to per-key counts FIRST
-    * (map-side combined, keys-sized), so PK violations are Σc − |keys|
-    * off one aggregation and FK orphans are a keys-vs-keys left-anti
+    * (map-side combined, keys-sized), so PK violations are
+    * Σc − |fully-non-null keys| off one aggregation (a NULL key IS a
+    * violation, in both engines) and FK orphans are a keys-vs-keys left-anti
     * join that never moves fact rows. No check scans a table twice; all
     * arithmetic is exact integers. */
   private def auditIntegrity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     def keyCounts(df: DataFrame, cols: Seq[String]) =
       df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
-    def pk(name: String, df: DataFrame, cols: String*) =
+    // A NULL (or partially NULL) primary key is itself a violation, so
+    // n_violations = rows − |distinct fully-non-null keys| — every
+    // NULL-keyed row counts. Counting the NULL group as a legitimate key
+    // (the pre-r11 Σc − |groups|) silently disagreed with the oracle's
+    // count(DISTINCT), which excludes NULLs; TPC-H keys are non-null so
+    // the gate couldn't catch it.
+    def pk(name: String, df: DataFrame, cols: String*) = {
+      val fullKey = cols.map(col(_).isNotNull).reduce(_ && _)
       keyCounts(df, cols)
         .agg(sum($"c").as("n_rows"),
-          (sum($"c") - count(lit(1))).as("n_violations"))
+          (sum($"c") - count(when(fullKey, lit(1)))).as("n_violations"))
         .select(lit(name).as("check_name"), $"n_rows", $"n_violations")
+    }
     def fk(name: String, child: DataFrame, ck: String,
         parent: DataFrame, pkc: String) =
       keyCounts(child.select(col(ck).as("k")), Seq("k"))
@@ -773,7 +782,13 @@ object Maintenance extends QueryGroup {
         |  FROM customer
         |  UNION ALL
         |  SELECT 'pk_lineitem', count(*),
-        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+        |    -- CASE nulls out partially-NULL keys: a bare (a, b) struct
+        |    -- with a NULL field is non-NULL and would be counted as a
+        |    -- legitimate distinct key, diverging from the single-column
+        |    -- checks' NULL-is-a-violation semantics.
+        |    CAST(count(*) - count(DISTINCT CASE
+        |      WHEN l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        |      THEN (l_orderkey, l_linenumber) END)
         |         AS BIGINT)
         |  FROM lineitem
         |  UNION ALL

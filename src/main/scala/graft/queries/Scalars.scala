@@ -198,7 +198,13 @@ object Scalars extends QueryGroup {
       .agg(count(lit(1)).as("n"),
         sum($"k").as("sum_k"),
         count($"m").as("n_missing"),
-        min($"vtype").as("vtype"))
+        min($"vtype").as("vtype"),
+        // The oracle hardcodes the introspected type string, which is only
+        // sound while every props row parses to ONE variant shape; surface
+        // the distinct-shape count (oracle: 1) so a heterogeneous props
+        // column fails the gate loudly instead of hash-matching on
+        // whichever schema string sorts first under min().
+        countDistinct($"vtype").as("n_vtypes"))
       .orderBy($"event_type")
   }
 
@@ -212,7 +218,9 @@ object Scalars extends QueryGroup {
 
   private def udfScalar(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    s.udf.register("slugify", slugifyUdf)
+    // Guarded like GraftFunctions.register: same semantics either way, and
+    // re-registering per invocation spams registry warnings into the logs.
+    if (!s.catalog.functionExists("slugify")) s.udf.register("slugify", slugifyUdf)
     Tables.part(s, d)
       .filter($"p_partkey" < 200)
       .select($"p_partkey",
@@ -480,7 +488,8 @@ object Scalars extends QueryGroup {
         |       AS BIGINT) AS sum_k,
         |  CAST(COUNT(CAST(json_extract_string(props, '$.missing')
         |       AS BIGINT)) AS BIGINT) AS n_missing,
-        |  'OBJECT<k: BIGINT>' AS vtype
+        |  'OBJECT<k: BIGINT>' AS vtype,
+        |  CAST(1 AS BIGINT) AS n_vtypes
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sql_pipe" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

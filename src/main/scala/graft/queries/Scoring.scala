@@ -144,7 +144,11 @@ object Scoring extends QueryGroup {
     * data), then a per-hour-of-day baseline (n days, Σc, Σc²) and a
     * 2-sigma-population flag evaluated ENTIRELY in integers via the
     * squared form: flag ⇔ n·c − S > 0 ∧ (n·c − S)² > 4·(n·SS − S²) —
-    * no float compare can tie-break differently cross-engine. The
+    * no float compare can tie-break differently cross-engine. The square
+    * is carried in DECIMAL(38,0) ↔ HUGEINT (like `q_trend_ols`): with
+    * hourly volumes ≥1e5 the deviation n·c−S reaches ~1e8·days and its
+    * square exceeds 2^63; the UNSQUARED long moments hold to per-hour
+    * counts ~3e9 (n·SS < 2^63), the documented residual bound. The
     * surfaced z-score is the one double: (n·c−S)/√(n·SS−S²), a
     * cast-mul-sqrt-divide chain of correctly-rounded IEEE ops (operands
     * ≪ 2^53 — counts are per-hour event volumes). Two aggregations plus
@@ -166,7 +170,13 @@ object Scoring extends QueryGroup {
     grid.join(broadcast(base), Seq("hr"))
       .withColumn("num", $"n" * $"c" - $"s")
       .withColumn("den2", $"n" * $"ss" - $"s" * $"s")
-      .filter($"num" > 0 && $"num" * $"num" > lit(4) * $"den2")
+      .filter {
+        val d38 = DecimalType(38, 0)
+        def dd(c: Column) = c.cast(d38)
+        // den2 stays BIGINT: the z denominator needs the exact long→double
+        // cast (a HUGEINT→DOUBLE cast double-rounds in the oracle engine).
+        $"num" > 0 && dd($"num") * dd($"num") > lit(4).cast(d38) * dd($"den2")
+      }
       .select($"day", $"hr", $"c".as("n_events"),
         ($"num".cast("double") / sqrt($"den2".cast("double"))).as("z"))
       .orderBy($"day", $"hr")
@@ -351,10 +361,16 @@ object Scoring extends QueryGroup {
     * stay integer-exact the deviations are scaled by n: x̃_t = n·c_t − Σc
     * (mean-zero without a divide), and the 5σ alarm compares squares:
     * alarm ⇔ S̃_t > 0 ∧ S̃_t² > 25·(n·SS − S²) — no float threshold can
-    * tie-break differently cross-engine. Dense day grid first (a silent
-    * day IS evidence of downward drift and must enter the sums).
-    * Everything shuffled is (type, day)-sized — the calendar, not the
-    * stream. */
+    * tie-break differently cross-engine. The squared comparison is
+    * carried in DECIMAL(38,0) (Spark) ↔ HUGEINT (DuckDB) like
+    * `q_trend_ols`: S̃ reaches ~n·Σc (≈1e11 at 1e5-event days over 3
+    * years), so its square blows through 2^63 long before the inputs do.
+    * Residual bound: the long-typed prefix sums/moments themselves
+    * require n·Σc² < 2^63 — per-day counts below ~3e9·√(1/n·days²),
+    * comfortably beyond any per-type daily volume. Dense day grid first
+    * (a silent day IS evidence of downward drift and must enter the
+    * sums). Everything shuffled is (type, day)-sized — the calendar, not
+    * the stream. */
   private def driftCusum(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d)
@@ -373,9 +389,13 @@ object Scoring extends QueryGroup {
       .withColumn("x", $"n" * $"c" - $"s")
       .withColumn("p", sum($"x").over(w))
       .withColumn("cusum", $"p" - least(lit(0L), min($"p").over(w)))
-      .withColumn("alarm",
+      .withColumn("alarm", {
+        val d38 = DecimalType(38, 0)
+        def dd(c: Column) = c.cast(d38)
         $"cusum" > 0 &&
-          $"cusum" * $"cusum" > lit(25) * ($"n" * $"ss" - $"s" * $"s"))
+          dd($"cusum") * dd($"cusum") >
+            lit(25).cast(d38) * (dd($"n") * dd($"ss") - dd($"s") * dd($"s"))
+      })
     cu.groupBy($"event_type")
       .agg(max($"cusum").as("max_cusum"),
         sum($"alarm".cast("long")).as("n_alarms"),
@@ -439,7 +459,9 @@ object Scoring extends QueryGroup {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |al AS (
         |  SELECT event_type, day, cusum,
-        |    (cusum > 0 AND cusum*cusum > 25*(n*ss - s*s)) AS alarm
+        |    (cusum > 0 AND
+        |     CAST(cusum AS HUGEINT)*CAST(cusum AS HUGEINT) >
+        |       25*(CAST(n AS HUGEINT)*ss - CAST(s AS HUGEINT)*s)) AS alarm
         |  FROM cs)
         |SELECT event_type,
         |  CAST(max(cusum) AS BIGINT) AS max_cusum,
@@ -572,7 +594,8 @@ object Scoring extends QueryGroup {
         |    / sqrt(CAST(b.n*b.ss - b.s*b.s AS DOUBLE)) AS z
         |FROM grid g JOIN base b ON g.hr = b.hr
         |WHERE b.n*g.c - b.s > 0
-        |  AND (b.n*g.c - b.s)*(b.n*g.c - b.s) > 4*(b.n*b.ss - b.s*b.s)
+        |  AND CAST(b.n*g.c - b.s AS HUGEINT)*CAST(b.n*g.c - b.s AS HUGEINT)
+        |      > 4*CAST(b.n*b.ss - b.s*b.s AS HUGEINT)
         |ORDER BY g.day, g.hr""".stripMargin,
     "q_agg_diversity" ->
       """WITH tc AS (

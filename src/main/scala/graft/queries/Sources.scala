@@ -136,25 +136,61 @@ object Sources extends QueryGroup {
     * literal-resolvable filter), the idiomatic replacement for the
     * reference's list-sort-by-LastModified scan. */
   /** Cache key for a memoized mirror of `<d>/orders.parquet`: sf dir
-    * name + source length + mtime, so a regenerated testdata drop (the
-    * driver rewrites it between rounds) invalidates the fixture instead
-    * of silently serving stale rows against a fresh oracle. */
+    * name + source length + full-resolution mtime + a CRC32 content
+    * fingerprint of the file's first and last 64 KiB (the parquet footer
+    * lives in the tail, so any regenerated drop changes it even at
+    * identical length/mtime-second), so a driver rewrite between rounds
+    * invalidates the fixture instead of silently serving stale rows
+    * against a fresh oracle. O(128 KiB) read per session — negligible. */
   private def ordersFixtureKey(d: String): String = {
     val src = new java.io.File(d, "orders.parquet")
-    s"${new java.io.File(d).getName}_${src.length}_${src.lastModified / 1000}"
+    val crc = new java.util.zip.CRC32
+    val raf = new java.io.RandomAccessFile(src, "r")
+    try {
+      val n = math.min(65536L, raf.length).toInt
+      val head = new Array[Byte](n)
+      raf.readFully(head); crc.update(head)
+      if (raf.length > 65536L) {
+        raf.seek(raf.length - 65536L)
+        val tail = new Array[Byte](65536)
+        raf.readFully(tail); crc.update(tail)
+      }
+    } finally raf.close()
+    s"${new java.io.File(d).getName}_${src.length}_${src.lastModified}" +
+      s"_${java.lang.Long.toHexString(crc.getValue)}"
+  }
+
+  /** Lay out (once per source snapshot) the year-partitioned orders
+    * mirror at `<prefix>_<key>` and return its path, pruning mirrors of
+    * SUPERSEDED snapshots of the same sf dir — without this, one stale
+    * dir per regenerated testdata drop accumulates for the life of
+    * `target/tmp`. Mirrors for other sf dirs (smoke at sf0.001, verify
+    * at sf0.01, bench at sf0.1 coexist in one checkout) are kept. */
+  private def ordersMirror(s: SparkSession, d: String, prefix: String): String = {
+    import s.implicits._
+    val out = tmp(s"${prefix}_${ordersFixtureKey(d)}")
+    val outDir = new java.io.File(out)
+    val sfScope = s"${prefix}_${new java.io.File(d).getName}_"
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+      f.delete(); ()
+    }
+    Option(outDir.getParentFile.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith(sfScope) && f.getName != outDir.getName)
+      .foreach(deleteRec)
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.orders(s, d)
+        .withColumn("yr", year($"o_orderdate"))
+        .write.mode("overwrite").partitionBy("yr").parquet(out)
+    }
+    out
   }
 
   private def latestPartition(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // Input fixture, laid out once per source snapshot (same rationale
     // as joinDpp's mirror below).
-    val out = tmp(s"orders_by_year_${ordersFixtureKey(d)}")
-    if (!new java.io.File(out, "_SUCCESS").exists()) {
-      Tables.orders(s, d)
-        .withColumn("yr", year($"o_orderdate"))
-        .write.mode("overwrite").partitionBy("yr").parquet(out)
-    }
-    val part = s.read.parquet(out)
+    val part = s.read.parquet(ordersMirror(s, d, "orders_by_year"))
     val maxYr = part.agg(max($"yr")).head.getInt(0)
     part.filter($"yr" === maxYr)
       .groupBy($"o_orderstatus")
@@ -180,13 +216,7 @@ object Sources extends QueryGroup {
     // operator) — lay it out once per source snapshot and reuse;
     // `sbt clean`, deleting target/tmp, or a regenerated testdata drop
     // (fingerprinted key) invalidates.
-    val out = tmp(s"orders_by_year_dpp_${ordersFixtureKey(d)}")
-    if (!new java.io.File(out, "_SUCCESS").exists()) {
-      Tables.orders(s, d)
-        .withColumn("yr", year($"o_orderdate"))
-        .write.mode("overwrite").partitionBy("yr").parquet(out)
-    }
-    val fact = s.read.parquet(out)
+    val fact = s.read.parquet(ordersMirror(s, d, "orders_by_year_dpp"))
     val dim = Tables.orders(s, d)
       .filter($"o_orderpriority" === "1-URGENT" &&
         month($"o_orderdate") <= 2)

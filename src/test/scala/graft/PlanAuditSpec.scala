@@ -614,7 +614,7 @@ object PlanAuditSpec {
     // join is a broadcast whose exchange feeds the DPP subquery.
     "q_join_dpp" -> 3,
     // one per-type agg over the parsed-once variant scan + output sort.
-    "q_json_variant" -> 2,
+    "q_json_variant" -> 3, // +1 r11: count(distinct vtype) heterogeneity guard
     // each: ONE grouped agg + output sort — the pipe parse, the inlined
     // SQL-UDF body, and the collated comparison all stay inside the
     // same two-exchange agg shape as their classic twins.

@@ -103,6 +103,13 @@ object Bench {
     var errors = Vector.empty[(String, String)]
     val results = queries.flatMap { case (name, fn) =>
       val times = (1 to nRuns).flatMap { _ =>
+        // Quiesce before EVERY timed run, not just between queries: a
+        // checkpoint-heavy query's own run-1 blocks otherwise inflate
+        // runs 2-3 and drag the median (and the same cleanup cadence in
+        // sweep and isolated modes is what makes their medians
+        // comparable — the r10 sweep's graph-family numbers ran 1.5-3x
+        // over isolated because only isolated runs started clean).
+        quiesce(spark)
         val t0 = System.nanoTime()
         try {
           consume(fn(spark, sfDir))
@@ -116,10 +123,6 @@ object Bench {
             None
         }
       }
-      // Hygiene between queries, OUTSIDE any timed window — see quiesce().
-      // Within-query runs stay back-to-back so sweep and isolated
-      // (SPARK_GRAFT_BENCH_ONLY) modes measure the same thing.
-      quiesce(spark)
       // Median of the successful runs (middle element, ties low).
       if (times.isEmpty) None
       else Some(name -> times.sorted.apply((times.size - 1) / 2))

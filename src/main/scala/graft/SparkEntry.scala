@@ -54,6 +54,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.flatMap(_.queries).toMap
 
+  /** Catalog modules with their query names, in registration order — the
+    * grouping `docs/CATALOG.md` renders ([[CatalogIndex]];
+    * CatalogIndexSpec pins description coverage and doc freshness). */
+  def groupedQueries: Seq[(String, Seq[String])] =
+    groups.map(g => g.getClass.getSimpleName.stripSuffix("$") ->
+      g.queries.keys.toSeq.sorted)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -329,7 +329,9 @@ object Scalars extends QueryGroup {
     * per-row and aggregated exactly. */
   private def sqlUdf(s: SparkSession, d: String): DataFrame = {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sqludf")
-    s.sql("""
+    // Guarded like slugify: CREATE OR REPLACE on every invocation spams a
+    // registry "replaced" warning per bench/verify run.
+    if (!s.catalog.functionExists("net_cents")) s.sql("""
       CREATE OR REPLACE TEMPORARY FUNCTION net_cents(p DOUBLE, disc DOUBLE)
       RETURNS BIGINT
       RETURN CAST(CAST(p AS DECIMAL(18,2)) * 100 *

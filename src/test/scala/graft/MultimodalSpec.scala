@@ -161,4 +161,122 @@ class MultimodalSpec extends SparkTestBase {
       assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length))
     }
   }
+
+  // --- second-decoder property pin -----------------------------------------
+  //
+  // The fixtures above are ENCODED by javax.imageio, so a broken ImageIO
+  // decode path (or a wrong luma/sampling constant) could self-consistently
+  // cancel out. This fixture is a PNG assembled byte by byte — 8-bit RGB
+  // with r=g=b=v (color type 2: grayscale color TYPE 0 would be decoded
+  // through ImageIO's linear-gray→sRGB colorspace conversion and getRGB
+  // would gamma-shift the planted values; truecolor sRGB is returned
+  // verbatim), stored (uncompressed) DEFLATE IDAT — so the pixel values
+  // are known a priori with NO encoder library in the loop, and a
+  // pure-Scala chunk walk re-derives them independently of ImageIO.
+
+  /** Hand-assembled 16x12 RGB PNG over `pix` (row-major gray values,
+    * written as r=g=b triples): signature, IHDR (bit depth 8, color type
+    * 2), one IDAT whose zlib stream is a single stored deflate block,
+    * IEND. */
+  private def storedIdatPng(w: Int, h: Int, pix: Array[Int]): Array[Byte] = {
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val td = typ.getBytes("US-ASCII") ++ data
+      val crc = new java.util.zip.CRC32; crc.update(td)
+      be32(data.length) ++ td ++ be32(crc.getValue.toInt)
+    }
+    // Raw scanlines: per-row filter byte 0 (None) + r,g,b triples.
+    val raw = (0 until h).flatMap { y =>
+      0.toByte +: (0 until w).flatMap { x =>
+        val v = pix(y * w + x).toByte; Seq(v, v, v)
+      }
+    }.toArray
+    // zlib header (0x78 0x01) + stored block (BFINAL=1 BTYPE=00) + adler32.
+    val adler = new java.util.zip.Adler32; adler.update(raw)
+    val len = raw.length
+    val zlib = Array[Byte](0x78, 0x01,
+      0x01, (len & 0xff).toByte, (len >>> 8).toByte,
+      (~len & 0xff).toByte, ((~len >>> 8) & 0xff).toByte) ++
+      raw ++ be32(adler.getValue.toInt)
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zlib) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Independent reference decode: walk the chunks, strip the stored-
+    * deflate framing by hand (no Inflater — the decoder under test uses
+    * one), de-filter the all-zero-filter scanlines. */
+  private def refDecodeStoredPng(png: Array[Byte]): (Int, Int, Array[Int]) = {
+    def be32(off: Int) =
+      ((png(off) & 0xff) << 24) | ((png(off + 1) & 0xff) << 16) |
+        ((png(off + 2) & 0xff) << 8) | (png(off + 3) & 0xff)
+    var off = 8; var w = 0; var h = 0
+    val idat = Array.newBuilder[Byte]
+    while (off < png.length) {
+      val len = be32(off)
+      val typ = new String(png, off + 4, 4, "US-ASCII")
+      if (typ == "IHDR") { w = be32(off + 8); h = be32(off + 12) }
+      if (typ == "IDAT") idat ++= png.slice(off + 8, off + 8 + len)
+      off += 12 + len
+    }
+    val z = idat.result()
+    var p = 2 // skip zlib header
+    val out = Array.newBuilder[Byte]
+    var fin = false
+    while (!fin) {
+      fin = (z(p) & 1) == 1
+      assert(((z(p) >> 1) & 3) == 0, "reference decoder handles stored blocks only")
+      val len = (z(p + 1) & 0xff) | ((z(p + 2) & 0xff) << 8)
+      out ++= z.slice(p + 5, p + 5 + len)
+      p += 5 + len
+    }
+    val raw = out.result()
+    val stride = 3 * w + 1 // filter byte + r,g,b triples
+    val pix = (0 until h).flatMap { y =>
+      assert(raw(y * stride) == 0, "fixture rows use filter 0")
+      (0 until w).map { x =>
+        val r = raw(y * stride + 1 + 3 * x) & 0xff
+        val g = raw(y * stride + 2 + 3 * x) & 0xff
+        val b = raw(y * stride + 3 + 3 * x) & 0xff
+        assert(r == g && g == b, "fixture pixels are r=g=b")
+        r
+      }
+    }.toArray
+    (w, h, pix)
+  }
+
+  test("hand-built stored-IDAT PNG: ImageIO aHash bit-equals the reference decode") {
+    val w = 16; val h = 12
+    val pix = Array.tabulate(h * w)(k => (k % w * 17 + k / w * 31) % 256)
+    val png = storedIdatPng(w, h, pix)
+    // The hand-assembly itself is sound: the pure-Scala walk returns the
+    // planted pixels (this catches a bug in the FIXTURE, so a later hash
+    // mismatch can only implicate the decoder path).
+    val (rw, rh, rpix) = refDecodeStoredPng(png)
+    assert(rw == w && rh == h && rpix.sameElements(pix))
+    // Expected aHash from the planted pixels alone: the published 9x7
+    // nearest-neighbor grid (src = floor(i*w/9), floor(j*h/7)) over gray
+    // values — grayscale means BT.601 luma(v,v,v) = v exactly — folded by
+    // the public ahashFromValues. No ImageIO anywhere on this side.
+    val vs = Array.tabulate(Multimodal.AHashBits) { k =>
+      val i = k % 9; val j = k / 9
+      pix((j * h / 7) * w + (i * w / 9))
+    }
+    val expected = Multimodal.ahashFromValues(vs)
+    // Decoder under test: magic sniff -> ImageIO decode -> luma grid.
+    assert(Multimodal.ImageCodec.decode(png).isDefined,
+      "ImageIO failed to decode the hand-built PNG")
+    assert(Multimodal.ahash(png) == expected,
+      "ImageIO decode path diverges from the independent reference decode")
+    // And the full thumbnail path agrees on the same independent pixels.
+    val lumas = Multimodal.ImageCodec.resizeLuma(
+      Multimodal.ImageCodec.decode(png).get, 4)
+    val refLumas = Array.tabulate(4 * 4) { k =>
+      val i = k % 4; val j = k / 4
+      pix((j.toLong * h / 4).toInt * w + (i.toLong * w / 4).toInt)
+    }
+    assert(lumas.sameElements(refLumas))
+  }
 }

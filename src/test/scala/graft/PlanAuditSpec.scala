@@ -581,9 +581,11 @@ object PlanAuditSpec {
     // one groupBy(user) checkpoint feeding everything; the tagged-union
     // (mt,v) histogram agg + its cumulative re-agg + the 1-row user
     // count + output sort — the three quartile maps ride ONE histogram
-    // pass and broadcast back to users (plan shows the post-checkpoint
-    // exchanges only: union agg, lt agg, n, sort).
-    "q_events_rfm" -> 5,
+    // pass and broadcast back to users. Both the skinny per-user relation
+    // AND the quartile map are eager localCheckpoints, so the surfaced
+    // plan is checkpoint-scan ⋈ three broadcasts + the output sort — one
+    // exchange (r11 probe; was 5 before the qmap checkpoint landed).
+    "q_events_rfm" -> 1,
     // token-count agg (map-side combined) + the doc-tokens⋈bits token
     // exchange pair feeding the per-doc agg into TakeOrdered.
     "q_text_surprisal" -> 3,

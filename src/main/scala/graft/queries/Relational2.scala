@@ -132,18 +132,33 @@ object Relational2 extends QueryGroup {
       .orderBy($"l_returnflag")
   }
 
-  /** Approximate aggregates — declared approx, no exact oracle
-    * (rows-only check): HLL distinct + approximate percentiles. */
+  /** Approximate aggregates under the sketch-contract pattern (same
+    * gating as `q_sketch_hll` / `q_quantile_approx`): the surfaced
+    * columns are EXACT (hash-gated), plus one `ok` bit asserting the
+    * approximations landed inside their published envelopes — HLL
+    * distinct within 3·rsd = 15% of the exact count, each
+    * `percentile_approx` cut (accuracy 1000 ⇒ rank error ≤ n/1000)
+    * inside the exact ±0.01-rank percentile envelope (10× slack over
+    * the guarantee, so cross-engine interpolation at the envelope
+    * edges can't flap the bit). The oracle emits `1 AS ok`, so a
+    * drifting sketch or percentile implementation FAILS the hash gate
+    * instead of hiding behind a rows-only check. */
   private def approxStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, d)
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
-        percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
-          .as("p50_price"),
-        percentile_approx($"l_extendedprice", lit(0.95), lit(1000))
-          .as("p95_price"))
+        count(lit(1)).as("n_rows"),
+        countDistinct($"l_partkey").as("n_parts"),
+        approx_count_distinct($"l_partkey").as("apx"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50"),
+        percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("p95"),
+        expr("percentile(l_extendedprice, array(0.49, 0.51, 0.94, 0.96))")
+          .as("env"))
+      .select($"l_returnflag", $"n_rows", $"n_parts",
+        (abs($"apx" - $"n_parts") * 100 <= $"n_parts" * 15 &&
+          $"p50" >= $"env" (0) && $"p50" <= $"env" (1) &&
+          $"p95" >= $"env" (2) && $"p95" <= $"env" (3)).cast("int").as("ok"))
       .orderBy($"l_returnflag")
   }
 
@@ -572,6 +587,11 @@ object Relational2 extends QueryGroup {
     .mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q_approx_stats" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  1 AS ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_mode" ->
       """WITH c AS (
         |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n

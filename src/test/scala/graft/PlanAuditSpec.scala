@@ -217,7 +217,7 @@ object PlanAuditSpec {
     // membership-join/summary aggs. Skinny (query, neighbor) pairs on
     // every exchange; |queries| is a constant.
     "q_ann_recall" -> 6,
-    "q_approx_stats" -> 2,
+    "q_approx_stats" -> 3, // +1 r11: exact countDistinct for the contract gate
     "q_array_explode" -> 1,
     "q_array_funs" -> 1,
     "q_clean_company_size" -> 1,

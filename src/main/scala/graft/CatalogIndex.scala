@@ -50,7 +50,7 @@ object CatalogIndex {
     "q_agg_mode" -> "mode aggregate with deterministic tie-break",
     "q_anomaly_mad" -> "robust median/MAD outlier flags",
     "q_approx_stats" -> "approx distinct + percentiles, accuracy-contract gated (ok bit)",
-    "q_dropdup_bykey" -> "dropDuplicates by key subset (arbitrary survivor)",
+    "q_dropdup_bykey" -> "dropDuplicates by key subset, one-survivor-per-key contract gated (ok bit)",
     "q_filter_in_like" -> "IN-list, LIKE, and boolean-combination filters",
     "q_grouping_sets" -> "GROUPING SETS with grouping-id disambiguation",
     "q_histogram" -> "fixed-width histogram incl. dense empty bins",

@@ -157,7 +157,8 @@ object Events extends QueryGroup {
     * (user_id, event_type, 5-minute tumbling window), first = smallest
     * (ts, event_id), so the keep-one choice is total-ordered and
     * oracle-checkable — unlike dropDuplicates' arbitrary winner
-    * (q_dropdup_bykey, deliberately rows-only). The window bound is the
+    * (q_dropdup_bykey, gated on its one-survivor-per-key contract
+    * instead). The window bound is the
     * batch analogue of the stream's watermark horizon: state per key
     * never outlives one window. One user-keyed exchange feeds the
     * rank window. */

@@ -120,16 +120,26 @@ object Relational2 extends QueryGroup {
     c.union(sup).distinct().orderBy($"nk")
   }
 
-  /** dropDuplicates BY KEY (keeps one full row per key — verified on
-    * deterministic columns only). */
+  /** dropDuplicates BY KEY — keeps one full (arbitrary-survivor) row per
+    * key. WHICH row survives is partitioning-dependent by definition, so
+    * the gate is the contract the operator actually promises (same
+    * pattern as the sketch queries): exactly one survivor per key, keys
+    * complete. Surfaced: the distinct key count (exact, hash-gated) and
+    * an `ok` bit asserting survivors == keys and no survivor key was
+    * lost; the survivor PAYLOAD column rides along un-surfaced, proving
+    * the full-row-keep shape without hashing nondeterminism. */
   private def dropDupByKey(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, d)
-      .select($"l_partkey", $"l_returnflag")
+    val dd = Tables.lineitem(s, d)
+      .select($"l_partkey", $"l_returnflag") // key + arbitrary payload
       .dropDuplicates("l_partkey")
-      .groupBy($"l_returnflag")
-      .agg(count(lit(1)).as("n_parts_first_flag"))
-      .orderBy($"l_returnflag")
+    dd.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct($"l_partkey").as("n_keys"),
+        count($"l_returnflag").as("n_payloads"))
+      .select($"n_keys",
+        ($"n_rows" === $"n_keys" && $"n_payloads" === $"n_rows")
+          .cast("int").as("ok"))
   }
 
   /** Approximate aggregates under the sketch-contract pattern (same
@@ -831,10 +841,14 @@ object Relational2 extends QueryGroup {
         |UNION
         |SELECT s_nationkey AS nk FROM supplier
         |ORDER BY nk""".stripMargin,
-    // q_dropdup_bykey: which row survives per key is nondeterministic in
-    // both engines, but the downstream count per flag is NOT — so the
-    // oracle picks an explicit deterministic representative instead.
-    "q_dropdup_bykey" -> null,
+    // q_dropdup_bykey: WHICH row survives per key is nondeterministic in
+    // both engines, so the gate checks the operator's actual contract —
+    // exactly one surviving full row per distinct key (`ok`), plus the
+    // exact key count (hash-gated).
+    "q_dropdup_bykey" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_keys,
+        |  1 AS ok
+        |FROM lineitem""".stripMargin,
     "q_pivot" ->
       s"""SELECT o_orderstatus,
          |  $pivotCols

@@ -254,7 +254,7 @@ object PlanAuditSpec {
     "q_dedup_keep_best" -> 3,
     "q_dedup_simhash" -> 2,
     "q_distinct_pairs" -> 2,
-    "q_dropdup_bykey" -> 3,
+    "q_dropdup_bykey" -> 2, // r11: contract gate (key-dedup + global count distinct)
     // one (label,pos) partial-agg exchange + the output sort
     "q_embed_centroid" -> 2,
     // row-local JL projection: the only exchange is the output sort.

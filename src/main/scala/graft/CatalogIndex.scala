@@ -163,6 +163,7 @@ object CatalogIndex {
     "q_join_asof_fwd" -> "native FORWARD as-of join",
     "q_join_asof_native" -> "native backward as-of join (custom plan+strategy+exec)",
     // ---- MultimodalQueries ----------------------------------------------
+    "q_multimodal_audio" -> "audio framing: energy / zero-crossings / VAD (real 8-bit PCM WAV seam)",
     "q_multimodal_features" -> "decode / feature-extract (real PNG/JPEG luma histograms)",
     "q_multimodal_frames" -> "frame sampling: payload -> N fixed-size frames",
     "q_multimodal_meta" -> "typed metadata over opaque binary payloads",
@@ -184,6 +185,7 @@ object CatalogIndex {
     // ---- Bucketed -------------------------------------------------------
     "q_join_bucketed" -> "bucketed co-located join (zero-exchange sort-merge)",
     // ---- Sampling -------------------------------------------------------
+    "q_curriculum_order" -> "curriculum epoch order: per-source easy-first round-robin",
     "q_sample_hash" -> "deterministic hash sampling",
     "q_sample_mixture" -> "data-mixing resampler to target source proportions",
     "q_sample_negatives" -> "negative sampling against the positive set",
@@ -199,6 +201,7 @@ object CatalogIndex {
     // ---- Maintenance ----------------------------------------------------
     "q_agg_incremental" -> "incremental aggregate maintenance (base + delta merge)",
     "q_audit_integrity" -> "PK/FK constraint audit (NULL keys count as violations)",
+    "q_compact_plan" -> "small-file compaction planning (order-preserving binpack)",
     "q_drift_chisq" -> "chi-squared distribution drift",
     "q_drift_ks" -> "two-sample Kolmogorov-Smirnov drift",
     "q_join_pit" -> "point-in-time join over the SCD2 dimension",

@@ -246,6 +246,109 @@ object Multimodal {
     }
   }
 
+  /** RIFF/WAVE sniffing + 8-bit mono PCM parse — the audio analogue of
+    * [[ImageCodec]]'s seam: a payload that really is a WAV yields its
+    * actual PCM samples; everything else (the catalog's text stand-ins
+    * included) falls back to raw bytes, keeping the DuckDB oracle able
+    * to reproduce the result exactly. Unsigned 8-bit PCM centers at
+    * 128, so samples land in [-128, 127]. */
+  object WavCodec {
+    def isWav(p: Array[Byte]): Boolean =
+      p.length > 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' &&
+        p(11) == 'E'
+
+    private def le16(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    private def le32(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+        ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+
+    /** Centered samples of an 8-bit mono linear-PCM WAV; None for any
+      * other payload or encoding (callers fall back to raw bytes). */
+    def samples(p: Array[Byte]): Option[Array[Int]] = {
+      if (!isWav(p)) return None
+      var off = 12
+      var pcm8Mono = false
+      while (off + 8 <= p.length) {
+        val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(p, off + 4)
+        if (size < 0 || off + 8 + size > p.length) return None
+        id match {
+          case "fmt " if size >= 16 =>
+            pcm8Mono = le16(p, off + 8) == 1 && // linear PCM
+              le16(p, off + 10) == 1 &&         // mono
+              le16(p, off + 22) == 8            // 8-bit
+          case "data" =>
+            return if (!pcm8Mono) None
+            else Some(Array.tabulate(size)(i => (p(off + 8 + i) & 0xff) - 128))
+          case _ => ()
+        }
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      None
+    }
+  }
+
+  /** Frame length (samples) and the active-frame energy threshold of the
+    * audio feature stage: a frame is "active" (speech/energy vs silence
+    * — the VAD gate of an audio ingest pipeline) when its energy
+    * Σ s² exceeds [[AudioFrameLen]] × a mean-square of 1800 (RMS ≈ 42
+    * on the [-128,127] sample scale). */
+  val AudioFrameLen = 64
+  val AudioActiveEnergy: Long = AudioFrameLen.toLong * 1800
+
+  case class AudioFeatures(media_id: Long, n_frames: Long,
+      total_energy: Long, max_energy: Long, n_active: Long, total_zc: Long)
+
+  /** Per-media audio stats from centered samples: non-overlapping
+    * [[AudioFrameLen]]-sample frames (partial tail dropped), per-frame
+    * energy Σ s² and zero-crossing count, folded to one skinny row —
+    * frame state never materializes. None when the payload is shorter
+    * than one frame. */
+  def audioStats(mediaId: Long, s: Array[Int]): Option[AudioFeatures] = {
+    val nf = s.length / AudioFrameLen
+    if (nf == 0) return None
+    var totE = 0L; var maxE = 0L; var nAct = 0L; var totZc = 0L
+    var f = 0
+    while (f < nf) {
+      val base = f * AudioFrameLen
+      var e = 0L; var zc = 0L
+      var i = 0
+      while (i < AudioFrameLen) {
+        val v = s(base + i)
+        e += v.toLong * v
+        if (i > 0 && (v < 0) != (s(base + i - 1) < 0)) zc += 1
+        i += 1
+      }
+      totE += e; totZc += zc
+      if (e > maxE) maxE = e
+      if (e > AudioActiveEnergy) nAct += 1
+      f += 1
+    }
+    Some(AudioFeatures(mediaId, nf, totE, maxE, nAct, totZc))
+  }
+
+  /** Audio feature extraction over the `kind = 'audio'` slice: decode
+    * through the [[WavCodec]] seam (raw-byte fallback for non-WAV
+    * payloads), then frame + energy + zero-crossings + VAD gating per
+    * media. Narrow mapPartitions like the other stages — payloads never
+    * shuffle; only the 6-column stats row moves. */
+  def audioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select("media_id", "payload").mapPartitions {
+        (rows: Iterator[Row]) =>
+          rows.flatMap { r =>
+            val p = r.getAs[Array[Byte]]("payload")
+            val s = WavCodec.samples(p)
+              .getOrElse(p.map(b => (b & 0xff) - 128))
+            audioStats(r.getAs[Long]("media_id"), s)
+          }
+      }
+  }
+
   case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Frame sampling: every `stride` bytes, emit a fixed-size slice — the

@@ -540,7 +540,51 @@ object Maintenance extends QueryGroup {
       .orderBy($"event_type")
   }
 
+  private val CompactMergeFactor = 4 // target bin = 4x the mean file size
+
+  /** Small-file compaction planning — the OPTIMIZE/binpack maintenance
+    * pass every streaming-ingested lakehouse table needs: group each
+    * partition's small files into target-size rewrite bins, preserving
+    * the clustering order so data-skipping envelopes stay tight. The
+    * file inventory here is simulated from orders at month granularity
+    * (one "file" per (year, month), size = a deterministic byte proxy);
+    * in production it is the table's file-listing metadata — one row per
+    * FILE, so the whole plan runs over ~100k rows for a 100 TB table
+    * with 1 GB files, never touching the data.
+    *
+    * The bin assignment is the order-preserving binpack: within each
+    * partition (year), files sort by their clustering key (month) and
+    * bin = exclusive-prefix-bytes DIV target — a per-partition window,
+    * embarrassingly parallel across partitions, no sequential greedy
+    * loop. The target derives from the observed size distribution
+    * ([[CompactMergeFactor]] x mean file size — one |files|-row agg
+    * broadcast back), so the plan is scale-free. Output is the rewrite
+    * work-list (one row per bin) that each compaction task consumes
+    * independently. Integer arithmetic throughout. */
+  private def compactPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val files = Tables.orders(s, d)
+      .groupBy(year($"o_orderdate").cast("long").as("y"),
+        month($"o_orderdate").cast("long").as("m"))
+      .agg((lit(32) * count(lit(1)) +
+        sum(length($"o_orderpriority"))).cast("long").as("bytes"))
+    val target = files.agg(
+      expr(s"CAST(($CompactMergeFactor * sum(bytes)) DIV count(1) AS BIGINT)")
+        .as("target"))
+    val w = Window.partitionBy($"y").orderBy($"m")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.crossJoin(broadcast(target))
+      .withColumn("cum", coalesce(sum($"bytes").over(w), lit(0L)))
+      .withColumn("bin", expr("CAST(cum DIV target AS BIGINT)"))
+      .groupBy($"y", $"bin")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"bytes").cast("long").as("total_bytes"),
+        min($"m").as("m_min"), max($"m").as("m_max"))
+      .orderBy($"y", $"bin")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_compact_plan" -> compactPlan,
     "q_drift_chisq" -> driftChisq,
     "q_drift_ks" -> driftKs,
     "q_zorder_cluster" -> zorderCluster,
@@ -556,6 +600,29 @@ object Maintenance extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB SUM(BIGINT) is HUGEINT; // truncates like Spark's DIV on
+    // the non-negative operands here.
+    "q_compact_plan" ->
+      s"""WITH f AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |    CAST(month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(32*COUNT(*) + SUM(strlen(o_orderpriority)) AS BIGINT)
+        |      AS bytes
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (
+        |  SELECT CAST(($CompactMergeFactor * SUM(bytes)) // COUNT(*)
+        |    AS BIGINT) AS target
+        |  FROM f),
+        |b AS (
+        |  SELECT y, m, bytes,
+        |    CAST(COALESCE(SUM(bytes) OVER (PARTITION BY y ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // target AS BIGINT) AS bin
+        |  FROM f, t)
+        |SELECT y, bin, COUNT(*) AS n_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+        |  MIN(m) AS m_min, MAX(m) AS m_max
+        |FROM b GROUP BY y, bin ORDER BY y, bin""".stripMargin,
     "q_drift_ks" ->
       s"""WITH v AS (
          |  SELECT event_type,

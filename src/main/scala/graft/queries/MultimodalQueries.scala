@@ -112,7 +112,20 @@ object MultimodalQueries extends QueryGroup {
       .orderBy($"media_a", $"media_b")
   }
 
+  /** Audio framing + energy/zero-crossing/VAD stats over the `audio`
+    * slice — the [[graft.operators.Multimodal.WavCodec]] seam decodes
+    * real 8-bit PCM WAVs (pinned in MultimodalSpec); the text stand-ins
+    * take the raw-byte fallback the oracle reproduces. */
+  private def audio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.audioFeatures(
+      Multimodal.mediaTable(Tables.documents(s, d)))
+      .toDF()
+      .orderBy($"media_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_multimodal_audio" -> audio,
     "q_multimodal_meta" -> meta,
     "q_multimodal_features" -> features,
     "q_multimodal_frames" -> frames,
@@ -125,7 +138,36 @@ object MultimodalQueries extends QueryGroup {
       |     WHEN doc_id % 3 = 1 THEN 'audio'
       |     ELSE 'video' END""".stripMargin
 
+  private val AF = Multimodal.AudioFrameLen
+  private val AE = Multimodal.AudioActiveEnergy
+
   val oracle: Map[String, String] = Map(
+    // Raw-byte fallback path: ASCII stand-ins => unicode(char) == byte;
+    // samples center at 128 (all-ASCII text is all-negative, so zc = 0
+    // here — the real-PCM crossings are pinned by MultimodalSpec).
+    "q_multimodal_audio" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    [CAST(unicode(c) AS BIGINT) - 128
+         |     FOR c IN string_split(text, '')] AS s
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |fr AS (
+         |  SELECT doc_id, unnest(range(0, len(s) // $AF)) AS f, s
+         |  FROM b WHERE len(s) >= $AF),
+         |st AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(
+         |      list_slice(s, f*$AF + 1, f*$AF + $AF), x -> x*x)) AS energy,
+         |    len(list_filter(range(2, $AF + 1),
+         |      i -> (s[f*$AF + i] < 0) <> (s[f*$AF + i - 1] < 0))) AS zc
+         |  FROM fr)
+         |SELECT doc_id AS media_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |  CAST(SUM(energy) AS BIGINT) AS total_energy,
+         |  CAST(MAX(energy) AS BIGINT) AS max_energy,
+         |  CAST(COUNT(*) FILTER (energy > $AE) AS BIGINT) AS n_active,
+         |  CAST(SUM(zc) AS BIGINT) AS total_zc
+         |FROM st GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // ASCII text => bytes == codepoints, so the byte-index NN downsample
     // is a char-index downsample in SQL (src = floor(i*n/t), 1-based).
     "q_multimodal_resize" ->

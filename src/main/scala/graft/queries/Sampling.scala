@@ -144,6 +144,44 @@ object Sampling extends QueryGroup {
       .orderBy($"source")
   }
 
+  private val CurriculumRounds = 5 // rounds of the interleave to emit
+
+  /** Curriculum / interleaved training order — the data-ordering knob
+    * between "fully shuffled" (`q_shuffle_pack`) and "sorted by source":
+    * within each source, docs rank easiest-first (ascending token count,
+    * doc_id tiebreak — any difficulty proxy slots in here, e.g. the
+    * classifier margin of `q_quality_classifier`); the epoch then
+    * round-robins the sources so round r holds every source's r-th
+    * easiest doc. Balanced source exposure per training step plus an
+    * easy→hard ramp, and the order is totally deterministic — same
+    * epoch on any engine, rerun, or cluster layout.
+    *
+    * Scale shape: the emitted prefix is round-bounded, so the per-source
+    * rank uses the same two-level salted tournament as
+    * `q_sample_stratified` (a plain per-source window would sort 1/|src|
+    * of the corpus in ONE task; level 1 ranks within (source, salt) —
+    * difficulty order, not hash order, but the argument is unchanged:
+    * any per-source top-R row is in its salt bucket's top-R). A full-
+    * epoch ordering (unbounded r) would instead reuse the two-phase
+    * distributed prefix sum of `q_pack_shards`. */
+  private def curriculumOrder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val w1 = Window.partitionBy($"source", $"salt")
+      .orderBy($"n_tok".asc, $"doc_id".asc)
+    val w2 = Window.partitionBy($"source")
+      .orderBy($"n_tok".asc, $"doc_id".asc)
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", size(toks).cast("long").as("n_tok"))
+      .withColumn("salt", pmod(xxhash64($"doc_id"), lit(TournamentSalts)))
+      .withColumn("rk1", row_number().over(w1))
+      .filter($"rk1" <= CurriculumRounds)
+      .withColumn("round", row_number().over(w2).cast("long"))
+      .filter($"round" <= CurriculumRounds)
+      .select($"round", $"source", $"doc_id", $"n_tok")
+      .orderBy($"round", $"source")
+  }
+
   private val NegSalt = "gr-neg-1"
   private val NegAnchors = 8 // anchors: vec_id < 8
   private val NegK = 4       // negatives drawn per anchor
@@ -195,6 +233,7 @@ object Sampling extends QueryGroup {
     "q_sample_weighted" -> sampleWeighted,
     "q_sample_mixture" -> sampleMixture,
     "q_sample_negatives" -> sampleNegatives,
+    "q_curriculum_order" -> curriculumOrder,
   )
 
   private val duckCustHash =
@@ -266,6 +305,20 @@ object Sampling extends QueryGroup {
          |SELECT anchor_id, rk, neg_id, neg_label FROM r
          |WHERE rk <= $NegK ORDER BY anchor_id, rk""".stripMargin
     },
+    // Single-window specification; the tournament is the implementation.
+    "q_curriculum_order" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+         |  FROM documents
+         |), r AS (
+         |  SELECT CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY n_tok, doc_id) AS BIGINT) AS round,
+         |    source, doc_id, n_tok
+         |  FROM t)
+         |SELECT round, source, doc_id, n_tok FROM r
+         |WHERE round <= $CurriculumRounds
+         |ORDER BY round, source""".stripMargin,
     "q_sample_stratified" ->
       s"""WITH r AS (
          |  SELECT c_mktsegment, c_custkey, c_name,

@@ -171,4 +171,38 @@ class MaintenanceSpec extends SparkTestBase {
     assert(zArea < natArea / 4, s"z-order area $zArea vs natural $natArea")
     assert(zX < natX && zY <= natY, "z-order must tighten both dimensions")
   }
+
+  test("compaction plan equals a sequential greedy fold of the inventory") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = SparkEntry.queries("q_compact_plan")(spark, Sf0001)
+      .select($"y", $"bin", $"n_files", $"total_bytes", $"m_min", $"m_max")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // the same inventory, folded sequentially on the driver — the spec
+    // the distributed per-partition window must reproduce
+    val inv = graft.core.Tables.orders(spark, Sf0001)
+      .groupBy(year($"o_orderdate").cast("long").as("y"),
+        month($"o_orderdate").cast("long").as("m"))
+      .agg((lit(32) * count(lit(1)) +
+        sum(length($"o_orderpriority"))).cast("long").as("bytes"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(f => (f._1, f._2))
+    val target = 4L * inv.map(_._3).sum / inv.size
+    val expected = inv.groupBy(_._1).toSeq.flatMap { case (y, fs) =>
+      var cum = 0L
+      fs.sortBy(_._2).map { case (_, m, b) =>
+        val bin = cum / target; cum += b; (y, bin, m, b)
+      }.groupBy(_._2).map { case (bin, g) =>
+        (y, bin, g.size.toLong, g.map(_._4).sum, g.map(_._3).min,
+          g.map(_._3).max)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == expected)
+    // bins never split a month and month ranges are disjoint in order
+    got.groupBy(_._1).values.foreach { bins =>
+      bins.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(a._6 < b._5)
+        case _         => ()
+      }
+    }
+  }
 }

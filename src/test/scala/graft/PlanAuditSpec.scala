@@ -385,6 +385,8 @@ object PlanAuditSpec {
     // 4: both merge sides shuffle on the key for the full-outer SMJ, the
     // status agg + final sort. Updates derive from the base scan (reused).
     "q_merge_upsert" -> 4,
+    // narrow decode+frame+fold mapPartitions; only the output sort.
+    "q_multimodal_audio" -> 1,
     "q_multimodal_features" -> 1,
     "q_multimodal_frames" -> 2,
     "q_multimodal_meta" -> 1,
@@ -461,6 +463,11 @@ object PlanAuditSpec {
     "q_snapshot_diff" -> 4,
     // 256-group partial agg (digest fold is map-side combined) + sort.
     "q_table_checksum" -> 2,
+    // metadata-only: (y,m) file-inventory agg, 1-row target agg
+    // (broadcast back), per-year binpack window, (y,bin) agg + output
+    // sort fused by AQE. The orders data itself shuffles only as the
+    // ~84-row inventory.
+    "q_compact_plan" -> 4,
     // orderkey-max scalar agg + (layout,zone) partial agg + 2-row layout
     // summary + output sort; zone assignment itself never shuffles.
     "q_zorder_cluster" -> 4,
@@ -493,6 +500,10 @@ object PlanAuditSpec {
     // output sort. The extra exchange is the price of never sorting a
     // whole stratum in one task.
     "q_sample_stratified" -> 3,
+    // same tournament as stratified — (source,salt) window, survivor
+    // window, output sort; ranks by difficulty, not hash, but the
+    // top-R containment argument is identical.
+    "q_curriculum_order" -> 3,
     // same tournament as stratified — (anchor,salt) window, survivor
     // window, output sort; the anchor side arrives as a broadcast and
     // the corpus is scanned once.

@@ -36,4 +36,21 @@ class SamplingSpec extends SparkTestBase {
       .as[Long].collect().toSeq
     assert(perStratum == Seq(5L))
   }
+
+  test("curriculum rounds are source-balanced and easy-first") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_curriculum_order")(spark, Sf0001)
+      .select($"round", $"source", $"n_tok").as[(Long, String, Long)]
+      .collect().toSeq
+    val nSources = rows.map(_._2).distinct.size
+    // every emitted round holds exactly one doc per source...
+    rows.groupBy(_._1).foreach { case (r, g) =>
+      assert(g.map(_._2).distinct.size == nSources, s"round $r unbalanced")
+    }
+    // ...and difficulty never decreases along a source's rounds
+    rows.groupBy(_._2).values.foreach { g =>
+      val byRound = g.sortBy(_._1).map(_._3)
+      assert(byRound == byRound.sorted)
+    }
+  }
 }

@@ -77,6 +77,7 @@ object CatalogIndex {
     "q_split_assign" -> "deterministic hash train/val/test split",
     "q_split_contamination" -> "train/test n-gram contamination check",
     "q_text_boilerplate" -> "cross-document repeated-line boilerplate detection",
+    "q_text_dupspans" -> "ExactSubstr-style duplicated-span mass (10-gram islands)",
     "q_text_chunk" -> "fixed-size token chunking with overlap",
     "q_text_containment" -> "n-gram containment (asymmetric near-dup) pairs",
     "q_text_feature_hash" -> "feature hashing into fixed-width sparse buckets",

@@ -225,6 +225,56 @@ object TextAnalysis extends QueryGroup {
       .orderBy($"source")
   }
 
+  private val DupSpanK = 10 // duplicated-span granularity (tokens)
+
+  /** Duplicated-span detection — the span-level exact dedup of the
+    * "Deduplicating Training Data Makes Language Models Better" line of
+    * work (ExactSubstr): find every [[DupSpanK]]-token gram that occurs
+    * more than once in the corpus (cross-doc OR self-repetition), then
+    * coalesce each document's duplicated positions into MAXIMAL disjoint
+    * spans (a gaps-and-islands pass over gram start positions) and report
+    * the per-doc duplicated-token mass — the "what would span-level
+    * trimming remove" report that whole-doc dedup can't see.
+    *
+    * Suffix-array ExactSubstr is single-node; this is its k-gram-
+    * granular Spark-declarative equivalent: the same lead-window rolling
+    * gram hash as `q_text_boilerplate` (whole-stage codegen, no
+    * interpreted HOF — that trap costs ~20x), so only skinny
+    * (doc, pos, hash) triples ever shuffle, never text. The island pass
+    * rides per-doc windows on the doc-partitioned gram stream. */
+  private def dupSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val th = Tables.documents(s, d)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      .select($"doc_id", $"pos", charHash($"tok").as("h"))
+    val gram = (1 until DupSpanK).foldLeft($"h": Column)((acc, i) =>
+      (acc * 131 + lead($"h", i).over(w)) % HashP)
+    val grams = th.select($"doc_id", $"pos", gram.as("g"))
+      .filter($"g".isNotNull)
+    val dup = grams.groupBy($"g").agg(count(lit(1)).as("occ"))
+      .filter($"occ" >= 2).select($"g")
+    val marked = grams.join(dup, Seq("g"), "left_semi")
+    val prevEnd = max($"pos" + (DupSpanK - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = marked
+      .withColumn("new_span",
+        ($"pos" > coalesce(prevEnd, lit(-1))).cast("long"))
+      .withColumn("span_id", sum($"new_span").over(w))
+      .groupBy($"doc_id", $"span_id")
+      .agg((max($"pos") + DupSpanK - min($"pos")).cast("long")
+        .as("span_toks"))
+    val nTok = Tables.documents(s, d)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tok"))
+    spans.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"span_toks").cast("long").as("dup_tokens"))
+      .join(nTok, Seq("doc_id"))
+      .select($"doc_id", $"n_tok", $"n_spans", $"dup_tokens",
+        ($"n_tok" - $"dup_tokens").as("kept_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** PII redaction (email / phone → placeholder tags). The corpus has no
     * PII, so the query PLANTS a deterministic address and number per doc
     * (both engines build the identical string from doc_id) and the oracle
@@ -580,6 +630,7 @@ object TextAnalysis extends QueryGroup {
     "q_text_token_count" -> tokenCount,
     "q_text_fingerprint" -> fingerprint,
     "q_text_boilerplate" -> boilerplate,
+    "q_text_dupspans" -> dupSpans,
     "q_text_heavyhitters" -> heavyHitters,
     "q_text_redact_pii" -> redactPii,
     "q_split_assign" -> splitAssign,
@@ -616,6 +667,57 @@ object TextAnalysis extends QueryGroup {
          |    / CAST(len(a.sh) AS DOUBLE) >= $ContainT
          |ORDER BY doc_eval, doc_train""".stripMargin
     },
+    // The window fold ((0*131+h0)*131+h1)... equals the prepend-0
+    // list_reduce over the same 10 hashes; both engines then island the
+    // identical position sets with identical integer window arithmetic.
+    "q_text_dupspans" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+         |  FROM documents),
+         |th AS (
+         |  SELECT doc_id, [${Dedup.duckCharHash("t", 31)} FOR t IN toks] AS h,
+         |    CAST(len(toks) AS BIGINT) AS n
+         |  FROM tok),
+         |p AS (
+         |  SELECT doc_id, h,
+         |    unnest(range(0, n - ${DupSpanK - 1})) AS pos
+         |  FROM th WHERE n >= $DupSpanK),
+         |fp AS (
+         |  SELECT doc_id, pos,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_slice(h, CAST(pos + 1 AS INTEGER),
+         |        CAST(pos + $DupSpanK AS INTEGER))),
+         |      (a, b) -> (a * 131 + b) % $HashP) AS g
+         |  FROM p),
+         |dup AS (SELECT g FROM fp GROUP BY g HAVING COUNT(*) >= 2),
+         |m AS (SELECT doc_id, pos FROM fp WHERE g IN (SELECT g FROM dup)),
+         |i AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos > COALESCE(MAX(pos + ${DupSpanK - 1})
+         |        OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |      THEN 1 ELSE 0 END AS new_span
+         |  FROM m),
+         |s2 AS (
+         |  SELECT doc_id, pos,
+         |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS span_id
+         |  FROM i),
+         |sp AS (
+         |  SELECT doc_id, span_id,
+         |    CAST(MAX(pos) + $DupSpanK - MIN(pos) AS BIGINT) AS span_toks
+         |  FROM s2 GROUP BY doc_id, span_id),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |    CAST(SUM(span_toks) AS BIGINT) AS dup_tokens
+         |  FROM sp GROUP BY doc_id),
+         |nt AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT a.doc_id, n_tok, n_spans, dup_tokens,
+         |  n_tok - dup_tokens AS kept_tokens
+         |FROM agg a JOIN nt USING (doc_id) ORDER BY a.doc_id""".stripMargin,
     "q_text_boilerplate" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

@@ -254,6 +254,9 @@ object PlanAuditSpec {
     "q_dedup_keep_best" -> 3,
     "q_dedup_simhash" -> 2,
     "q_distinct_pairs" -> 2,
+    // doc-pos window, gram-occurrence agg, dup semi-join, island/span
+    // regroup + output sort — only (doc, pos, hash) triples shuffle.
+    "q_text_dupspans" -> 4,
     "q_dropdup_bykey" -> 2, // r11: contract gate (key-dedup + global count distinct)
     // one (label,pos) partial-agg exchange + the output sort
     "q_embed_centroid" -> 2,

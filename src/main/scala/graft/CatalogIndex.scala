@@ -202,6 +202,7 @@ object CatalogIndex {
     // ---- Maintenance ----------------------------------------------------
     "q_agg_incremental" -> "incremental aggregate maintenance (base + delta merge)",
     "q_audit_integrity" -> "PK/FK constraint audit (NULL keys count as violations)",
+    "q_backfill_plan" -> "missing-partition audit coalesced into backfill date ranges",
     "q_compact_plan" -> "small-file compaction planning (order-preserving binpack)",
     "q_drift_chisq" -> "chi-squared distribution drift",
     "q_drift_ks" -> "two-sample Kolmogorov-Smirnov drift",

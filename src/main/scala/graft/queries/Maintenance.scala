@@ -583,7 +583,43 @@ object Maintenance extends QueryGroup {
       .orderBy($"y", $"bin")
   }
 
+  /** Backfill planning — the partition-completeness audit behind every
+    * scheduled-ingest table: which calendar days are MISSING from the
+    * fact table, coalesced into contiguous date ranges (the work-list a
+    * backfill scheduler replays). The gaps-and-islands key is
+    * `days-since-epoch − per-year row_number` (constant within a
+    * contiguous missing run); windows partition by YEAR, so a run
+    * crossing Dec 31 emits one range per year — backfill jobs are
+    * partition-aligned anyway, and no window is ever unpartitioned.
+    *
+    * Scale shape: the only fact-sized step is the distinct-day collapse
+    * (map-side partial agg straight down to one row per day — a century
+    * is 36 k rows); the expected calendar explodes from a single min/max
+    * row and everything downstream is calendar-sized. At 100 TB the
+    * plan's cost is the scan it shares with any other full read. */
+  private def backfillPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val day = to_date($"o_orderdate")
+    val bounds = Tables.orders(s, d)
+      .agg(min(day).as("mn"), max(day).as("mx"))
+    val expected = bounds
+      .select(explode(sequence($"mn", $"mx", expr("interval 1 day")))
+        .as("dt"))
+    val present = Tables.orders(s, d).select(day.as("dt")).distinct()
+    val w = Window.partitionBy($"y").orderBy($"dt")
+    expected.join(present, Seq("dt"), "left_anti")
+      .withColumn("y", year($"dt").cast("long"))
+      .withColumn("k",
+        datediff($"dt", lit("1970-01-01")) - row_number().over(w))
+      .groupBy($"y", $"k")
+      .agg(min($"dt").as("gap_start"), max($"dt").as("gap_end"),
+        count(lit(1)).as("n_days"))
+      .select($"y", $"gap_start", $"gap_end", $"n_days")
+      .orderBy($"gap_start")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_backfill_plan" -> backfillPlan,
     "q_compact_plan" -> compactPlan,
     "q_drift_chisq" -> driftChisq,
     "q_drift_ks" -> driftKs,
@@ -600,6 +636,23 @@ object Maintenance extends QueryGroup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_backfill_plan" ->
+      """WITH b AS (
+        |  SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
+        |    MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+        |e AS (
+        |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+        |    AS DATE) AS dt FROM b),
+        |p AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS dt FROM orders),
+        |m AS (SELECT dt FROM e ANTI JOIN p USING (dt)),
+        |i AS (
+        |  SELECT dt, CAST(year(dt) AS BIGINT) AS y,
+        |    date_diff('day', DATE '1970-01-01', dt)
+        |      - row_number() OVER (PARTITION BY year(dt) ORDER BY dt) AS k
+        |  FROM m)
+        |SELECT y, MIN(dt) AS gap_start, MAX(dt) AS gap_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days
+        |FROM i GROUP BY y, k ORDER BY gap_start""".stripMargin,
     // DuckDB SUM(BIGINT) is HUGEINT; // truncates like Spark's DIV on
     // the non-negative operands here.
     "q_compact_plan" ->

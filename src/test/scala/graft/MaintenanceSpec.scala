@@ -172,6 +172,32 @@ class MaintenanceSpec extends SparkTestBase {
     assert(zX < natX && zY <= natY, "z-order must tighten both dimensions")
   }
 
+  test("backfill ranges tile the span exactly against the present days") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gaps = SparkEntry.queries("q_backfill_plan")(spark, Sf0001)
+      .select($"gap_start".cast("string"), $"gap_end".cast("string"),
+        $"n_days")
+      .as[(String, String, Long)].collect().toSeq
+      .map { case (a, b, n) =>
+        (java.time.LocalDate.parse(a), java.time.LocalDate.parse(b), n)
+      }
+    assert(gaps.nonEmpty, "sf0.001 has missing order days")
+    val present = graft.core.Tables.orders(spark, Sf0001)
+      .select(to_date($"o_orderdate").cast("string")).distinct()
+      .as[String].collect().map(java.time.LocalDate.parse).toSet
+    // each range is well-formed, sized right, and contains NO present day
+    gaps.foreach { case (a, b, n) =>
+      assert(!a.isAfter(b) && java.time.temporal.ChronoUnit.DAYS.between(a, b) + 1 == n)
+      Iterator.iterate(a)(_.plusDays(1)).takeWhile(!_.isAfter(b))
+        .foreach(d => assert(!present(d), s"present day $d inside a gap"))
+    }
+    // gaps + present days tile the whole [min, max] span
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      present.minBy(_.toEpochDay), present.maxBy(_.toEpochDay)) + 1
+    assert(gaps.map(_._3).sum + present.size == span)
+  }
+
   test("compaction plan equals a sequential greedy fold of the inventory") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

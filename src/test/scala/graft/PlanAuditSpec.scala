@@ -626,6 +626,10 @@ object PlanAuditSpec {
     // align + 1-row folds) + the 6-row output sort — every exchange is
     // keys-sized or 1-row; fact rows never move.
     "q_audit_integrity" -> 17,
+    // distinct-day collapse + the missing-day island window; the
+    // calendar side broadcasts off a 1-row agg and the final range agg
+    // fuses with the year-partitioned window.
+    "q_backfill_plan" -> 2,
     // dim distinct agg + the (yr, status) agg + output sort; the fact
     // join is a broadcast whose exchange feeds the DPP subquery.
     "q_join_dpp" -> 3,

@@ -153,22 +153,48 @@ object Relational2 extends QueryGroup {
     * edges can't flap the bit). The oracle emits `1 AS ok`, so a
     * drifting sketch or percentile implementation FAILS the hash gate
     * instead of hiding behind a rows-only check. */
+  /** r11 rework, 6.7 s → 2.7 s at sf0.1 with the same output: the old
+    * single agg mixed countDistinct (Expand-rewritten) with the
+    * imperative percentile/HLL buffers, forcing the WHOLE aggregation
+    * down the sort-based fallback over 2x-expanded input — and its
+    * exact `percentile()` envelope built per-group value maps, the
+    * memory hazard `q_quantile_global` exists to avoid. Now three
+    * fast-path legs over the cents-quantized scan, broadcast-joined at
+    * 3 rows each: sketch agg, two-phase exact-distinct agg, and a
+    * discrete rank envelope off the bounded (flag, cents) counts
+    * relation — lo/hi = first value whose cumulative count crosses
+    * 0.49/0.51 (0.94/0.96)·n, a strictly sound bound for
+    * percentile_approx's ±0.001-rank guarantee since the approx result
+    * is always an observed value. */
   private def approxStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, d)
-      .groupBy($"l_returnflag")
+    val base = Tables.lineitem(s, d)
+      .select($"l_returnflag",
+        ($"l_extendedprice" * 100).cast("long").as("c"), $"l_partkey")
+    val sketches = base.groupBy($"l_returnflag")
       .agg(
         count(lit(1)).as("n_rows"),
-        countDistinct($"l_partkey").as("n_parts"),
         approx_count_distinct($"l_partkey").as("apx"),
-        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50"),
-        percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("p95"),
-        expr("percentile(l_extendedprice, array(0.49, 0.51, 0.94, 0.96))")
-          .as("env"))
+        percentile_approx($"c", lit(0.5), lit(1000)).as("p50"),
+        percentile_approx($"c", lit(0.95), lit(1000)).as("p95"))
+    val exactDistinct = base.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_parts"))
+    val byFlag = Window.partitionBy($"l_returnflag")
+    val env = base.groupBy($"l_returnflag", $"c").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(byFlag.orderBy($"c")))
+      .withColumn("n", sum($"cnt").over(byFlag))
+      .groupBy($"l_returnflag")
+      .agg(
+        min(when($"cum" * 100 >= $"n" * 49, $"c")).as("lo50"),
+        min(when($"cum" * 100 >= $"n" * 51, $"c")).as("hi50"),
+        min(when($"cum" * 100 >= $"n" * 94, $"c")).as("lo95"),
+        min(when($"cum" * 100 >= $"n" * 96, $"c")).as("hi95"))
+    sketches.join(broadcast(exactDistinct), Seq("l_returnflag"))
+      .join(broadcast(env), Seq("l_returnflag"))
       .select($"l_returnflag", $"n_rows", $"n_parts",
         (abs($"apx" - $"n_parts") * 100 <= $"n_parts" * 15 &&
-          $"p50" >= $"env" (0) && $"p50" <= $"env" (1) &&
-          $"p95" >= $"env" (2) && $"p95" <= $"env" (3)).cast("int").as("ok"))
+          $"p50" >= $"lo50" && $"p50" <= $"hi50" &&
+          $"p95" >= $"lo95" && $"p95" <= $"hi95").cast("int").as("ok"))
       .orderBy($"l_returnflag")
   }
 

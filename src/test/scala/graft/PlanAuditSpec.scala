@@ -217,7 +217,11 @@ object PlanAuditSpec {
     // membership-join/summary aggs. Skinny (query, neighbor) pairs on
     // every exchange; |queries| is a constant.
     "q_ann_recall" -> 6,
-    "q_approx_stats" -> 3, // +1 r11: exact countDistinct for the contract gate
+    // r11 split: sketch agg + two-phase exact-distinct + (flag,cents)
+    // envelope agg/window — three fast-path legs (6 skinny exchanges,
+    // all ≤ |distinct cents| rows) instead of one sort-based fallback
+    // over Expand-doubled input.
+    "q_approx_stats" -> 6,
     "q_array_explode" -> 1,
     "q_array_funs" -> 1,
     "q_clean_company_size" -> 1,

@@ -233,6 +233,7 @@ object CatalogIndex {
     // ---- Inference ------------------------------------------------------
     "q_dedup_keep_best" -> "keep-best dedup policy (CC labels x classifier margins)",
     "q_eval_confusion" -> "model-vs-rules confusion / agreement audit",
+    "q_eval_hitrate" -> "next-event hit-rate@1/@3, leave-last-out transition model",
     "q_profile_corpus" -> "per-source corpus release report",
     "q_quality_classifier" -> "linear-model batch inference (integer-exact margins)",
     // ---- Mining ---------------------------------------------------------

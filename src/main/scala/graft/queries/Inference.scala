@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.core.Tables
 import graft.functions.TextFunctions.{tokens, Stopwords}
@@ -159,7 +160,57 @@ object Inference extends QueryGroup {
         expr("2 * tp * 1000000 div nullif(2*tp + fp + fn, 0)").as("f1_fp"))
   }
 
+  private val HitK = 3 // prediction list depth for hit-rate@k
+
+  /** Sequence-model evaluation: next-event prediction hit-rate@1/@3 —
+    * the eval counterpart to `q_events_transitions`' Markov counts. The
+    * "model" is the top-[[HitK]] next types per current type, trained on
+    * every user transition EXCEPT each user's last one; that held-out
+    * last transition is the eval set (leave-last-out, the sequence
+    * analogue of the split-hygiene family — the eval target never
+    * contributes to the counts that predict it). Hits are exact integer
+    * counts per from-type; model rank ties break (count desc, type asc)
+    * so the prediction list is total-ordered.
+    *
+    * Scale shape: ONE user-partitioned window pass builds all
+    * transitions + the leave-out flag; the model is |types|² rows →
+    * broadcast to the eval join; everything downstream is
+    * eval-set-sized. */
+  private def evalHitrate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id")
+    val ordered = byUser.orderBy($"ts", $"event_id")
+    val tr = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("to_type", lead($"event_type", 1).over(ordered))
+      .filter($"to_type".isNotNull)
+      .select($"user_id", $"event_type".as("from_type"), $"to_type",
+        ($"rn" === $"n" - 1).as("is_eval"))
+    val wRank = Window.partitionBy($"from_type")
+      .orderBy($"cnt".desc, $"to_type".asc)
+    val model = tr.filter(!$"is_eval")
+      .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter($"rk" <= HitK)
+      .select($"from_type", $"to_type".as("pred_type"), $"rk")
+    tr.filter($"is_eval")
+      .join(broadcast(model), Seq("from_type"), "left")
+      .groupBy($"from_type", $"user_id", $"to_type")
+      .agg(
+        max(when($"pred_type" === $"to_type" && $"rk" === 1, 1)
+          .otherwise(0)).as("h1"),
+        max(when($"pred_type" === $"to_type", 1).otherwise(0)).as("h3"))
+      .groupBy($"from_type")
+      .agg(count(lit(1)).as("n_eval"),
+        sum($"h1").cast("long").as("hits_at1"),
+        sum($"h3").cast("long").as("hits_at3"))
+      .orderBy($"from_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_eval_hitrate" -> evalHitrate,
     "q_quality_classifier" -> qualityClassifier,
     "q_dedup_keep_best" -> dedupKeepBest,
     "q_profile_corpus" -> profileCorpus,
@@ -191,6 +242,38 @@ object Inference extends QueryGroup {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_eval_hitrate" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER w AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS n,
+         |    lead(event_type) OVER w AS to_type
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |tr AS (
+         |  SELECT user_id, event_type AS from_type, to_type,
+         |    rn = n - 1 AS is_eval
+         |  FROM e WHERE to_type IS NOT NULL),
+         |model AS (
+         |  SELECT from_type, pred_type, rk FROM (
+         |    SELECT from_type, to_type AS pred_type,
+         |      row_number() OVER (PARTITION BY from_type
+         |        ORDER BY cnt DESC, to_type) AS rk
+         |    FROM (SELECT from_type, to_type, COUNT(*) AS cnt FROM tr
+         |          WHERE NOT is_eval GROUP BY 1, 2))
+         |  WHERE rk <= $HitK),
+         |j AS (
+         |  SELECT ev.from_type, ev.user_id,
+         |    MAX(CASE WHEN m.pred_type = ev.to_type AND m.rk = 1
+         |      THEN 1 ELSE 0 END) AS h1,
+         |    MAX(CASE WHEN m.pred_type = ev.to_type THEN 1 ELSE 0 END) AS h3
+         |  FROM (SELECT user_id, from_type, to_type FROM tr WHERE is_eval) ev
+         |  LEFT JOIN model m USING (from_type)
+         |  GROUP BY 1, 2)
+         |SELECT from_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |  CAST(SUM(h1) AS BIGINT) AS hits_at1,
+         |  CAST(SUM(h3) AS BIGINT) AS hits_at3
+         |FROM j GROUP BY from_type ORDER BY from_type""".stripMargin,
     "q_quality_classifier" ->
       s"""WITH $duckMarginCtes
          |SELECT doc_id, margin, margin > 0 AS keep

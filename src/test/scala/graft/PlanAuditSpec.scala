@@ -655,5 +655,9 @@ object PlanAuditSpec {
     "q_join_pit" -> 2,
     // the pred⋈gold doc_id exchange pair + the 1-row confusion fold.
     "q_eval_confusion" -> 2,
+    // user window pass, (from,to) train agg, from-type rank window,
+    // per-eval-row regroup, final from-type agg/sort; the model side
+    // reaches the eval join as a broadcast.
+    "q_eval_hitrate" -> 5,
   )
 }

@@ -163,6 +163,7 @@ object CatalogIndex {
     "q_join_asof" -> "as-of join, rewrite form (window over union)",
     "q_join_asof_fwd" -> "native FORWARD as-of join",
     "q_join_asof_native" -> "native backward as-of join (custom plan+strategy+exec)",
+    "q_join_asof_ttl" -> "TTL-bounded as-of join (stale feature -> missing, fresh bit)",
     // ---- MultimodalQueries ----------------------------------------------
     "q_multimodal_audio" -> "audio framing: energy / zero-crossings / VAD (real 8-bit PCM WAV seam)",
     "q_multimodal_features" -> "decode / feature-extract (real PNG/JPEG luma histograms)",

@@ -151,6 +151,41 @@ object Events extends QueryGroup {
       .orderBy($"event_id")
   }
 
+  private val AsofTtlSec = 86400L // feature freshness horizon (24 h)
+
+  /** TTL-bounded as-of join — the feature-store STALENESS rule
+    * (pandas `merge_asof(tolerance=...)`, feature-TTL semantics): the
+    * most recent view still joins each click, but only counts when it
+    * is at most [[AsofTtlSec]] old; a staler match is a MISSING feature
+    * (nulled), not a usable one. The backward as-of result makes the
+    * post-filter exact — if the latest prior view is stale, every
+    * earlier one is staler — so this is the native
+    * [[org.apache.spark.sql.graft.AsOfJoinExec]] plus one row-local
+    * freshness predicate on int64 micros; no extra shuffle over
+    * `q_join_asof_native`. The surfaced `fresh` bit keeps both
+    * outcomes visible to the oracle. */
+  private def asofTtl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"value").as("view_value"))
+      .select($"user_id".as("v_user"), $"ts".as("view_ts"), $"view_value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    org.apache.spark.sql.graft.AsOfJoin
+      .asofJoin(clicks, views, Seq("user_id"), Seq("v_user"), "ts", "view_ts")
+      .withColumn("fresh",
+        $"view_ts".isNotNull &&
+          unix_micros($"ts") - unix_micros($"view_ts") <=
+            AsofTtlSec * 1000000L)
+      .select($"event_id", $"user_id", $"ts",
+        when($"fresh", $"view_ts").as("view_ts"),
+        when($"fresh", $"view_value").as("view_value"),
+        $"fresh".cast("int").as("fresh"))
+      .orderBy($"event_id")
+  }
+
   /** Deterministic event dedup — the batch twin of the streaming
     * stateful dedup ([[graft.streaming.EventsStreaming]] /
     * dropDuplicatesWithinWatermark): keep the FIRST event per
@@ -266,6 +301,7 @@ object Events extends QueryGroup {
     "q_join_asof" -> asof,
     "q_join_asof_native" -> asofNative,
     "q_join_asof_fwd" -> asofForward,
+    "q_join_asof_ttl" -> asofTtl,
   )
 
   val oracle: Map[String, String] = Map(
@@ -376,6 +412,28 @@ object Events extends QueryGroup {
     // Same spec on purpose: the rewrite and the native operator are
     // pinned to the identical DuckDB ASOF LEFT JOIN result.
     "q_join_asof_native" -> asofOracleSql,
+    // The backward ASOF result + the identical int64-micros freshness
+    // predicate (epoch_us ↔ unix_micros, the house timestamp rule).
+    "q_join_asof_ttl" ->
+      s"""WITH views AS (
+         |  SELECT user_id, ts, max(value) AS view_value
+         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+         |), clicks AS (
+         |  SELECT event_id, user_id, ts FROM events
+         |  WHERE event_type = 'click'
+         |), j AS (
+         |  SELECT c.event_id, c.user_id, c.ts,
+         |    v.ts AS v_ts, v.view_value,
+         |    v.ts IS NOT NULL AND
+         |      epoch_us(c.ts) - epoch_us(v.ts) <= ${AsofTtlSec * 1000000L}
+         |      AS fresh
+         |  FROM clicks c ASOF LEFT JOIN views v
+         |    ON c.user_id = v.user_id AND v.ts <= c.ts)
+         |SELECT event_id, user_id, ts,
+         |  CASE WHEN fresh THEN v_ts END AS view_ts,
+         |  CASE WHEN fresh THEN view_value END AS view_value,
+         |  CAST(fresh AS INT) AS fresh
+         |FROM j ORDER BY event_id""".stripMargin,
     "q_join_asof_fwd" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, min(event_id) AS click_id

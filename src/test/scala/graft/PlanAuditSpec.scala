@@ -301,6 +301,9 @@ object PlanAuditSpec {
     // forward direction, same exchange shape (views co-partition +
     // click tie-collapse agg + its re-hash + output sort).
     "q_join_asof_fwd" -> 4,
+    // same exchanges as the native backward asof — the TTL freshness
+    // predicate is row-local on int64 micros.
+    "q_join_asof_ttl" -> 4,
     // 3: both interval-join sides shuffle on user_id, the per-user agg
     // reuses that partitioning, final ORDER BY adds the range exchange.
     "q_events_view_click" -> 3,

@@ -42,12 +42,20 @@ object ScaleProbe {
 
   private val KeyOffset = 100000000L
 
-  /** Per-copy alphabet rotation for document text — tokens map 1:1, so
-    * within-copy dup/shingle structure is exactly preserved. */
+  /** Per-copy alphabet rotation for document text — a 1:1 substitution
+    * over lowercase, UPPERCASE, and digits (r11 advisory: lowercase-only
+    * rotation left digit/uppercase-bearing tokens identical across
+    * copies, weakening the disjoint-vocabulary rationale). Tokens map
+    * 1:1, so within-copy dup/shingle structure is exactly preserved;
+    * punctuation/whitespace (token separators) stay fixed — the residual
+    * cross-copy overlap is punctuation-only grams, noted in
+    * SCALE_PROBE.md. */
   private def rotAlphabet(i: Int): (String, String) = {
-    val a = "abcdefghijklmnopqrstuvwxyz"
-    val k = i % 26
-    (a, a.drop(k) + a.take(k))
+    val lo = "abcdefghijklmnopqrstuvwxyz"
+    val up = lo.toUpperCase(java.util.Locale.ROOT)
+    val dg = "0123456789"
+    def rot(s: String, k: Int) = s.drop(k) + s.take(k)
+    (lo + up + dg, rot(lo, i % 26) + rot(up, i % 26) + rot(dg, i % 10))
   }
 
   def main(args: Array[String]): Unit = {

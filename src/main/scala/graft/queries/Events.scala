@@ -186,6 +186,43 @@ object Events extends QueryGroup {
       .orderBy($"event_id")
   }
 
+  private val AsofFwdTtlSec = 3600L // attribution horizon (1 h)
+
+  /** Forward as-of with an attribution horizon — the label-attribution
+    * twin of [[asofTtl]] (pandas `merge_asof(direction='forward',
+    * tolerance=...)`): each view picks up the user's NEXT click, but
+    * the conversion only counts when it lands within
+    * [[AsofFwdTtlSec]] of the view; a later click is an UNATTRIBUTED
+    * view (nulled), not a conversion. Forward symmetry of the backward
+    * staleness argument makes the post-filter exact — if the next
+    * click is beyond the horizon, every later one is further — so this
+    * is the native forward [[org.apache.spark.sql.graft.AsOfJoinExec]]
+    * plus one row-local int64-micros predicate; no extra shuffle over
+    * `q_join_asof_fwd`. The surfaced `attributed` bit keeps both
+    * outcomes visible to the oracle. */
+  private def asofTtlForward(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts")
+      .agg(min($"event_id").as("click_id"))
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"), $"click_id")
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts")
+    org.apache.spark.sql.graft.AsOfJoin
+      .asofJoin(views, clicks, Seq("user_id"), Seq("c_user"),
+        "ts", "click_ts", forward = true)
+      .withColumn("attributed",
+        $"click_ts".isNotNull &&
+          unix_micros($"click_ts") - unix_micros($"ts") <=
+            AsofFwdTtlSec * 1000000L)
+      .select($"event_id", $"user_id", $"ts",
+        when($"attributed", $"click_ts").as("click_ts"),
+        when($"attributed", $"click_id").as("click_id"),
+        $"attributed".cast("int").as("attributed"))
+      .orderBy($"event_id")
+  }
+
   /** Deterministic event dedup — the batch twin of the streaming
     * stateful dedup ([[graft.streaming.EventsStreaming]] /
     * dropDuplicatesWithinWatermark): keep the FIRST event per
@@ -302,6 +339,7 @@ object Events extends QueryGroup {
     "q_join_asof_native" -> asofNative,
     "q_join_asof_fwd" -> asofForward,
     "q_join_asof_ttl" -> asofTtl,
+    "q_join_asof_ttl_fwd" -> asofTtlForward,
   )
 
   val oracle: Map[String, String] = Map(
@@ -433,6 +471,28 @@ object Events extends QueryGroup {
          |  CASE WHEN fresh THEN v_ts END AS view_ts,
          |  CASE WHEN fresh THEN view_value END AS view_value,
          |  CAST(fresh AS INT) AS fresh
+         |FROM j ORDER BY event_id""".stripMargin,
+    // The forward ASOF result + the identical int64-micros attribution
+    // predicate — forward twin of the q_join_asof_ttl gate.
+    "q_join_asof_ttl_fwd" ->
+      s"""WITH clicks AS (
+         |  SELECT user_id, ts, min(event_id) AS click_id
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+         |), views AS (
+         |  SELECT event_id, user_id, ts FROM events
+         |  WHERE event_type = 'view'
+         |), j AS (
+         |  SELECT v.event_id, v.user_id, v.ts,
+         |    c.ts AS c_ts, c.click_id,
+         |    c.ts IS NOT NULL AND
+         |      epoch_us(c.ts) - epoch_us(v.ts) <= ${AsofFwdTtlSec * 1000000L}
+         |      AS attributed
+         |  FROM views v ASOF LEFT JOIN clicks c
+         |    ON v.user_id = c.user_id AND c.ts >= v.ts)
+         |SELECT event_id, user_id, ts,
+         |  CASE WHEN attributed THEN c_ts END AS click_ts,
+         |  CASE WHEN attributed THEN click_id END AS click_id,
+         |  CAST(attributed AS INT) AS attributed
          |FROM j ORDER BY event_id""".stripMargin,
     "q_join_asof_fwd" ->
       """WITH clicks AS (

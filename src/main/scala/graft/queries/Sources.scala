@@ -166,6 +166,12 @@ object Sources extends QueryGroup {
     * dir per regenerated testdata drop accumulates for the life of
     * `target/tmp`. Mirrors for other sf dirs (smoke at sf0.001, verify
     * at sf0.01, bench at sf0.1 coexist in one checkout) are kept. */
+  /** Serializes mirror layout + pruning: two concurrent first uses of one
+    * fixture (ConcurrencySpec's self-race shape) would otherwise both
+    * miss `_SUCCESS` and run overlapping overwrite writes to the same
+    * path. One JVM writes these mirrors, so an object monitor suffices. */
+  private val mirrorLock = new Object
+
   private def ordersMirror(s: SparkSession, d: String, prefix: String): String = {
     import s.implicits._
     val out = tmp(s"${prefix}_${ordersFixtureKey(d)}")
@@ -175,13 +181,19 @@ object Sources extends QueryGroup {
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
       f.delete(); ()
     }
-    Option(outDir.getParentFile.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.startsWith(sfScope) && f.getName != outDir.getName)
-      .foreach(deleteRec)
-    if (!new java.io.File(out, "_SUCCESS").exists()) {
-      Tables.orders(s, d)
-        .withColumn("yr", year($"o_orderdate"))
-        .write.mode("overwrite").partitionBy("yr").parquet(out)
+    mirrorLock.synchronized {
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        // Prune superseded snapshots of the same sf dir ONLY when about
+        // to lay out their replacement — pruning on every call could
+        // delete a mirror an in-flight plan (keyed to the old
+        // fingerprint) is still reading mid-scan.
+        Option(outDir.getParentFile.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.startsWith(sfScope) && f.getName != outDir.getName)
+          .foreach(deleteRec)
+        Tables.orders(s, d)
+          .withColumn("yr", year($"o_orderdate"))
+          .write.mode("overwrite").partitionBy("yr").parquet(out)
+      }
     }
     out
   }

@@ -54,7 +54,9 @@ final class FileKvStore(dir: String) extends EventsStreaming.UpsertStore {
   def rowSink(keyCol: String): Populate.RowSink = new Populate.RowSink {
     def put(row: Map[String, String]): Unit =
       upsert(row.getOrElse(keyCol, ""),
-        row.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))
+        row.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"${FileKvStore.pairEnc(k)}=${FileKvStore.pairEnc(v)}"
+        }.mkString(","))
   }
 
   /** Merged read of everything under `dir` — same view a freshly started
@@ -65,6 +67,19 @@ final class FileKvStore(dir: String) extends EventsStreaming.UpsertStore {
 }
 
 object FileKvStore {
+
+  /** Escapes exactly the `k=v,k=v` grammar's structural characters (plus
+    * `%` itself) in a pair key/value — a comma inside a scraped job
+    * title would otherwise silently truncate the parsed row at read
+    * time. Anything without `%` round-trips unchanged, so raw values
+    * written outside `rowSink` still parse. */
+  private[sources] def pairEnc(s: String): String =
+    s.replace("%", "%25").replace(",", "%2C").replace("=", "%3D")
+
+  /** Inverse of [[pairEnc]] (`%25` last, so an escaped escape can't
+    * cascade). Identity on text that was never escaped. */
+  private[sources] def pairDec(s: String): String =
+    s.replace("%2C", ",").replace("%3D", "=").replace("%25", "%")
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")

@@ -33,8 +33,9 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * trade for a smoke/test-scale shim; at real serving scale the same
   * two routes sit on a real KV connector behind the identical seam, and
   * nothing upstream of the store changes. Values are the `rowSink`
-  * serialization (sorted `k=v` pairs, comma-joined); skills tokens are
-  * whitespace-tokenized words, so the pair grammar is unambiguous. */
+  * serialization (sorted `k=v` pairs, comma-joined, structural chars
+  * percent-escaped inside fields) — unambiguous for ANY field content,
+  * including the comma-bearing job titles scraped CSV produces. */
 final class SkillsHttpServer(storeDir: String) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -78,11 +79,15 @@ final class SkillsHttpServer(storeDir: String) {
     s"""{"data": [${rows.mkString(", ")}]}"""
   }
 
-  /** The rowSink value grammar: sorted `k=v` pairs, comma-joined. */
+  /** The rowSink value grammar: sorted `k=v` pairs, comma-joined, with
+    * structural chars (`,` `=` `%`) percent-escaped inside keys/values
+    * at publish time ([[FileKvStore.pairEnc]]) — a comma in a scraped
+    * job title no longer truncates the parsed row. */
   private def pairs(value: String): Map[String, String] =
     value.split(",").iterator.filter(_.nonEmpty).map { kv =>
       val i = kv.indexOf('=')
-      if (i < 0) kv -> "" else kv.take(i) -> kv.drop(i + 1)
+      if (i < 0) FileKvStore.pairDec(kv) -> ""
+      else FileKvStore.pairDec(kv.take(i)) -> FileKvStore.pairDec(kv.drop(i + 1))
     }.toMap
 
   private def rowJson(value: String): String =

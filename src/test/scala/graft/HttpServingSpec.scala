@@ -100,6 +100,27 @@ class HttpServingSpec extends SparkTestBase {
     }
   }
 
+  test("comma-bearing field values round-trip unclipped (r11 advisory)") {
+    val dir = freshDir("comma")
+    // Job titles originate from scraped CSV — commas (and stray '=')
+    // inside a field must survive publish -> GET instead of truncating
+    // the parsed row at the first comma.
+    new FileKvStore(dir).rowSink("job_id").put(Map(
+      "job_id" -> "j1",
+      "job" -> "Data Engineer, London (contract)",
+      "top_skill_n_1" -> "a=b, c"))
+    withServer(dir) { srv =>
+      val (code, body) = get(srv.port, "/skills/j1")
+      assert(code == 200, body)
+      assert(body.contains(""""job": "Data Engineer, London (contract)""""))
+      assert(body.contains(""""top_skill_n_1": "a=b, c""""))
+      val (lc, listBody) = get(srv.port, "/skills")
+      assert(lc == 200)
+      assert(listBody.contains(
+        """{"job_id": "j1", "job": "Data Engineer, London (contract)"}"""))
+    }
+  }
+
   test("absent key is 404, non-GET is 405") {
     val dir = freshDir("errors")
     new FileKvStore(dir).upsert("k1", "job=x")

@@ -185,6 +185,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(st.total_zc == 2L * 63)
   }
 
+  test("second-decoder pin: javax.sound decode bit-equals WavCodec") {
+    // The fixture above is WRITTEN by the same hand that wrote the
+    // parser, so a mirrored container-layout bug would self-consistently
+    // cancel out (the r11 PNG pin's rationale, applied to the audio
+    // seam). javax.sound.sampled parses the RIFF container and PCM
+    // format with none of WavCodec's code in the loop; its byte stream
+    // is the independent authority the centered samples must bit-equal.
+    // Aperiodic full-range samples, odd count (word-alignment padding in
+    // play), so offset/length parse mutations can't alias.
+    val planted = Array.tabulate(191)(i => ((i * 37 + 11) % 251) - 125)
+    val wav = fixtureWav(planted)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = in.getFormat
+    assert(fmt.getEncoding ==
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+    assert(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1)
+    assert(fmt.getSampleRate == 8000f)
+    val ref = in.readAllBytes().map(b => (b & 0xff) - 128)
+    // The independent decode returns the planted samples (pins the
+    // FIXTURE, so a later mismatch can only implicate WavCodec)...
+    assert(ref.toSeq == planted.toSeq)
+    // ...and the parser under test bit-equals it, samples and stats.
+    assert(Multimodal.WavCodec.samples(wav).get.toSeq == ref.toSeq)
+    assert(Multimodal.audioStats(1L, Multimodal.WavCodec.samples(wav).get)
+      == Multimodal.audioStats(1L, ref))
+  }
+
   test("WAV seam: non-PCM8 and non-WAV payloads fall back to raw bytes") {
     assert(!Multimodal.WavCodec.isWav("just some text payload".getBytes))
     // a valid container but 16-bit samples: parse declines, byte

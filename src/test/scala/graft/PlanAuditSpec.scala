@@ -304,6 +304,9 @@ object PlanAuditSpec {
     // same exchanges as the native backward asof — the TTL freshness
     // predicate is row-local on int64 micros.
     "q_join_asof_ttl" -> 4,
+    // forward twin: same exchanges as q_join_asof_fwd — the attribution
+    // horizon is the same row-local int64-micros predicate.
+    "q_join_asof_ttl_fwd" -> 4,
     // 3: both interval-join sides shuffle on user_id, the per-user agg
     // reuses that partitioning, final ORDER BY adds the range exchange.
     "q_events_view_click" -> 3,

@@ -11,10 +11,17 @@ minutes (the dedup pair-joins at sf>=0.1) is cut off at the timeout and
 reported as such — those timeouts ARE the result: the specification
 does not scale, the engine's banded/bucketed plan does.
 
+A query that times out at the base budget is retried ONCE with the
+extended budget (default 180 s): the r11 verdict flagged that a 30 s
+cutoff truncated exactly the comparison that most favors the engine
+(banded dedup vs brute-force spec) — the retry puts a real ratio on the
+record wherever the spec finishes at all, and documents a genuine
+>extended-budget timeout otherwise.
+
 Usage:
-  python3 tools/bench_proxy.py [sf_dir] [oracle_sql.json] [bench_detail.json] [timeout_s]
+  python3 tools/bench_proxy.py [sf_dir] [oracle_sql.json] [bench_detail.json] [timeout_s] [long_timeout_s]
 Defaults: /root/testdata/sf0.1  target/verify_out/oracle_sql.json
-          BENCH_DETAIL.json  30
+          BENCH_DETAIL.json  30  180
 Writes BENCH_PROXY.json and prints a summary.
 """
 import json
@@ -47,6 +54,7 @@ def main():
     detail_path = (sys.argv[3] if len(sys.argv) > 3
                    else "BENCH_DETAIL.json")
     timeout = float(sys.argv[4]) if len(sys.argv) > 4 else 30.0
+    long_timeout = float(sys.argv[5]) if len(sys.argv) > 5 else 180.0
 
     oracle = json.load(open(oracle_path))
     spark = json.load(open(detail_path))["queries"]
@@ -61,11 +69,16 @@ def main():
                                          delete=False) as f:
             f.write(oracle[name])
             sqlf = f.name
-        t0 = time.perf_counter()
         try:
-            r = subprocess.run([sys.executable, runner, sf, sqlf],
-                               capture_output=True, text=True,
-                               timeout=timeout)
+            try:
+                r = subprocess.run([sys.executable, runner, sf, sqlf],
+                                   capture_output=True, text=True,
+                                   timeout=timeout)
+            except subprocess.TimeoutExpired:
+                # Retry once with the extended budget (see module doc).
+                r = subprocess.run([sys.executable, runner, sf, sqlf],
+                                   capture_output=True, text=True,
+                                   timeout=long_timeout)
             if r.returncode != 0:
                 out[name] = {"duck_sec": None,
                              "err": r.stderr.strip()[-160:]}
@@ -73,7 +86,7 @@ def main():
             duck = json.loads(r.stdout)["sec"]
         except subprocess.TimeoutExpired:
             out[name] = {"duck_sec": None,
-                         "timeout_s": timeout,
+                         "timeout_s": long_timeout,
                          "spark_sec": spark.get(name)}
             n_timeout += 1
             continue
@@ -88,6 +101,7 @@ def main():
     summary = {
         "sf": sf,
         "timeout_s": timeout,
+        "long_timeout_s": long_timeout,
         "n_compared": sum(1 for e in out.values() if "spark_over_duck" in e),
         "n_duck_timeout": n_timeout,
         "duck_total_sec": round(both_d, 2),
@@ -104,7 +118,7 @@ def main():
         if e.get("duck_sec") is None and "timeout_s" in e:
             sp = e.get("spark_sec")
             sp = f"{sp:.2f}s" if sp is not None else "n/a (not in detail)"
-            print(f"  {n}: DuckDB spec >{timeout:.0f}s vs Spark {sp}")
+            print(f"  {n}: DuckDB spec >{e['timeout_s']:.0f}s vs Spark {sp}")
     for ratio, n in worst[:3]:
         print(f"  {n}: spark {ratio}x duck")
     print("\nworst ratios (fixed Spark floor on sub-second queries):")

@@ -165,6 +165,7 @@ object CatalogIndex {
     "q_join_asof_native" -> "native backward as-of join (custom plan+strategy+exec)",
     "q_join_asof_ttl" -> "TTL-bounded as-of join (stale feature -> missing, fresh bit)",
     "q_join_asof_ttl_fwd" -> "forward as-of with attribution horizon (late click -> unattributed)",
+    "q_join_asof_nearest" -> "nearest as-of (merge_asof direction='nearest', ties to backward)",
     // ---- MultimodalQueries ----------------------------------------------
     "q_multimodal_audio" -> "audio framing: energy / zero-crossings / VAD (real 8-bit PCM WAV seam)",
     "q_multimodal_features" -> "decode / feature-extract (real PNG/JPEG luma histograms)",

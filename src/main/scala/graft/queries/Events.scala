@@ -223,6 +223,45 @@ object Events extends QueryGroup {
       .orderBy($"event_id")
   }
 
+  /** NEAREST as-of — the last cell of the merge_asof direction matrix
+    * (pandas `merge_asof(direction='nearest')`): each click picks the
+    * view closest in time on EITHER side, ties to the backward (past)
+    * candidate. Composed from the two native merge passes — the
+    * backward [[org.apache.spark.sql.graft.AsOfJoinExec]] then the
+    * forward one over its output — plus one row-local int64-micros
+    * pick; no new operator code, and the second pass finds its left
+    * side already partitioned by user and sorted by ts (the exec's
+    * output ordering), so the compose adds no avoidable exchange.
+    * Views at equal (user, ts) are pre-collapsed to max(value), same
+    * as `q_join_asof_native`. */
+  private def asofNearest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    def views(tsName: String, valName: String, key: String) =
+      ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts")
+        .agg(max($"value").as(valName))
+        .select($"user_id".as(key), $"ts".as(tsName), col(valName))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val bwd = org.apache.spark.sql.graft.AsOfJoin
+      .asofJoin(clicks, views("bts", "bval", "b_user"),
+        Seq("user_id"), Seq("b_user"), "ts", "bts")
+    val both = org.apache.spark.sql.graft.AsOfJoin
+      .asofJoin(bwd, views("fts", "fval", "f_user"),
+        Seq("user_id"), Seq("f_user"), "ts", "fts", forward = true)
+    val takeBwd = $"fts".isNull || ($"bts".isNotNull &&
+      unix_micros($"ts") - unix_micros($"bts") <=
+        unix_micros($"fts") - unix_micros($"ts"))
+    both.select($"event_id", $"user_id", $"ts",
+      when(takeBwd, $"bts").otherwise($"fts").as("view_ts"),
+      when(takeBwd, $"bval").otherwise($"fval").as("view_value"),
+      when($"bts".isNull && $"fts".isNull, lit(0))
+        .otherwise(when(takeBwd, lit(-1)).otherwise(lit(1)))
+        .as("direction"))
+      .orderBy($"event_id")
+  }
+
   /** Deterministic event dedup — the batch twin of the streaming
     * stateful dedup ([[graft.streaming.EventsStreaming]] /
     * dropDuplicatesWithinWatermark): keep the FIRST event per
@@ -340,6 +379,7 @@ object Events extends QueryGroup {
     "q_join_asof_fwd" -> asofForward,
     "q_join_asof_ttl" -> asofTtl,
     "q_join_asof_ttl_fwd" -> asofTtlForward,
+    "q_join_asof_nearest" -> asofNearest,
   )
 
   val oracle: Map[String, String] = Map(
@@ -472,6 +512,36 @@ object Events extends QueryGroup {
          |  CASE WHEN fresh THEN view_value END AS view_value,
          |  CAST(fresh AS INT) AS fresh
          |FROM j ORDER BY event_id""".stripMargin,
+    // Both ASOF directions joined back on the click id + the identical
+    // int64-micros nearest pick (ties to backward), 0/-1/1 direction.
+    "q_join_asof_nearest" ->
+      """WITH views AS (
+        |  SELECT user_id, ts, max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |), clicks AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'
+        |), b AS (
+        |  SELECT c.event_id, c.user_id, c.ts,
+        |    v.ts AS bts, v.view_value AS bval
+        |  FROM clicks c ASOF LEFT JOIN views v
+        |    ON c.user_id = v.user_id AND v.ts <= c.ts
+        |), f AS (
+        |  SELECT c.event_id, v.ts AS fts, v.view_value AS fval
+        |  FROM clicks c ASOF LEFT JOIN views v
+        |    ON c.user_id = v.user_id AND v.ts >= c.ts
+        |), j AS (
+        |  SELECT b.*, f.fts, f.fval,
+        |    fts IS NULL OR (bts IS NOT NULL AND
+        |      epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts))
+        |      AS take_bwd
+        |  FROM b JOIN f USING (event_id))
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN take_bwd THEN bts ELSE fts END AS view_ts,
+        |  CASE WHEN take_bwd THEN bval ELSE fval END AS view_value,
+        |  CASE WHEN bts IS NULL AND fts IS NULL THEN 0
+        |       WHEN take_bwd THEN -1 ELSE 1 END AS direction
+        |FROM j ORDER BY event_id""".stripMargin,
     // The forward ASOF result + the identical int64-micros attribution
     // predicate — forward twin of the q_join_asof_ttl gate.
     "q_join_asof_ttl_fwd" ->

@@ -307,6 +307,12 @@ object PlanAuditSpec {
     // forward twin: same exchanges as q_join_asof_fwd — the attribution
     // horizon is the same row-local int64-micros predicate.
     "q_join_asof_ttl_fwd" -> 4,
+    // nearest = backward exec + forward exec COMPOSED, still 4: the
+    // second merge pass finds its left side already partitioned and
+    // sorted by the first exec's output, so the compose adds zero
+    // exchanges over a single native asof (the view side's agg + its
+    // re-hash account for the other two, shared shape with _native).
+    "q_join_asof_nearest" -> 4,
     // 3: both interval-join sides shuffle on user_id, the per-user agg
     // reuses that partitioning, final ORDER BY adds the range exchange.
     "q_events_view_click" -> 3,

@@ -93,7 +93,30 @@ object Bench {
         sparkJarDir.getPath + java.io.File.separator + "*"
       val javaExe = new java.io.File(
         new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
-      val pb = new ProcessBuilder(javaExe, "-cp", cp, "graft.Bench")
+      // Inherit the parent JVM's flags (heap, code cache, add-opens from
+      // build.sbt's forked javaOptions), minus agents/log decorations,
+      // and ALWAYS append Spark's JDK-17 module opens — a plain
+      // `java -cp` parent carries none, and without java.nio open a
+      // disk-spilling child dies in Kryo on HeapByteBuffer (seen at the
+      // ×100 scale probe; sub-spill workloads never hit it). Duplicate
+      // --add-opens flags are harmless.
+      import scala.jdk.CollectionConverters._
+      val inherited = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala
+        .filterNot(a => a.startsWith("-agentlib") ||
+          a.startsWith("-javaagent") || a.startsWith("-Xlog"))
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = (Seq(javaExe) ++ inherited ++ addOpens ++
+        Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
       val env = pb.environment()
       env.put("SPARK_GRAFT_BENCH_ONLY", family.mkString(","))
       env.put("SPARK_GRAFT_BENCH_CHILD", "1")

@@ -104,13 +104,15 @@ object Graph extends QueryGroup {
   /** Degree-ordered oriented edge set: each undirected edge {u,v} is
     * directed from the lower-rank to the higher-rank endpoint, where
     * rank = (degree, id) lexicographic — PACKED into one long as
-    * `deg << 32 | id`, so rank comparison is a single long compare and
+    * `deg << 40 | id`, so rank comparison is a single long compare and
     * the edge relation stays two columns. The packing requires ids in
-    * [0, 2³²) and degrees < 2³¹; both hold for the co-purchase graph by
-    * construction (partkeys are ints) and the build asserts it per row,
-    * so a violation at larger scale fails loudly rather than
-    * miscounting (the unpacked (deg, id) struct form is the drop-in
-    * general fallback). Out-degree under degree orientation is bounded
+    * [0, 2⁴⁰) and degrees < 2²³ (the 32/32 split of rounds ≤11 capped
+    * ids at 2³², which the ×100 key-shifted probe corpus exceeds; 2⁴⁰
+    * covers key offsets to ×10000 while 8.4M max degree still dwarfs
+    * any co-occurrence graph's). Both bounds hold by construction here
+    * and the build asserts them per row, so a violation at larger scale
+    * fails loudly rather than miscounting (the unpacked (deg, id)
+    * struct form is the drop-in general fallback for arbitrary ids). Out-degree under degree orientation is bounded
     * by O(√(2·|E|)) — the arboricity argument behind node-iterator++
     * triangle counting — which is what tames wedge fanout on skewed
     * graphs: a hub with degree h and a small id would otherwise sit on
@@ -124,9 +126,9 @@ object Graph extends QueryGroup {
       .groupBy($"node").agg(count(lit(1)).as("deg"))
     def rank(id: String, dg: String) = {
       val guarded = when(
-        col(id) < 0 || col(id) >= (1L << 32) || col(dg) >= (1L << 31),
+        col(id) < 0 || col(id) >= (1L << 40) || col(dg) >= (1L << 23),
         raise_error(lit("orientedEdges: rank packing out of range")))
-        .otherwise(shiftleft(col(dg), 32).bitwiseOR(col(id)))
+        .otherwise(shiftleft(col(dg), 40).bitwiseOR(col(id)))
       guarded.cast("long")
     }
     pairs

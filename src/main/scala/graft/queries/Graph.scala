@@ -169,18 +169,41 @@ object Graph extends QueryGroup {
     // build side), so checkpointing hash-partitioned on u lets the wedge
     // join run with ZERO exchanges — id order couldn't co-locate because
     // it joined dst-to-src, two different keys.
-    orientedEdges(coEdges(s, d)).repartition($"u").localCheckpoint()
-      .createOrReplaceTempView("graph_oedges")
-    val out = s.sql("""
+    val oe = orientedEdges(coEdges(s, d)).repartition($"u").localCheckpoint()
+    // Size the closure bloom from the ACTUAL edge count — one cheap scan
+    // of the just-checkpointed blocks. The fixed 4M sizing of rounds ≤11
+    // saturated at the ×100 probe corpus (~150M edges → ~100% false
+    // positives → the full multi-billion-row wedge relation reached the
+    // closure join and spilled the disk dry). A bloom sized for the data
+    // keeps the map-side prune effective at ANY corpus size; the session
+    // caps (4M items / 64 Mbit by default) are raised to match. Clamped
+    // to Int range — ~2 Gbit ≈ 1.4B items at 1% FP before the struct/
+    // partitioned-bloom fallback would be needed.
+    val edgeRows = oe.count()
+    val nEdges = math.min(math.max(4000000L, edgeRows), Int.MaxValue).toInt
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      Int.MaxValue.toString)
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      Int.MaxValue.toString)
+    oe.createOrReplaceTempView("graph_oedges")
+    // Closure-join strategy from the same count: a broadcastable edge
+    // set takes the planner's BroadcastHashJoin (no extra exchange, no
+    // sort — the sf≤0.01 shape, and what PlanAuditSpec budgets). Past
+    // broadcast size, force shuffled-HASH (stream the wedges, build the
+    // edges) — NEVER sort-merge, whose wedge-side sort is the one spill
+    // risk in this plan: the pre-prune wedge stream is the single thing
+    // here that is allowed to be huge, and it must stay a stream.
+    val closureHint = if (edgeRows <= 400000L) "" else "/*+ SHUFFLE_HASH(bc) */"
+    val out = s.sql(s"""
       WITH w AS (
         SELECT e1.v AS b, e2.v AS c
         FROM graph_oedges e1 JOIN graph_oedges e2
           ON e1.u = e2.u AND e1.v < e2.v
         WHERE bloom_might_contain(
-            (SELECT bloom_agg(xxhash64(u, v), 4000000) FROM graph_oedges),
+            (SELECT bloom_agg(xxhash64(u, v), $nEdges) FROM graph_oedges),
             xxhash64(e1.v, e2.v))
       )
-      SELECT COUNT(*) AS n_triangles
+      SELECT $closureHint COUNT(*) AS n_triangles
       FROM w JOIN graph_oedges bc ON w.b = bc.u AND w.c = bc.v""")
     // Analysis has inlined the view; drop it so the checkpointed blocks
     // are collectable once the result is dropped (same as reachability).

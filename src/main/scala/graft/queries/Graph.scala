@@ -186,14 +186,20 @@ object Graph extends QueryGroup {
     s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
       Int.MaxValue.toString)
     oe.createOrReplaceTempView("graph_oedges")
-    // Closure-join strategy from the same count: a broadcastable edge
-    // set takes the planner's BroadcastHashJoin (no extra exchange, no
-    // sort — the sf≤0.01 shape, and what PlanAuditSpec budgets). Past
-    // broadcast size, force shuffled-HASH (stream the wedges, build the
-    // edges) — NEVER sort-merge, whose wedge-side sort is the one spill
-    // risk in this plan: the pre-prune wedge stream is the single thing
-    // here that is allowed to be huge, and it must stay a stream.
-    val closureHint = if (edgeRows <= 400000L) "" else "/*+ SHUFFLE_HASH(bc) */"
+    // Closure-join strategy from the same count. The wedge stream is
+    // the single thing in this plan that is allowed to be huge, so it
+    // must never be SORTED (sort-merge would buffer/spill it) and
+    // ideally never shuffled either: up to ~128 MB of edges (8M rows ×
+    // 16 B), BROADCAST the edge side — wedges are then probed fully
+    // map-side, zero wedge bytes on the wire, which on a cluster beats
+    // shuffling a wedge stream that outnumbers edges by orders of
+    // magnitude (the 10 MB autoBroadcast default is calibrated for
+    // fact×dim, not for avoiding a multi-billion-row shuffle). Past
+    // that, SHUFFLE_HASH with the edge side as build — the wedges
+    // shuffle but still stream through the probe, never sort.
+    val closureHint =
+      if (edgeRows <= 8000000L) "/*+ BROADCAST(bc) */"
+      else "/*+ SHUFFLE_HASH(bc) */"
     val out = s.sql(s"""
       WITH w AS (
         SELECT e1.v AS b, e2.v AS c

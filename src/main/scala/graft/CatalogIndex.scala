@@ -235,8 +235,11 @@ object CatalogIndex {
     "q_pii_kanonymize" -> "pseudonymize + k-anonymity generalization",
     // ---- Inference ------------------------------------------------------
     "q_dedup_keep_best" -> "keep-best dedup policy (CC labels x classifier margins)",
+    "q_eval_auc" -> "exact tie-aware ROC AUC of the quality margin vs gold labels",
+    "q_eval_calibration" -> "reliability diagram: margin bins vs observed gold rate",
     "q_eval_confusion" -> "model-vs-rules confusion / agreement audit",
     "q_eval_hitrate" -> "next-event hit-rate@1/@3, leave-last-out transition model",
+    "q_eval_ndcg" -> "NDCG@1..10 of BM25 retrieval vs margin-graded relevance",
     "q_profile_corpus" -> "per-source corpus release report",
     "q_quality_classifier" -> "linear-model batch inference (integer-exact margins)",
     // ---- Mining ---------------------------------------------------------

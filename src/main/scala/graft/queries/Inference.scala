@@ -134,11 +134,13 @@ object Inference extends QueryGroup {
     * integer fixed-point (×1e6, `nullif` guards the empty-class edge
     * identically in both engines). Two doc-level scans joined on
     * doc_id, one 1-row fold — nothing wider than the corpus scan. */
-  private def evalConfusion(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, gold) rule-based reference labels — the independent quality
+    * gate the model is audited against (length band + stopword ratio),
+    * shared by the confusion matrix and the ranking metrics below. */
+  private[queries] def goldLabels(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pred = margins(s, d).select($"doc_id", ($"margin" > 0).as("pred"))
     val toks = tokens($"text")
-    val gold = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select($"doc_id", size(toks).cast("long").as("n_tok"),
         size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
           .as("n_stop"))
@@ -146,7 +148,12 @@ object Inference extends QueryGroup {
         ($"n_tok" >= 20 && $"n_tok" <= 1000 &&
           $"n_stop".cast("double") / $"n_tok".cast("double") < 0.2)
           .as("gold"))
-    pred.join(gold, "doc_id")
+  }
+
+  private def evalConfusion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pred = margins(s, d).select($"doc_id", ($"margin" > 0).as("pred"))
+    pred.join(goldLabels(s, d), "doc_id")
       .agg(
         sum(($"pred" && $"gold").cast("long")).as("tp"),
         sum(($"pred" && !$"gold").cast("long")).as("fp"),
@@ -158,6 +165,125 @@ object Inference extends QueryGroup {
         expr("(tp + tn) * 1000000 div nullif(tp + fp + fn + tn, 0)")
           .as("accuracy_fp"),
         expr("2 * tp * 1000000 div nullif(2*tp + fp + fn, 0)").as("f1_fp"))
+  }
+
+  /** Threshold-free ranking quality of the linear model: exact ROC AUC of
+    * the margin against the rule-based gold labels — Mann-Whitney U with
+    * tie-aware ½ credit, AUC = P(m⁺ > m⁻) + ½·P(m⁺ = m⁻) over all
+    * (positive, negative) document pairs.
+    *
+    * No global sort and no partitionless rank window: the corpus
+    * collapses to per-margin (pos, neg) counts first (map-side combined;
+    * |distinct margins| rows, bounded by the margin's integer range, not
+    * the corpus), cumulative negatives-strictly-below come from a
+    * broadcast non-equi self-join over that skinny relation (the
+    * q_quantile_global move), and the DOUBLED pair credit
+    * 2U = Σ_m pos_m · (2·negBelow_m + neg_m) rides DECIMAL(38,0) —
+    * pair counts are Θ(n²) and clear int64 long before 100 TB.
+    * auc_fp = 1e6·2U div (2·P·N): integer fixed-point end to end. */
+  private def evalAuc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val byM = margins(s, d).join(goldLabels(s, d), "doc_id")
+      .groupBy($"margin")
+      .agg(sum($"gold".cast("long")).as("pos"),
+        sum((!$"gold").cast("long")).as("neg"))
+    val cum = byM.as("a")
+      .join(broadcast(byM.as("b")), $"b.margin" < $"a.margin", "left")
+      .groupBy($"a.margin", $"a.pos", $"a.neg")
+      .agg(coalesce(sum($"b.neg"), lit(0L)).as("neg_below"))
+    val tot = byM.agg(sum($"pos").as("n_pos"), sum($"neg").as("n_neg"))
+    cum.agg(sum(($"pos" * (lit(2L) * $"neg_below" + $"neg")).cast(d38))
+        .as("u2"))
+      .crossJoin(broadcast(tot))
+      .select($"n_pos", $"n_neg", $"u2".cast("long").as("pairs2"),
+        expr("CAST((u2 * 1000000) div nullif(2 * n_pos * n_neg, 0) AS BIGINT)")
+          .as("auc_fp"))
+  }
+
+  /** Reliability diagram for the linear model: fixed-width margin bins
+    * (floor(margin / 100) via ONE correctly-rounded IEEE divide + floor,
+    * identical cross-engine; margins ≪ 2^53) vs the observed gold rate
+    * per bin — a calibrated ranker's gold rate rises with the bin. One
+    * map-side-combined aggregation to a |bins|-sized output; rates and
+    * means in ×1e6 integer fixed-point (div truncation is identical in
+    * both engines, negative sums included). */
+  private def evalCalibration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    margins(s, d).join(goldLabels(s, d), "doc_id")
+      .groupBy(floor($"margin" / 100.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum($"gold".cast("long")).as("n_gold"),
+        sum($"margin").as("sum_margin"))
+      .select($"bin", $"n", $"n_gold",
+        expr("n_gold * 1000000 div n").as("gold_rate_fp"),
+        expr("sum_margin * 1000000 div n").as("mean_margin_fp"))
+      .orderBy($"bin")
+  }
+
+  private[queries] val NdcgK = 10
+  /** Fixed-point DCG discounts w(i) = round(1e6 / log2(i+1)): ONE Scala
+    * constant inlined into BOTH engine texts, so the libm log runs once
+    * here at class init and never on an oracle path (the determinism
+    * header's no-libm rule). */
+  private[queries] val NdcgW: Seq[(Int, Long)] = (1 to NdcgK)
+    .map(i => i -> math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+  /** Margin tiers for graded relevance (3 / 2 / 1 / 0). */
+  private[queries] val RelHi = 100L
+  private[queries] val RelMid = 0L
+  private[queries] val RelLo = -100L
+
+  /** NDCG@k (k = 1..[[NdcgK]]) of the BM25 ranking (its top-K=25
+    * candidate list — positions beyond [[NdcgK]] never pass the
+    * pos ≤ k gate, so this IS NDCG over the top-10) against graded
+    * relevance from the quality margin — "does lexical retrieval surface
+    * high-quality documents?", the eval counterpart to q_text_bm25 the
+    * way q_eval_confusion audits q_quality_classifier.
+    *
+    * Every piece is K-bounded algebra over skinny relations: positions
+    * via the broadcast rank-count self-join (searchRrf's move — a
+    * constant partition literal would fold into exactly the
+    * partitionless window the plan audit bans), gains = rel × the
+    * fixed-point discount table, cumulative-k and the ideal list from
+    * ≤10×10-row broadcast joins; the ideal relevances come from global
+    * grade counts (4 rows), never a sorted corpus. ndcg_fp =
+    * 1e6·DCG@k div IDCG@k — exact integers end to end. */
+  private def evalNdcg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hits = Indexing.bm25(s, d).select($"doc_id", $"bm25")
+    val pos = hits.as("x")
+      .join(broadcast(hits.as("y")),
+        $"y.bm25" > $"x.bm25" ||
+          ($"y.bm25" === $"x.bm25" && $"y.doc_id" < $"x.doc_id"), "left")
+      .groupBy($"x.doc_id".as("doc_id"))
+      .agg((count($"y.doc_id") + 1).cast("int").as("pos"))
+    val rels = margins(s, d).select($"doc_id",
+      when($"margin" > RelHi, 3L).when($"margin" > RelMid, 2L)
+        .when($"margin" > RelLo, 1L).otherwise(0L).as("rel"))
+    val w = NdcgW.toDF("pos", "w")
+    val gains = rels.join(broadcast(pos), "doc_id")
+      .join(broadcast(w), "pos")
+      .select($"pos", ($"rel" * $"w").as("g"))
+    val ks = (1 to NdcgK).map(_.toLong).toDF("k")
+    val dcg = ks.join(broadcast(gains), $"pos" <= $"k")
+      .groupBy($"k").agg(sum($"g").as("dcg_fp"))
+    val gcnt = rels.groupBy($"rel").agg(count(lit(1)).as("c"))
+    val cntGe = gcnt.as("a")
+      .join(broadcast(gcnt.as("b")), $"b.rel" >= $"a.rel")
+      .groupBy($"a.rel").agg(sum($"b.c").as("c_ge"))
+      .select($"rel", $"c_ge")
+    val irel = ks.select($"k".cast("int").as("pos"))
+      .join(broadcast(cntGe), $"c_ge" >= $"pos")
+      .groupBy($"pos").agg(max($"rel").as("irel"))
+    val idcg = ks.join(
+        broadcast(irel.join(broadcast(w), "pos")
+          .select($"pos", ($"irel" * $"w").as("g"))),
+        $"pos" <= $"k")
+      .groupBy($"k").agg(sum($"g").as("idcg_fp"))
+    dcg.join(idcg, "k")
+      .select($"k", $"dcg_fp", $"idcg_fp",
+        expr("dcg_fp * 1000000 div nullif(idcg_fp, 0)").as("ndcg_fp"))
+      .orderBy($"k")
   }
 
   private val HitK = 3 // prediction list depth for hit-rate@k
@@ -215,7 +341,28 @@ object Inference extends QueryGroup {
     "q_dedup_keep_best" -> dedupKeepBest,
     "q_profile_corpus" -> profileCorpus,
     "q_eval_confusion" -> evalConfusion,
+    "q_eval_auc" -> evalAuc,
+    "q_eval_calibration" -> evalCalibration,
+    "q_eval_ndcg" -> evalNdcg,
   )
+
+  /** DuckDB fragment continuing after [[duckMarginCtes]]' `qm`: the gold
+    * labels joined to the margin, ending in `lbl(doc_id, margin, gold)`. */
+  private lazy val duckLabelCtes: String = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""gg AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(string_split(lower(text), ' '),
+       |         t -> t IN $stopList)) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |lbl AS (
+       |  SELECT qm.doc_id, qm.margin,
+       |    (gg.n_tok >= 20 AND gg.n_tok <= 1000 AND
+       |     CAST(gg.n_stop AS DOUBLE) / CAST(gg.n_tok AS DOUBLE) < 0.2)
+       |      AS gold
+       |  FROM gg JOIN qm ON gg.doc_id = qm.doc_id)""".stripMargin
+  }
 
   /** DuckDB fragment ending in `qm(doc_id, margin)` — the margin twin,
     * CTE names prefixed so it composes after [[Dedup.duckClusterCcCte]]
@@ -310,6 +457,86 @@ object Inference extends QueryGroup {
          |SELECT rep_id, doc_id AS best_doc, margin AS best_margin,
          |  cluster_size
          |FROM ranked WHERE rn = 1 ORDER BY rep_id""".stripMargin,
+    "q_eval_auc" ->
+      s"""WITH $duckMarginCtes,
+         |$duckLabelCtes,
+         |bym AS (
+         |  SELECT margin,
+         |    CAST(SUM(CAST(gold AS BIGINT)) AS BIGINT) AS pos,
+         |    CAST(SUM(CAST(NOT gold AS BIGINT)) AS BIGINT) AS neg
+         |  FROM lbl GROUP BY margin),
+         |cum AS (
+         |  SELECT a.margin, a.pos, a.neg,
+         |    COALESCE(CAST(SUM(b.neg) AS BIGINT), 0) AS neg_below
+         |  FROM bym a LEFT JOIN bym b ON b.margin < a.margin
+         |  GROUP BY a.margin, a.pos, a.neg),
+         |tot AS (
+         |  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |    CAST(SUM(neg) AS BIGINT) AS n_neg FROM bym),
+         |u AS (
+         |  SELECT SUM(CAST(pos * (2 * neg_below + neg) AS HUGEINT)) AS u2
+         |  FROM cum)
+         |SELECT tot.n_pos, tot.n_neg, CAST(u.u2 AS BIGINT) AS pairs2,
+         |  CAST((u.u2 * 1000000) // nullif(2 * tot.n_pos * tot.n_neg, 0)
+         |    AS BIGINT) AS auc_fp
+         |FROM u CROSS JOIN tot""".stripMargin,
+    "q_eval_calibration" ->
+      s"""WITH $duckMarginCtes,
+         |$duckLabelCtes,
+         |b AS (
+         |  SELECT CAST(floor(margin / 100.0) AS BIGINT) AS bin,
+         |    COUNT(*) AS n,
+         |    CAST(SUM(CAST(gold AS BIGINT)) AS BIGINT) AS n_gold,
+         |    CAST(SUM(margin) AS BIGINT) AS sum_margin
+         |  FROM lbl GROUP BY 1)
+         |SELECT bin, n, n_gold,
+         |  n_gold * 1000000 // n AS gold_rate_fp,
+         |  sum_margin * 1000000 // n AS mean_margin_fp
+         |FROM b ORDER BY bin""".stripMargin,
+    "q_eval_ndcg" -> {
+      val wVals = NdcgW.map { case (i, wv) => s"($i, ${wv}::BIGINT)" }
+        .mkString(", ")
+      s"""${Indexing.bm25ScoredCtes},
+         |$duckMarginCtes,
+         |top10 AS (
+         |  SELECT doc_id, ${graft.queries.Catalog.dsumSql("addend")} AS bm25
+         |  FROM scored GROUP BY doc_id
+         |  ORDER BY bm25 DESC, doc_id LIMIT $NdcgK),
+         |pos AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+         |      AS pos
+         |  FROM top10),
+         |rels AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN margin > $RelHi THEN 3
+         |              WHEN margin > $RelMid THEN 2
+         |              WHEN margin > $RelLo THEN 1 ELSE 0 END AS BIGINT)
+         |      AS rel
+         |  FROM qm),
+         |w(pos, w) AS (VALUES $wVals),
+         |gains AS (
+         |  SELECT p.pos, r.rel * w.w AS g
+         |  FROM pos p JOIN rels r USING (doc_id) JOIN w ON w.pos = p.pos),
+         |ks AS (SELECT CAST(unnest(range(1, ${NdcgK + 1})) AS BIGINT) AS k),
+         |dcg AS (
+         |  SELECT k, CAST(SUM(g) AS BIGINT) AS dcg_fp
+         |  FROM ks JOIN gains ON gains.pos <= ks.k GROUP BY k),
+         |gcnt AS (SELECT rel, COUNT(*) AS c FROM rels GROUP BY rel),
+         |cntge AS (
+         |  SELECT a.rel, CAST(SUM(b.c) AS BIGINT) AS c_ge
+         |  FROM gcnt a JOIN gcnt b ON b.rel >= a.rel GROUP BY a.rel),
+         |irel AS (
+         |  SELECT k AS pos, MAX(rel) AS irel
+         |  FROM ks JOIN cntge ON c_ge >= k GROUP BY k),
+         |idcg AS (
+         |  SELECT k, CAST(SUM(i.irel * w.w) AS BIGINT) AS idcg_fp
+         |  FROM ks JOIN irel i ON i.pos <= ks.k JOIN w ON w.pos = i.pos
+         |  GROUP BY k)
+         |SELECT dcg.k, dcg_fp, idcg_fp,
+         |  dcg_fp * 1000000 // nullif(idcg_fp, 0) AS ndcg_fp
+         |FROM dcg JOIN idcg USING (k) ORDER BY k""".stripMargin
+    },
     "q_eval_confusion" -> {
       val stopList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
       s"""WITH $duckMarginCtes,

@@ -667,6 +667,17 @@ object PlanAuditSpec {
     "q_join_pit" -> 2,
     // the pred⋈gold doc_id exchange pair + the 1-row confusion fold.
     "q_eval_confusion" -> 2,
+    // margin⋈gold exchange pair + per-margin (pos,neg) agg, the
+    // cumulative self-join's skinny re-agg, and the 1-row U fold; the
+    // corpus itself is touched exactly twice (margins + labels).
+    "q_eval_auc" -> 5,
+    // margin⋈gold exchange pair + the |bins|-sized agg/sort.
+    "q_eval_calibration" -> 3,
+    // BM25's postings shuffle + rank-count, two margin-relation scans
+    // (retrieved gains + global grade counts), and the ≤10-row
+    // cumulative-k / ideal-list algebra — every post-BM25 exchange
+    // carries a K- or grade-bounded relation, never the corpus.
+    "q_eval_ndcg" -> 12,
     // user window pass, (from,to) train agg, from-type rank window,
     // per-eval-row regroup, final from-type agg/sort; the model side
     // reaches the eval join as a broadcast.

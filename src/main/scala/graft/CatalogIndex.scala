@@ -107,6 +107,7 @@ object CatalogIndex {
     "q_dedup_embedding" -> "embedding-cosine near-dup via LSH bucket self-join",
     "q_embed_centroid" -> "per-label embedding centroids (skinny partial aggs)",
     "q_embed_project" -> "Johnson-Lindenstrauss random projection",
+    "q_embed_quantize" -> "int8 scalar quantization: per-dim scale + exact reconstruction error",
     "q_kmeans" -> "distributed k-means (fixed seed and iterations)",
     "q_vector_cosine" -> "exact pairwise cosine above threshold (broadcast queries)",
     "q_vector_topk" -> "brute-force cosine top-k per query (codegen dot product)",

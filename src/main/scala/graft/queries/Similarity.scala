@@ -293,6 +293,48 @@ object Similarity extends QueryGroup {
       .orderBy($"label", $"pos")
   }
 
+  /** Int8 scalar quantization of the embedding column — the storage form
+    * a 100 TB ANN corpus actually ships (float32 → int8 is a 4× smaller
+    * scan + cache footprint at a recall cost this query measures).
+    * Per-dimension symmetric scale `absmax = max |component|` (the train
+    * pass), code `c = trunc(q·127 / absmax) ∈ [-127, 127]`, then the
+    * eval pass reports exact reconstruction error per dimension: row
+    * count, saturated-code count, Σ|q−q̂| and max |q−q̂|, and the relative
+    * error ×1e6 against the dimension's own scale.
+    *
+    * Scale shape: ONE positional explode (64 skinny long rows per
+    * vector), a map-side-combined 64-row absmax agg, absmax broadcast
+    * back (no shuffle for the join), then a second map-side 64-row agg —
+    * vectors never shuffle and nothing wider than (pos, q) ever moves.
+    * All arithmetic is int64 via the shared floor(x·1e7) quantizer;
+    * error sums ride DECIMAL(38,0) (Σ|err| is Θ(rows·absmax) and clears
+    * int64 long before 100 TB), and every division is integer `div` —
+    * truncation toward zero, verified identical in both engines. */
+  private def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = Tables.embeddings(s, d)
+      .select(posexplode(quantize($"embedding")))
+      .toDF("pos", "qd")
+      .select($"pos".cast("long").as("pos"), $"qd".cast("long").as("q"))
+    val scale = q.groupBy($"pos")
+      .agg(greatest(max(abs($"q")), lit(1L)).as("absmax"))
+    q.join(broadcast(scale), "pos")
+      .select($"pos", $"absmax",
+        expr("q * 127 div absmax").as("c"),
+        expr("abs(q - ((q * 127 div absmax) * absmax div 127))").as("err"))
+      .groupBy($"pos", $"absmax")
+      .agg(count(lit(1)).as("n"),
+        sum(($"c" === 127L || $"c" === -127L).cast("long")).as("n_sat"),
+        sum($"err".cast(d38)).as("serr"),
+        max($"err").as("max_abs_err"))
+      .select($"pos", $"absmax", $"n", $"n_sat",
+        $"serr".cast("long").as("sum_abs_err"), $"max_abs_err",
+        expr("CAST((serr * 1000000) div (CAST(n AS DECIMAL(38,0)) * absmax) AS BIGINT)")
+          .as("rel_err_fp"))
+      .orderBy($"pos")
+  }
+
   private val KmeansK = 8
   private val KmeansIters = 2
 
@@ -438,6 +480,7 @@ object Similarity extends QueryGroup {
     "q_ann_recall" -> annRecall,
     "q_embed_project" -> embedProject,
     "q_embed_centroid" -> embedCentroid,
+    "q_embed_quantize" -> embedQuantize,
     "q_kmeans" -> kmeans,
     "q_vector_topk" -> vectorTopK,
     "q_vector_cosine" -> vectorCosine,
@@ -579,6 +622,30 @@ object Similarity extends QueryGroup {
          |    / (COUNT(*) * $QuantScale) AS centroid
          |FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)
          |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+    // Same trunc-toward-zero integer `//` chain as the Spark `div`s;
+    // SUM(err) is HUGEINT, matching the Spark DECIMAL(38,0) error sum.
+    "q_embed_quantize" ->
+      s"""WITH q AS (
+         |  SELECT CAST(i AS BIGINT) AS pos,
+         |    CAST(floor(CAST(embedding[i+1] AS DOUBLE) * $QuantScale.0)
+         |      AS BIGINT) AS q
+         |  FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)),
+         |s AS (
+         |  SELECT pos, GREATEST(MAX(ABS(q)), 1) AS absmax
+         |  FROM q GROUP BY pos),
+         |e AS (
+         |  SELECT q.pos, s.absmax,
+         |    q.q * 127 // s.absmax AS c,
+         |    ABS(q.q - ((q.q * 127 // s.absmax) * s.absmax // 127)) AS err
+         |  FROM q JOIN s USING (pos))
+         |SELECT pos, absmax, COUNT(*) AS n,
+         |  CAST(SUM(CAST(c = 127 OR c = -127 AS BIGINT)) AS BIGINT)
+         |    AS n_sat,
+         |  CAST(SUM(err) AS BIGINT) AS sum_abs_err,
+         |  MAX(err) AS max_abs_err,
+         |  CAST(SUM(err) * 1000000 // (COUNT(*) * absmax) AS BIGINT)
+         |    AS rel_err_fp
+         |FROM e GROUP BY pos, absmax ORDER BY pos""".stripMargin,
     "q_vector_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id, $duckQuant qv FROM embeddings

@@ -266,6 +266,10 @@ object PlanAuditSpec {
     "q_embed_centroid" -> 2,
     // row-local JL projection: the only exchange is the output sort.
     "q_embed_project" -> 1,
+    // absmax partial agg + per-dim stats partial agg (both map-side
+    // combined to 64xpartitions rows) + the 64-row output sort; the
+    // absmax join is a broadcast, never an exchange.
+    "q_embed_quantize" -> 3,
     // all six exchanges carry (user, day) pairs or per-day counts —
     // the event payload is dropped at the first projection.
     "q_events_dau" -> 6,

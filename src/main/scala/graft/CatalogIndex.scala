@@ -105,6 +105,7 @@ object CatalogIndex {
     "q_ann_lsh" -> "random-hyperplane LSH bucketed ANN",
     "q_ann_recall" -> "recall@k contract of LSH + IVF vs brute force",
     "q_dedup_embedding" -> "embedding-cosine near-dup via LSH bucket self-join",
+    "q_dedup_semantic" -> "SemDeDup: IVF-cell-scoped exact-cosine dedup, min-id keep policy",
     "q_embed_centroid" -> "per-label embedding centroids (skinny partial aggs)",
     "q_embed_project" -> "Johnson-Lindenstrauss random projection",
     "q_embed_quantize" -> "int8 scalar quantization: per-dim scale + exact reconstruction error",

@@ -272,6 +272,44 @@ object Similarity extends QueryGroup {
     * the result nonempty yet selective at every SF. */
   private[queries] val CosDupThreshold = 0.30
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding space coarsely, compare pairs ONLY within a cluster, and
+    * keep one representative per near-dup star — the published recipe for
+    * pruning web-scale corpora where global all-pairs is impossible.
+    * Here the clustering is the IVF assignment (shared [[NumCells]]
+    * anchors — the same inverted file `q_ann_ivf` probes), the duplicate
+    * test is exact integer arithmetic over quantized vectors
+    * (cos ≥ 3/10 ⇔ dot > 0 ∧ 100·dot² ≥ 9·|a|²·|b|², with the squares in
+    * DECIMAL(38,0) ↔ HUGEINT — no doubles anywhere), and the keep policy
+    * is deterministic min-id: a vector is removed iff some smaller-id
+    * vector in its cell clears the threshold against it. Output is the
+    * full verdict relation (cell, vec_id, kept).
+    *
+    * Scale: the self-join is cell-bounded — Θ(Σ |cell|²) instead of n²,
+    * and [[NumCells]] is the knob (a 100 TB corpus runs ~√n cells so
+    * cells stay ~constant-size; 16 matches the test SF). The verdict
+    * join back is a broadcast-able skinny distinct of removed ids. */
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val asg = ivfAssignment(s, d)
+      .select($"vec_id", $"qv", $"cell", dotInt($"qv", $"qv").as("n2"))
+    val removed = asg.as("a").join(asg.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        dotInt(col("a.qv"), col("b.qv")).as("dot"),
+        col("a.n2").as("na"), col("b.n2").as("nb"))
+      .filter($"dot" > 0 &&
+        $"dot".cast(d38) * $"dot" * 100 >= $"na".cast(d38) * $"nb" * 9)
+      .select($"vec_id").distinct()
+    asg.select($"cell", $"vec_id")
+      .join(removed.withColumn("rm", lit(1L)), Seq("vec_id"), "left")
+      .select($"cell", $"vec_id",
+        when($"rm".isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy($"cell", $"vec_id")
+  }
+
   /** Per-label centroid (elementwise mean) of the embedding column — the
     * aggregation step of k-means / class-prototype computation. Output is
     * LONG (label, dim-position) rows, not a vector column: the driver
@@ -487,6 +525,7 @@ object Similarity extends QueryGroup {
     "q_ann_lsh" -> annLsh,
     "q_ann_ivf" -> annIvf,
     "q_dedup_embedding" -> dedupEmbedding,
+    "q_dedup_semantic" -> dedupSemantic,
   )
 
   // DuckDB fragments ------------------------------------------------------
@@ -711,6 +750,41 @@ object Similarity extends QueryGroup {
          |    (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) rnk
          |  FROM scored) t
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    // Same IVF assignment CTE as q_ann_ivf; the duplicate test squares
+    // ride HUGEINT, matching the Spark DECIMAL(38,0) chain.
+    "q_dedup_semantic" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, $duckQuant qv FROM embeddings
+         |), ad AS (
+         |  SELECT vec_id, cell,
+         |    CAST(list_sum([
+         |      qv[i+1] * ((($AnchorOffset + cell)*64 + i) * $PlaneMult % 4294967296
+         |                 - 2147483648)
+         |      FOR i IN range(0, 64)]) AS BIGINT) dot
+         |  FROM q, (SELECT unnest(range(0, $NumCells)) cell) c
+         |), ranked AS (
+         |  SELECT vec_id, cell, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY dot DESC, cell) rn
+         |  FROM ad
+         |), qa AS (
+         |  SELECT r.vec_id, r.cell, q.qv,
+         |    ${duckDotInt("q.qv", "q.qv")} n2
+         |  FROM ranked r JOIN q USING (vec_id) WHERE r.rn = 1
+         |), pairs AS (
+         |  SELECT b.vec_id AS vid,
+         |    ${duckDotInt("a.qv", "b.qv")} AS dot,
+         |    a.n2 AS na, b.n2 AS nb
+         |  FROM qa a JOIN qa b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |), rm AS (
+         |  SELECT DISTINCT vid AS vec_id FROM pairs
+         |  WHERE dot > 0
+         |    AND CAST(dot AS HUGEINT) * dot * 100 >= CAST(na AS HUGEINT) * nb * 9
+         |)
+         |SELECT qa.cell, qa.vec_id,
+         |  CAST(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS kept
+         |FROM qa LEFT JOIN rm USING (vec_id)
+         |ORDER BY cell, vec_id""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH q AS (
          |  SELECT vec_id, $duckQuant qv FROM embeddings

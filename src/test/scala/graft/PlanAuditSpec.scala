@@ -231,6 +231,9 @@ object PlanAuditSpec {
     "q_csv_roundtrip" -> 2,
     "q_date_funs" -> 1,
     "q_dedup_embedding" -> 2,
+    // cell-keyed self-join + removed-id distinct + the output sort; the
+    // verdict join back broadcasts the skinny removed set.
+    "q_dedup_semantic" -> 3,
     "q_dedup_exact" -> 2,
     "q_dedup_incremental" -> 3,
     // 3 (was 2): verifyJaccard's persist() → broadcast+ReuseExchange rework

@@ -591,6 +591,72 @@ object TextAnalysis extends QueryGroup {
       .limit(VocabK)
   }
 
+  private[queries] val BpeMerges = 3
+  private val SymA = "\u0001" // symbol-start sentinel in the encoded form
+  private val SymB = "\u0002" // symbol-end sentinel
+  private val EndWord = "</w>" // classic BPE end-of-word marker
+
+  /** BPE tokenizer TRAINING — [[BpeMerges]] merge steps of byte-pair
+    * encoding (Sennrich et al. 2016) over the corpus, the step that
+    * produces the vocab `q_text_token_count` would consume. Each step:
+    * freq-weighted adjacent-symbol-pair counts over the WORD VOCAB (never
+    * the corpus — the classic trick: identical words collapse to one row
+    * with a frequency, so pair counting is Θ(vocab), not Θ(tokens)), a
+    * deterministic argmax (count DESC, pair ASC), and a greedy
+    * left-to-right non-overlapping merge application.
+    *
+    * The merge application is ONE literal `replace()` per word: symbols
+    * are encoded as `\u0001 sym \u0002 …`, so the pattern
+    * `\u0001 l \u0002 \u0001 r \u0002 → \u0001 lr \u0002` can neither match
+    * inside a longer symbol nor chain into an overlapping match (the
+    * replacement ends in the END sentinel, a match must start with the
+    * START sentinel) — and both engines' replace() scans left-to-right
+    * non-overlapping, which IS BPE's greedy application order.
+    *
+    * Scale: every relation after the first groupBy is vocab-sized
+    * (~1e8 rows at 100 TB, skinny strings); each of the 3 steps is one
+    * map-side-combined pair count + a 1-row broadcast argmax + a
+    * row-local replace. Nothing iterates over the corpus again, and the
+    * 1-row LIMIT sort runs over observed-pair counts, not tokens. */
+  private def textBpe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pq = java.util.regex.Pattern.quote(SymB + SymA)
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    var enc = vocab.select($"freq",
+      concat(
+        array_join(transform(sequence(lit(1), length($"w")),
+          i => concat(lit(SymA), $"w".substr(i, lit(1)), lit(SymB))), ""),
+        lit(SymA + EndWord + SymB)).as("enc"))
+    val symsOf = (c: Column) =>
+      split(c.substr(lit(2), length(c) - 2), pq)
+    val steps = Seq.newBuilder[DataFrame]
+    for (step <- 1 to BpeMerges) {
+      val pairs = enc.select($"freq", symsOf($"enc").as("sy"))
+        .select($"freq",
+          explode(zip_with(slice($"sy", lit(1), size($"sy") - 1),
+            slice($"sy", lit(2), size($"sy") - 1),
+            (x, y) => struct(x.as("lhs"), y.as("rhs")))).as("p"))
+        .groupBy($"p.lhs".as("lhs"), $"p.rhs".as("rhs"))
+        .agg(sum($"freq").as("cnt"))
+      val best = pairs.orderBy($"cnt".desc, $"lhs".asc, $"rhs".asc).limit(1)
+      enc = enc.crossJoin(broadcast(best))
+        .select($"freq", expr(
+          """replace(enc,
+            |  concat(char(1), lhs, char(2), char(1), rhs, char(2)),
+            |  concat(char(1), lhs, rhs, char(2)))""".stripMargin).as("enc"))
+      steps += enc
+        .agg(sum($"freq" * size(symsOf($"enc"))).as("n_tokens_after"))
+        .crossJoin(broadcast(best))
+        .select(lit(step).as("step"), $"lhs", $"rhs",
+          concat($"lhs", $"rhs").as("merged"), $"cnt".as("pair_cnt"),
+          $"n_tokens_after")
+    }
+    steps.result().reduce(_.union(_)).orderBy($"step")
+  }
+
   private val OovVocabK = 100
 
   /** Tokenizer-vocabulary coverage / out-of-vocabulary rate per source —
@@ -624,6 +690,7 @@ object TextAnalysis extends QueryGroup {
     "q_text_oov" -> textOov,
     "q_text_chunk" -> textChunk,
     "q_text_vocab" -> textVocab,
+    "q_text_bpe" -> textBpe,
     "q_text_top_skills" -> topSkills,
     "q_text_langid" -> langId,
     "q_text_quality" -> quality,
@@ -753,6 +820,53 @@ object TextAnalysis extends QueryGroup {
          |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
          |      FROM documents) t
          |GROUP BY token ORDER BY cnt DESC, token LIMIT $VocabK""".stripMargin,
+    // Unrolled per merge step like the kmeans oracle; the greedy merge
+    // application is the same sentinel-encoded literal replace() chain
+    // (chr(1)/chr(2) = the Spark side's \u0001/\u0002 sentinels).
+    "q_text_bpe" -> {
+      def sy(encExpr: String) =
+        s"string_split(substr($encExpr, 2, len($encExpr) - 2), chr(2)||chr(1))"
+      def step(i: Int): String =
+        s"""sy$i AS (
+           |  SELECT freq, ${sy("enc")} AS sy FROM e${i - 1}),
+           |c$i AS (
+           |  SELECT t.sy[r.i] AS lhs, t.sy[r.i+1] AS rhs,
+           |    CAST(SUM(t.freq) AS BIGINT) AS cnt
+           |  FROM sy$i t, UNNEST(range(1, len(t.sy))) AS r(i)
+           |  GROUP BY 1, 2),
+           |b$i AS (
+           |  SELECT lhs, rhs, cnt FROM c$i
+           |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+           |e$i AS (
+           |  SELECT e.freq,
+           |    replace(e.enc, chr(1)||b.lhs||chr(2)||chr(1)||b.rhs||chr(2),
+           |      chr(1)||b.lhs||b.rhs||chr(2)) AS enc
+           |  FROM e${i - 1} e, b$i b),
+           |n$i AS (
+           |  SELECT CAST(SUM(freq * len(${sy("enc")})) AS BIGINT)
+           |    AS n_tokens_after
+           |  FROM e$i),
+           |s$i AS (
+           |  SELECT $i AS step, b.lhs, b.rhs, b.lhs||b.rhs AS merged,
+           |    b.cnt AS pair_cnt, n.n_tokens_after
+           |  FROM b$i b, n$i n)"""
+      s"""WITH v AS (
+         |  SELECT w, COUNT(*) AS freq FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS w
+         |    FROM documents) t
+         |  WHERE len(w) > 0 GROUP BY w),
+         |e0 AS (
+         |  SELECT freq,
+         |    array_to_string([chr(1) || w[i] || chr(2)
+         |      FOR i IN range(1, len(w) + 1)], '')
+         |      || chr(1) || '</w>' || chr(2) AS enc
+         |  FROM v),
+         |${(1 to BpeMerges).map(step).mkString(",\n")}
+         |SELECT step, lhs, rhs, merged, pair_cnt, n_tokens_after
+         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |      UNION ALL SELECT * FROM s3) u
+         |ORDER BY step""".stripMargin
+    },
     // Exact specification of the two-pass MG query's OUTPUT (tokens with
     // support > n/(c+1)) — the sketch is implementation detail; its
     // superset guarantee is what makes this hash-comparable.

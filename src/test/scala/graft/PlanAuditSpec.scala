@@ -561,6 +561,9 @@ object PlanAuditSpec {
     "q_text_chunk" -> 1,
     // 1: count shuffle only — orderBy+limit plans TakeOrderedAndProject
     "q_text_vocab" -> 1,
+    // word-vocab groupBy + 3x(pair-count agg + 1-row argmax/stats) + the
+    // 3-row output sort; every post-vocab relation is vocab-sized.
+    "q_text_bpe" -> 7,
     "q_text_fingerprint" -> 1,
     "q_text_langid" -> 1,
     // unigram agg + bigram agg + top-K sort; unigram side broadcasts.

@@ -86,6 +86,7 @@ object CatalogIndex {
     "q_text_langid" -> "n-gram-heuristic language identification",
     "q_text_oov" -> "vocabulary coverage / OOV rate per document",
     "q_text_quality" -> "length / punctuation / stopword-ratio quality scoring",
+    "q_text_funnel" -> "corpus-cleaning attrition funnel: cumulative per-stage doc/token survivors",
     "q_text_redact_pii" -> "regex PII redaction (emails, phones, ids)",
     "q_text_repetition" -> "bigram-repetition ratio filter",
     "q_text_token_count" -> "whitespace + BPE-ish regex token counting",

@@ -106,6 +106,64 @@ object TextAnalysis extends QueryGroup {
       .orderBy($"doc_id")
   }
 
+  /** Corpus-cleaning attrition funnel — the per-stage survivor table
+    * every dataset release publishes (C4 / RefinedWeb style): how many
+    * documents and tokens survive each cleaning rule CUMULATIVELY, from
+    * "all" through the length band, stopword-ratio and diversity gates
+    * (the same declared heuristics as `q_text_quality`), ending with
+    * exact-text dedup among the survivors.
+    *
+    * One narrow scan computes every per-doc flag; the dedup stage is a
+    * window partitioned by md5(text) ordered (survivor-first, doc_id) so
+    * a failing doc never consumes a survivor's first-occurrence slot;
+    * then ONE map-side-combined global aggregate produces all 12 sums
+    * and `stack()` pivots them to the 6-row report. Counts are exact
+    * integers; the share column is ×1e6 fixed-point. At 100 TB the
+    * md5 window shuffles once on a well-spread key — everything after
+    * is a 1-row relation. */
+  private def textFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"text",
+        size(toks).cast("long").as("n_tok"),
+        size(filter(toks, t => t.isin(Stopwords: _*))).cast("long")
+          .as("n_stop"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("s2", $"n_tok" >= 12)
+      .withColumn("s3", $"s2" && $"n_tok" >= 20 && $"n_tok" <= 1000)
+      .withColumn("s4", $"s3" && $"n_stop" * 20 < $"n_tok" * 3)
+      .withColumn("s5", $"s4" && $"n_distinct" * 10 >= $"n_tok" * 3)
+    val w = Window.partitionBy(md5(lower(trim($"text"))))
+      .orderBy($"s5".desc, $"doc_id")
+    base.withColumn("rn", row_number().over(w))
+      .withColumn("s6", $"s5" && $"rn" === 1)
+      .agg(
+        count(lit(1)).as("d1"), sum($"n_tok").as("t1"),
+        sum($"s2".cast("long")).as("d2"),
+        sum(when($"s2", $"n_tok").otherwise(0L)).as("t2"),
+        sum($"s3".cast("long")).as("d3"),
+        sum(when($"s3", $"n_tok").otherwise(0L)).as("t3"),
+        sum($"s4".cast("long")).as("d4"),
+        sum(when($"s4", $"n_tok").otherwise(0L)).as("t4"),
+        sum($"s5".cast("long")).as("d5"),
+        sum(when($"s5", $"n_tok").otherwise(0L)).as("t5"),
+        sum($"s6".cast("long")).as("d6"),
+        sum(when($"s6", $"n_tok").otherwise(0L)).as("t6"))
+      .select(expr(
+        """stack(6,
+          |  1, 'all', d1, t1,
+          |  2, 'min_tokens', d2, t2,
+          |  3, 'length_band', d3, t3,
+          |  4, 'stopword_ratio', d4, t4,
+          |  5, 'diversity', d5, t5,
+          |  6, 'exact_dedup', d6, t6) AS (stage, rule, n_docs, n_tokens)
+          |""".stripMargin), $"d1")
+      .select($"stage", $"rule", $"n_docs", $"n_tokens",
+        expr("n_docs * 1000000 div d1").as("share_fp"))
+      .orderBy($"stage")
+  }
+
   /** Token counting: whitespace tokens, regex (BPE-ish word/number/symbol)
     * tokens, and the chars/4 LLM-token estimate. */
   private def tokenCount(s: SparkSession, d: String): DataFrame = {
@@ -694,6 +752,7 @@ object TextAnalysis extends QueryGroup {
     "q_text_top_skills" -> topSkills,
     "q_text_langid" -> langId,
     "q_text_quality" -> quality,
+    "q_text_funnel" -> textFunnel,
     "q_text_token_count" -> tokenCount,
     "q_text_fingerprint" -> fingerprint,
     "q_text_boilerplate" -> boilerplate,
@@ -969,6 +1028,60 @@ object TextAnalysis extends QueryGroup {
         |   AND CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) < 0.2)
         |    AS quality_ok
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Same flag cascade as q_text_quality's features; the dedup stage's
+    // window orders survivor-first so both engines pick the same
+    // representative; the 6-row pivot is a UNION ALL of the 1-row agg.
+    "q_text_funnel" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(toks, t -> t IN ('a', 'the'))) AS BIGINT)
+        |      AS n_stop,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        |  FROM f
+        |), g AS (
+        |  SELECT *,
+        |    (n_tok >= 12) AS s2,
+        |    (n_tok >= 12 AND n_tok >= 20 AND n_tok <= 1000) AS s3,
+        |    (n_tok >= 12 AND n_tok >= 20 AND n_tok <= 1000
+        |     AND n_stop * 20 < n_tok * 3) AS s4,
+        |    (n_tok >= 12 AND n_tok >= 20 AND n_tok <= 1000
+        |     AND n_stop * 20 < n_tok * 3
+        |     AND n_distinct * 10 >= n_tok * 3) AS s5
+        |  FROM c
+        |), r AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY md5(lower(trim(text))) ORDER BY s5 DESC, doc_id) AS rn
+        |  FROM g
+        |), a AS (
+        |  SELECT COUNT(*) AS d1, CAST(SUM(n_tok) AS BIGINT) AS t1,
+        |    CAST(SUM(CAST(s2 AS BIGINT)) AS BIGINT) AS d2,
+        |    CAST(SUM(CASE WHEN s2 THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(SUM(CAST(s3 AS BIGINT)) AS BIGINT) AS d3,
+        |    CAST(SUM(CASE WHEN s3 THEN n_tok ELSE 0 END) AS BIGINT) AS t3,
+        |    CAST(SUM(CAST(s4 AS BIGINT)) AS BIGINT) AS d4,
+        |    CAST(SUM(CASE WHEN s4 THEN n_tok ELSE 0 END) AS BIGINT) AS t4,
+        |    CAST(SUM(CAST(s5 AS BIGINT)) AS BIGINT) AS d5,
+        |    CAST(SUM(CASE WHEN s5 THEN n_tok ELSE 0 END) AS BIGINT) AS t5,
+        |    CAST(SUM(CAST(s5 AND rn = 1 AS BIGINT)) AS BIGINT) AS d6,
+        |    CAST(SUM(CASE WHEN s5 AND rn = 1 THEN n_tok ELSE 0 END)
+        |      AS BIGINT) AS t6
+        |  FROM r
+        |), p AS (
+        |  SELECT 1 AS stage, 'all' AS rule, d1 AS n_docs, t1 AS n_tokens,
+        |    d1 AS dd FROM a
+        |  UNION ALL SELECT 2, 'min_tokens', d2, t2, d1 FROM a
+        |  UNION ALL SELECT 3, 'length_band', d3, t3, d1 FROM a
+        |  UNION ALL SELECT 4, 'stopword_ratio', d4, t4, d1 FROM a
+        |  UNION ALL SELECT 5, 'diversity', d5, t5, d1 FROM a
+        |  UNION ALL SELECT 6, 'exact_dedup', d6, t6, d1 FROM a
+        |)
+        |SELECT stage, rule, n_docs, n_tokens,
+        |  n_docs * 1000000 // dd AS share_fp
+        |FROM p ORDER BY stage""".stripMargin,
     "q_text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,

@@ -573,6 +573,9 @@ object PlanAuditSpec {
     // broadcast into the scoring join.
     "q_text_bm25" -> 5,
     "q_text_quality" -> 1,
+    // one md5-keyed dedup-window shuffle + the 6-row pivot sort; the
+    // 12-sum aggregate is a 1-row relation.
+    "q_text_funnel" -> 2,
     "q_text_tfidf" -> 6,
     "q_text_token_count" -> 1,
     "q_text_top_skills" -> 3,

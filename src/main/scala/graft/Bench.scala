@@ -328,6 +328,19 @@ object Bench {
           System.err.println(s"[bench] BENCH_DETAIL.json write FAILED: $e")
       }
     }
+    // Scale probes and other non-canonical sweeps need the full
+    // per-query detail too (the stdout line budgets to ~1.4 kB) —
+    // SPARK_GRAFT_BENCH_DETAIL_OUT writes it to an explicit path
+    // without touching the committed sf0.1 artifact.
+    sys.env.get("SPARK_GRAFT_BENCH_DETAIL_OUT").foreach { p =>
+      try {
+        val w = new java.io.PrintWriter(p)
+        try w.println(detail) finally w.close()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] detail write to $p FAILED: $e")
+      }
+    }
 
     // The driver records only a bounded tail of this process's output, so
     // the final JSON line must fit entirely inside it to parse (rounds

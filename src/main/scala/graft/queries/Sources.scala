@@ -144,8 +144,27 @@ object Sources extends QueryGroup {
     * against a fresh oracle. O(128 KiB) read per session — negligible. */
   private def ordersFixtureKey(d: String): String = {
     val src = new java.io.File(d, "orders.parquet")
+    // A Spark-written table is a DIRECTORY of part files (the scale-probe
+    // corpora are laid out that way); a driver-written one is a single
+    // file. Fingerprint the first part file in the directory case, and
+    // fold every part's (name, length, mtime) into the CRC so adding or
+    // rewriting ANY part invalidates, not just the sampled one.
     val crc = new java.util.zip.CRC32
-    val raf = new java.io.RandomAccessFile(src, "r")
+    val dataFile =
+      if (!src.isDirectory) src
+      else {
+        val parts = Option(src.listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.startsWith("part-"))
+          .sortBy(_.getName)
+        require(parts.nonEmpty, s"no part files under $src")
+        parts.foreach { p =>
+          crc.update(s"${p.getName}:${p.length}:${p.lastModified};"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        parts.head
+      }
+    val raf = new java.io.RandomAccessFile(dataFile, "r")
     try {
       val n = math.min(65536L, raf.length).toInt
       val head = new Array[Byte](n)
@@ -156,7 +175,7 @@ object Sources extends QueryGroup {
         raf.readFully(tail); crc.update(tail)
       }
     } finally raf.close()
-    s"${new java.io.File(d).getName}_${src.length}_${src.lastModified}" +
+    s"${new java.io.File(d).getName}_${dataFile.length}_${dataFile.lastModified}" +
       s"_${java.lang.Long.toHexString(crc.getValue)}"
   }
 

@@ -60,4 +60,35 @@ class BpeSpec extends graft.SparkTestBase {
     assert(got.map(_._6) == got.map(_._6).sorted.reverse)
     assert(got.map(_._6).distinct.size == got.size)
   }
+
+  test("sentinel replace() equals greedy merge on adversarial overlaps") {
+    // The query's load-bearing assumption: ONE literal replace() over the
+    // sentinel encoding implements BPE's greedy left-to-right
+    // NON-OVERLAPPING application — a match can't start inside a
+    // replacement and can't chain across one. Pin it against applyMerge
+    // on exactly the shapes where naive separator encodings break.
+    val cases = Seq(
+      (Vector("a", "a", "a", "a"), ("a", "a")),      // even run: [aa, aa]
+      (Vector("a", "a", "a"), ("a", "a")),           // odd run: [aa, a]
+      (Vector("a", "b", "a", "b", "a", "b"), ("a", "b")), // back-to-back
+      (Vector("a", "a", "b"), ("a", "b")),           // late match
+      (Vector("aa", "a", "aa"), ("aa", "a")),        // multi-char symbol
+      (Vector("x", "a", "b", "x", "a", "b"), ("b", "x")), // interior
+      (Vector("a"), ("a", "a")),                     // no match at all
+      (Vector("ab", "c", "ab", "c", "ab"), ("ab", "c"))) // merged lhs
+    cases.foreach { case (sy, (l, r)) =>
+      val enc = sy.map(s => "\u0001" + s + "\u0002").mkString
+      val out = spark.sql(
+        s"""SELECT replace('$enc',
+           |  concat(char(1), '$l', char(2), char(1), '$r', char(2)),
+           |  concat(char(1), '$l$r', char(2))) AS e""".stripMargin)
+        .head.getString(0)
+      val decoded =
+        if (out.isEmpty) Vector.empty[String]
+        else out.substring(1, out.length - 1)
+          .split(java.util.regex.Pattern.quote("\u0002\u0001"), -1).toVector
+      assert(decoded == applyMerge(sy, l, r),
+        s"replace() diverged from greedy merge on $sy with ($l,$r)")
+    }
+  }
 }

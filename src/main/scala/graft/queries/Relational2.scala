@@ -265,17 +265,57 @@ object Relational2 extends QueryGroup {
     * partitioning) finds it with integer compares only — no division, no
     * second pass, no per-group sort beyond the window's. The weighted
     * generalization of q_agg_median_disc's discrete selection. */
+  /** Range buckets for the weighted-median two-phase prefix sum. */
+  private val WmBuckets = 1024
+
   private def aggMedianWeighted(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // Two-phase bucketed prefix sum (the operators/Packing pattern
+    // applied to an order statistic): the r12 ×100 probe caught the
+    // original single-window form super-linear (6.8 s → 117 s, exponent
+    // 1.24) — with 3 flags, Window.partitionBy(flag) was 3 single-task
+    // ~20M-row spilling sorts, a real 100 TB scale-killer for few-group
+    // exact medians. Instead: (0) collapse to per-(flag, price) weights
+    // (map-side combined — ties never reach a window); (1) order-
+    // preserving range buckets from a broadcast 1-row min/max; (2) per-
+    // (flag, bucket) subtotals → a TINY per-flag prefix window over
+    // ≤[[WmBuckets]] rows gives each bucket's base cumulative weight and
+    // the flag total; (3) the collapsed rows shuffle to (flag, bucket)
+    // and the cumulative window runs inside each bucket — 3×1024-way
+    // parallel, rows-per-sort bounded by distinct-prices-per-bucket,
+    // never by the group. cumw = base + within-bucket cum stays exact
+    // integers and the crossing VALUE is tie-invariant, so the output is
+    // deterministic and the oracle spec unchanged. */
+    // Phase 0: collapse to per-(flag, price) weights — map-side combined,
+    // spread across the full key space; bounds ride the same pass shape.
+    val pp = Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_extendedprice",
+        $"l_quantity".cast("long").as("w"))
+      .groupBy($"l_returnflag", $"l_extendedprice")
+      .agg(sum($"w").as("wv"))
+    val bounds = pp.agg(min($"l_extendedprice").as("lo"),
+      max($"l_extendedprice").as("hi"))
+    // floor of a monotone transform: price1 < price2 => b1 <= b2, which
+    // is all the bucketing needs (boundaries affect parallelism only).
+    val bucketed = pp.crossJoin(broadcast(bounds))
+      .withColumn("b", least(lit(WmBuckets - 1),
+        floor(($"l_extendedprice" - $"lo").cast("double") * WmBuckets /
+          (($"hi" - $"lo").cast("double") + 1e-9)).cast("int")))
+      .select($"l_returnflag", $"l_extendedprice", $"wv", $"b")
     val byFlag = Window.partitionBy($"l_returnflag")
-    val cum = byFlag.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    val preB = byFlag.orderBy($"b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.lineitem(s, d)
-      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey",
-        $"l_linenumber", $"l_quantity".cast("long").as("w"))
-      .withColumn("cumw", sum($"w").over(cum))
-      .withColumn("totw", sum($"w").over(byFlag))
-      .filter($"cumw" * 2 >= $"totw" && ($"cumw" - $"w") * 2 < $"totw")
+    val bases = bucketed.groupBy($"l_returnflag", $"b")
+      .agg(sum($"wv").as("bw"))
+      .withColumn("base", sum($"bw").over(preB) - $"bw")
+      .withColumn("totw", sum($"bw").over(byFlag))
+      .select($"l_returnflag", $"b", $"base", $"totw")
+    val inBucket = Window.partitionBy($"l_returnflag", $"b")
+      .orderBy($"l_extendedprice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(bases), Seq("l_returnflag", "b"))
+      .withColumn("cumw", $"base" + sum($"wv").over(inBucket))
+      .filter($"cumw" * 2 >= $"totw" && ($"cumw" - $"wv") * 2 < $"totw")
       .select($"l_returnflag", $"l_extendedprice".as("wmedian_price"),
         $"totw".as("total_qty"))
       .orderBy($"l_returnflag")

@@ -199,7 +199,12 @@ object PlanAuditSpec {
     "q_agg_median_disc" -> 2,
     // ONE l_returnflag exchange shared by the cumsum + total windows +
     // the 3-row output sort; the crossing predicate is row-local.
-    "q_agg_median_weighted" -> 2,
+    // r12: collapse + two-phase bucketed prefix sum replaced the single
+    // per-flag window (3 single-task spilling sorts at x100, exponent
+    // 1.24 -> 0.22/decade). The exchanges are the collapse agg, the
+    // bucket-subtotal agg + tiny prefix window, the (flag, bucket)
+    // window shuffle, and the 3-row output sort — every one spread.
+    "q_agg_median_weighted" -> 6,
     // both union branches feed one status partial agg + output sort;
     // name alignment is a projection, not a shuffle.
     "q_union_byname" -> 2,

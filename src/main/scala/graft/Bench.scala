@@ -123,15 +123,32 @@ object Bench {
       env.put("SPARK_GRAFT_BENCH_RUNS", nRuns.toString)
       env.put("SPARK_GRAFT_SF_DIR", sfDir)
       env.put("SPARK_GRAFT_CPUS", cpus)
+      // The child must NOT inherit the parent's sweep/detail settings:
+      // an inherited SWEEPS=N would nest N child sweeps inside each of
+      // the parent's N (selection becomes min of N² medians while the
+      // detail JSON claims N), and an inherited DETAIL_OUT would let the
+      // child transiently overwrite the parent's detail file with a
+      // 4-query record. The child runs exactly one sweep; the parent's
+      // sweep loop provides the selection pressure.
+      env.put("SPARK_GRAFT_BENCH_SWEEPS", "1")
+      env.remove("SPARK_GRAFT_BENCH_DETAIL_OUT")
       // Child stderr (Spark WARN chatter) flows to our stderr — never
       // buffered in a pipe the parent forgets to drain (deadlock).
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      // Child stdout goes to a temp FILE, not a pipe: the first blocking
+      // call after start() must be the bounded waitFor — a pipe read
+      // (transferTo) only returns at stdout EOF, so a child that hangs
+      // without exiting would hang the whole bench forever instead of
+      // being killed at the 30-minute budget.
+      val outFile = java.io.File.createTempFile("graft-bench-child", ".out")
+      outFile.deleteOnExit()
+      pb.redirectOutput(outFile)
       val p = pb.start()
-      val outF = new java.io.ByteArrayOutputStream()
-      p.getInputStream.transferTo(outF)
       val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
       if (!done) { p.destroyForcibly(); p.waitFor() }
-      val out = outF.toString("UTF-8")
+      val out = new String(
+        java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+      outFile.delete()
       if (!done || p.exitValue() != 0) {
         System.err.println(s"[bench] child JVM failed (timeout=${!done}); " +
           "falling back to in-process timing for the graph family")

@@ -33,6 +33,13 @@ object GraftSqlFunctions {
       s"$fn: parameter must be an integer literal, got $other")
   }
 
+  private def litLong(fn: String, e: Expression): Long = e match {
+    case Literal(v: Int, _)  => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: parameter must be an integer literal, got $other")
+  }
+
   private def bad(fn: String, usage: String): Nothing =
     throw new IllegalArgumentException(s"$fn: expected $usage")
 
@@ -87,6 +94,15 @@ object GraftSqlFunctions {
       { case Seq(bf, v) => BloomFilterMightContain(bf, v)
         case _ =>
           bad("bloom_might_contain", "bloom_might_contain(bf, xxhash64(k))") }),
+    // Conf-independent variant with explicit construction-time geometry:
+    // Spark's BloomFilterAggregate clamps items/bits to session confs
+    // (partly at execution time), which forced callers that size blooms
+    // from the data (q_graph_triangles) to mutate session-wide optimizer
+    // caps. This one bakes the caller's numItems into the plan.
+    (FunctionIdentifier("bloom_agg_exact"),
+      info("bloom_agg_exact", classOf[BloomAggExact]),
+      { case Seq(a, n) => BloomAggExact(a, litLong("bloom_agg_exact", n))
+        case _ => bad("bloom_agg_exact", "bloom_agg_exact(xxhash64(k), n_items)") }),
   )
 
   /** Imperative registration into an EXISTING session — catalog queries

@@ -155,8 +155,9 @@ object Graph extends QueryGroup {
     *
     * Wedges still vastly outnumber triangles, so the closure join's
     * exchange is THE cost: a bloom filter over the oriented edge set
-    * (`bloom_agg`, the same surface q_join_bloom uses) prunes non-closing
-    * wedges map-side, BEFORE they hit the wire. False positives just pass
+    * (`bloom_agg_exact` — same family as q_join_bloom's `bloom_agg`, but
+    * with explicit conf-free geometry) prunes non-closing wedges
+    * map-side, BEFORE they hit the wire. False positives just pass
     * a few extra wedges to the exact join; the count is unchanged. */
   private def triangles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -175,16 +176,16 @@ object Graph extends QueryGroup {
     // saturated at the ×100 probe corpus (~150M edges → ~100% false
     // positives → the full multi-billion-row wedge relation reached the
     // closure join and spilled the disk dry). A bloom sized for the data
-    // keeps the map-side prune effective at ANY corpus size; the session
-    // caps (4M items / 64 Mbit by default) are raised to match. Clamped
-    // to Int range — ~2 Gbit ≈ 1.4B items at 1% FP before the struct/
-    // partitioned-bloom fallback would be needed.
+    // keeps the map-side prune effective at ANY corpus size. The
+    // aggregate is graft's `bloom_agg_exact` — explicit geometry baked
+    // into the plan at construction, NO session conf consulted: the r12
+    // variant had to raise spark.sql.optimizer.runtime.bloomFilter.
+    // maxNumItems/maxNumBits session-wide and never restored them, a
+    // cross-query side effect on any shared session. Clamped to Int
+    // range — ~2.4 GiB of bloom at 1% FP before a partitioned-bloom
+    // fallback would be needed.
     val edgeRows = oe.count()
     val nEdges = math.min(math.max(4000000L, edgeRows), Int.MaxValue).toInt
-    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
-      Int.MaxValue.toString)
-    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
-      Int.MaxValue.toString)
     oe.createOrReplaceTempView("graph_oedges")
     // Closure-join strategy from the same count. The wedge stream is
     // the single thing in this plan that is allowed to be huge, so it
@@ -206,7 +207,7 @@ object Graph extends QueryGroup {
         FROM graph_oedges e1 JOIN graph_oedges e2
           ON e1.u = e2.u AND e1.v < e2.v
         WHERE bloom_might_contain(
-            (SELECT bloom_agg(xxhash64(u, v), $nEdges) FROM graph_oedges),
+            (SELECT bloom_agg_exact(xxhash64(u, v), $nEdges) FROM graph_oedges),
             xxhash64(e1.v, e2.v))
       )
       SELECT $closureHint COUNT(*) AS n_triangles

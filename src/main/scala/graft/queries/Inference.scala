@@ -193,7 +193,12 @@ object Inference extends QueryGroup {
       .groupBy($"a.margin", $"a.pos", $"a.neg")
       .agg(coalesce(sum($"b.neg"), lit(0L)).as("neg_below"))
     val tot = byM.agg(sum($"pos").as("n_pos"), sum($"neg").as("n_neg"))
-    cum.agg(sum(($"pos" * (lit(2L) * $"neg_below" + $"neg")).cast(d38))
+    // pos is cast to DECIMAL(38,0) BEFORE the multiply (not after): a
+    // single margin bucket's pair term pos·(2·negBelow+neg) is itself
+    // Θ(n²) and would abort in int64 under ANSI long before the sum did
+    // — the whole pair-count chain rides DECIMAL(38,0), not just the
+    // final fold.
+    cum.agg(sum($"pos".cast(d38) * (lit(2L) * $"neg_below" + $"neg"))
         .as("u2"))
       .crossJoin(broadcast(tot))
       .select($"n_pos", $"n_neg", $"u2".cast("long").as("pairs2"),
@@ -474,7 +479,7 @@ object Inference extends QueryGroup {
          |  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
          |    CAST(SUM(neg) AS BIGINT) AS n_neg FROM bym),
          |u AS (
-         |  SELECT SUM(CAST(pos * (2 * neg_below + neg) AS HUGEINT)) AS u2
+         |  SELECT SUM(CAST(pos AS HUGEINT) * (2 * neg_below + neg)) AS u2
          |  FROM cum)
          |SELECT tot.n_pos, tot.n_neg, CAST(u.u2 AS BIGINT) AS pairs2,
          |  CAST((u.u2 * 1000000) // nullif(2 * tot.n_pos * tot.n_neg, 0)

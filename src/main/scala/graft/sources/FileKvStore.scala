@@ -71,8 +71,11 @@ object FileKvStore {
   /** Escapes exactly the `k=v,k=v` grammar's structural characters (plus
     * `%` itself) in a pair key/value — a comma inside a scraped job
     * title would otherwise silently truncate the parsed row at read
-    * time. Anything without `%` round-trips unchanged, so raw values
-    * written outside `rowSink` still parse. */
+    * time. Note the decode side ([[pairDec]]) is applied unconditionally
+    * at parse time, so only `%`-free raw values written outside
+    * `rowSink` (direct `upsert`) parse back unchanged; a raw value
+    * containing a literal `%2C`/`%3D`/`%25` is rewritten on read. Rows
+    * published through `rowSink` always round-trip exactly. */
   private[sources] def pairEnc(s: String): String =
     s.replace("%", "%25").replace(",", "%2C").replace("=", "%3D")
 

@@ -38,6 +38,35 @@ class ConcurrencySpec extends SparkTestBase {
     }
   }
 
+  test("triangles interleaved with q_join_bloom: no session-conf delta") {
+    // r12 finding: q_graph_triangles raised the session-wide runtime
+    // bloom caps and never restored them — a cross-query side effect on
+    // any shared session. Now the triangle bloom is graft's conf-free
+    // bloom_agg_exact; pin (a) the interleaving is value-stable and (b)
+    // NO session conf differs after the pair runs, in either order.
+    val confKeys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    def confSnapshot(): Map[String, String] =
+      confKeys.map(k => k -> spark.conf.getOption(k).getOrElse("<unset>")).toMap
+    val before = confSnapshot()
+    val bloomAlone = rows("q_join_bloom")
+    val triAlone = rows("q_graph_triangles")
+    assert(confSnapshot() == before,
+      "sequential triangles/bloom run mutated session conf")
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val interleaved = Await.result(Future.sequence(Seq(
+      Future(rows("q_graph_triangles")), Future(rows("q_join_bloom")),
+      Future(rows("q_graph_triangles")), Future(rows("q_join_bloom")))),
+      5.minutes)
+    assert(interleaved(0) == triAlone && interleaved(2) == triAlone,
+      "q_graph_triangles diverged when interleaved with q_join_bloom")
+    assert(interleaved(1) == bloomAlone && interleaved(3) == bloomAlone,
+      "q_join_bloom diverged when interleaved with q_graph_triangles")
+    assert(confSnapshot() == before,
+      "interleaved triangles/bloom run left a session-conf delta")
+  }
+
   test("the same query racing itself 8-ways stays deterministic") {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val racers = Await.result(

@@ -92,7 +92,8 @@ object CatalogIndex {
     "q_text_token_count" -> "whitespace + BPE-ish regex token counting",
     "q_text_top_skills" -> "FLAGSHIP: dictionary-filtered top-10 skills per source",
     "q_text_vocab" -> "corpus vocabulary induction with min-count cut",
-    "q_text_bpe" -> "BPE tokenizer training: 3 freq-weighted merge steps over the word vocab",
+    "q_text_bpe" -> "BPE tokenizer training: 3-merge budget, freq-weighted steps over the word vocab",
+    "q_text_bpe_deep" -> "BPE training at the 10-merge budget with the min-support stop rule",
     // ---- Dedup ----------------------------------------------------------
     "q_dedup_cluster" -> "connected-component cluster labels over near-dup pairs",
     "q_dedup_exact" -> "exact duplicate groups by content hash",

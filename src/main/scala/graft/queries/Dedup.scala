@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.Checkpoints.MaterializeOps
 import graft.functions.TextFunctions._
 import Catalog._
 
@@ -189,7 +190,7 @@ object Dedup extends QueryGroup {
       .filter($"sh".isNotNull)
       .select($"doc_id", size($"sh").as("sz"), explode($"sh").as("shingle"))
       .repartition($"shingle")
-      .localCheckpoint()
+      .materialized
     val dfreq = ex.groupBy($"shingle").agg(count(lit(1)).as("dfreq"))
     val rarity = Window.partitionBy($"doc_id").orderBy($"dfreq", $"shingle")
     val prefix = ex.join(dfreq, "shingle")
@@ -215,7 +216,7 @@ object Dedup extends QueryGroup {
     // output spine), and a checkpointed LogicalRDD does not canonicalize
     // for ReuseExchange, so leaving `cand` lazy would re-plan the whole
     // prefix pipeline per consumer.
-    verifyJaccard(s, d, cand.localCheckpoint())
+    verifyJaccard(s, d, cand.materialized)
   }
 
   /** Incremental-batch boundary for [[dedupIncremental]]: docs below are
@@ -282,10 +283,10 @@ object Dedup extends QueryGroup {
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .repartition($"dst")
-      .localCheckpoint(true)
+      .materialized
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("lab", $"id")
-      .localCheckpoint(true)
+      .materialized
     var converged = false
     while (!converged) {
       val neigh = edges
@@ -299,7 +300,7 @@ object Dedup extends QueryGroup {
         .select($"id", $"lab".as("prev"),
           least($"lab", coalesce($"nmin", $"lab")).as("lab"))
         .select($"id", $"lab", ($"lab" < $"prev").as("changed"))
-        .localCheckpoint(true)
+        .materialized
       converged = next.filter($"changed").isEmpty
       labels = next.select($"id", $"lab")
     }

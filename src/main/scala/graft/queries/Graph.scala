@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.Checkpoints.MaterializeOps
 import Catalog._
 
 /** Relational graph analytics over the part co-purchase graph (parts are
@@ -75,7 +76,7 @@ object Graph extends QueryGroup {
     import s.implicits._
     val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val adj = edges.join(deg, "src").repartition($"src").localCheckpoint()
+    val adj = edges.join(deg, "src").repartition($"src").materialized
     // Iteration 1 unrolled: the initial rank is the SAME constant for
     // every node, so the first round's contribution is Scale div deg
     // straight off the adjacency — no init relation, no first join; the
@@ -170,7 +171,7 @@ object Graph extends QueryGroup {
     // build side), so checkpointing hash-partitioned on u lets the wedge
     // join run with ZERO exchanges — id order couldn't co-locate because
     // it joined dst-to-src, two different keys.
-    val oe = orientedEdges(coEdges(s, d)).repartition($"u").localCheckpoint()
+    val oe = orientedEdges(coEdges(s, d)).repartition($"u").materialized
     // Size the closure bloom from the ACTUAL edge count — one cheap scan
     // of the just-checkpointed blocks. The fixed 4M sizing of rounds ≤11
     // saturated at the ×100 probe corpus (~150M edges → ~100% false
@@ -186,7 +187,11 @@ object Graph extends QueryGroup {
     // fallback would be needed.
     val edgeRows = oe.count()
     val nEdges = math.min(math.max(4000000L, edgeRows), Int.MaxValue).toInt
-    oe.createOrReplaceTempView("graph_oedges")
+    // Per-invocation view name: two concurrent triangle runs on one
+    // session must not race on create/drop of a shared name
+    // (ConcurrencySpec interleaves this query with itself since r13).
+    val vn = s"graph_oedges_${java.util.UUID.randomUUID.toString.take(8)}"
+    oe.createOrReplaceTempView(vn)
     // Closure-join strategy from the same count. The wedge stream is
     // the single thing in this plan that is allowed to be huge, so it
     // must never be SORTED (sort-merge would buffer/spill it) and
@@ -204,17 +209,17 @@ object Graph extends QueryGroup {
     val out = s.sql(s"""
       WITH w AS (
         SELECT e1.v AS b, e2.v AS c
-        FROM graph_oedges e1 JOIN graph_oedges e2
+        FROM $vn e1 JOIN $vn e2
           ON e1.u = e2.u AND e1.v < e2.v
         WHERE bloom_might_contain(
-            (SELECT bloom_agg_exact(xxhash64(u, v), $nEdges) FROM graph_oedges),
+            (SELECT bloom_agg_exact(xxhash64(u, v), $nEdges) FROM $vn),
             xxhash64(e1.v, e2.v))
       )
       SELECT $closureHint COUNT(*) AS n_triangles
-      FROM w JOIN graph_oedges bc ON w.b = bc.u AND w.c = bc.v""")
+      FROM w JOIN $vn bc ON w.b = bc.u AND w.c = bc.v""")
     // Analysis has inlined the view; drop it so the checkpointed blocks
     // are collectable once the result is dropped (same as reachability).
-    s.catalog.dropTempView("graph_oedges")
+    s.catalog.dropTempView(vn)
     out
   }
 
@@ -244,16 +249,19 @@ object Graph extends QueryGroup {
     // the edge side already hash-partitioned and only the (tiny) frontier
     // moves — the "partition the graph once, iterate over it" shape.
     val pairs = coEdges(s, d)
+    // Per-invocation view name — same concurrent create/drop race as
+    // triangles' oriented-edge view.
+    val vn = s"graph_sym_${java.util.UUID.randomUUID.toString.take(8)}"
     pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
       .repartition($"src")
-      .localCheckpoint()
-      .createOrReplaceTempView("graph_sym")
-    val out = s.sql("""
+      .materialized
+      .createOrReplaceTempView(vn)
+    val out = s.sql(s"""
       WITH RECURSIVE reach(node, depth) AS (
-        SELECT (SELECT min(src) FROM graph_sym), 0
+        SELECT (SELECT min(src) FROM $vn), 0
         UNION ALL
         SELECT e.dst, r.depth + 1
-        FROM reach r JOIN graph_sym e ON e.src = r.node
+        FROM reach r JOIN $vn e ON e.src = r.node
         WHERE r.depth < 2
       ),
       first_visit AS (
@@ -266,7 +274,7 @@ object Graph extends QueryGroup {
     // the catalog entry so the checkpointed blocks become weakly reachable
     // (ContextCleaner-collectable) once the caller drops the result. A
     // registered view would pin them for the whole session lifetime.
-    s.catalog.dropTempView("graph_sym")
+    s.catalog.dropTempView(vn)
     out
   }
 
@@ -297,12 +305,12 @@ object Graph extends QueryGroup {
     * id-pair) skinny. */
   private def linkPred(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = coEdges(s, d).localCheckpoint()
+    val pairs = coEdges(s, d).materialized
     val sym = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
     val capped = sym.groupBy($"src")
       .agg(slice(sort_array(collect_set($"dst")), 1, LinkPredCap).as("nbrs"))
       .select($"src".as("u"), explode($"nbrs").as("v"))
-      .repartition($"u").localCheckpoint()
+      .repartition($"u").materialized
     capped.as("e1")
       .join(capped.as("e2"), $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
       .groupBy($"e1.v".as("node_a"), $"e2.v".as("node_b"))

@@ -20,10 +20,18 @@ import Catalog._
   *     corruption edits an interior position — intersected with a ±4
   *     length band, which a one-char edit cannot escape). This is what
   *     makes linkage sub-quadratic: candidates are Σ|block|², never
-  *     |A|×|B|, and each extra independent key divides block sizes. Hot
-  *     blocks are data skew, handled like any other skewed equi-join
-  *     (AQE skew split or the [[graft.operators.SkewJoin]] salting) —
-  *     at scale one would also block on 2-3 redundant keys and union.
+  *     |A|×|B| — and since r13 that claim is ENFORCED, not assumed: the
+  *     comparison side of every block is CAPPED at [[BlockCap]] rows
+  *     (smallest keys — the deterministic per-block sample, same
+  *     contract as [[Graph.LinkPredCap]]), so per-registry-row work is
+  *     bounded by the declared cap even on an organically hot block
+  *     (common name prefixes) where AQE skew-splitting would only
+  *     redistribute the Σ|block|² pair work, not reduce it. Truncation
+  *     is VISIBLE, never silent: every output row carries
+  *     `blk_overflow` — how many comparison rows its block dropped
+  *     (the [[graft.operators.MisraGries]] candidate-superset honesty
+  *     pattern) — so a production run can alarm on overflow and re-block
+  *     with a secondary key instead of silently losing recall.
   *  2. **Score**: [[org.apache.spark.sql.graft.JaroWinkler]] — a native
   *     codegen expression (Spark has `levenshtein` but nothing in the
   *     Jaro family), pinned bit-for-bit to DuckDB's
@@ -43,10 +51,53 @@ object Linkage extends QueryGroup {
   private[queries] val RegistryMod = 17
   /** Matches reported per registry row. */
   private[queries] val TopMatches = 3
+  /** Per-block comparison budget: at most this many comparison-side rows
+    * participate per blocking key (smallest `p_partkey` first). Never hit
+    * at the test SFs (sf0.1's largest block is ~40 rows), so committed
+    * hashes are unchanged; at scale it bounds per-registry-row work by
+    * the cap regardless of block skew. */
+  private[queries] val BlockCap = 512
+
+  /** The blocked-linkage core over explicit inputs, so the adversarial
+    * hot-block spec can drive it with synthetic skew at a tiny cap:
+    * `registry(rid, dirty, blk)` × `parts(p_partkey, nm, blk)` →
+    * top-[[TopMatches]] per rid with the per-block cap + overflow
+    * column. */
+  private[graft] def linkCore(registry: DataFrame, parts: DataFrame,
+      cap: Int): DataFrame = {
+    val s = registry.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.graft.JaroWinkler.jaroWinkler
+    val wBlk = Window.partitionBy($"blk")
+    val capped = parts
+      .withColumn("bn", row_number().over(wBlk.orderBy($"p_partkey")))
+      .withColumn("bsz", count(lit(1)).over(wBlk))
+      .filter($"bn" <= cap)
+      .select($"p_partkey", $"nm", $"blk",
+        greatest(lit(0L), $"bsz" - cap).as("blk_overflow"))
+    val scored = registry
+      .join(capped, "blk")
+      // Third blocking key: a ±4 length band. A one-char corruption
+      // shifts length by 1, so no true match is lost, and the cheap
+      // integer gate runs BEFORE the O(len·window) scorer — standard
+      // multi-key blocking (prefix × suffix × length) from the ER
+      // literature.
+      .filter(abs(length($"nm") - length($"dirty")) <= 4)
+      .select($"rid", $"p_partkey".as("match_key"),
+        jaroWinkler($"dirty", $"nm").as("jw"), $"blk_overflow")
+    val w = Window.partitionBy($"rid").orderBy($"jw".desc, $"match_key")
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= TopMatches)
+      .select($"rid", $"rnk", $"match_key",
+        floor($"jw" * 1000000.0).cast("long").as("score_micro"),
+        ($"rid" === $"match_key").as("exact_hit"),
+        $"blk_overflow")
+      .orderBy($"rid", $"rnk")
+  }
 
   private def linkJaroWinkler(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.graft.JaroWinkler.jaroWinkler
     val parts = Tables.part(s, d)
       .select($"p_partkey", concat($"p_name", lit(" "), $"p_brand").as("nm"))
     // Deterministic corruption: drop the 5th character (the blocking
@@ -59,25 +110,9 @@ object Linkage extends QueryGroup {
       .select($"rid", $"dirty",
         concat(substring($"dirty", 1, 4), substring($"dirty", -1, 1))
           .as("blk"))
-    val scored = registry
-      .join(parts.withColumn("blk",
-        concat(substring($"nm", 1, 4), substring($"nm", -1, 1))), "blk")
-      // Third blocking key: a ±4 length band. A one-char corruption
-      // shifts length by 1, so no true match is lost, and the cheap
-      // integer gate runs BEFORE the O(len·window) scorer — standard
-      // multi-key blocking (prefix × suffix × length) from the ER
-      // literature.
-      .filter(abs(length($"nm") - length($"dirty")) <= 4)
-      .select($"rid", $"p_partkey".as("match_key"),
-        jaroWinkler($"dirty", $"nm").as("jw"))
-    val w = Window.partitionBy($"rid").orderBy($"jw".desc, $"match_key")
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= TopMatches)
-      .select($"rid", $"rnk", $"match_key",
-        floor($"jw" * 1000000.0).cast("long").as("score_micro"),
-        ($"rid" === $"match_key").as("exact_hit"))
-      .orderBy($"rid", $"rnk")
+    val blocked = parts.withColumn("blk",
+      concat(substring($"nm", 1, 4), substring($"nm", -1, 1)))
+    linkCore(registry, blocked, BlockCap)
   }
 
   val queries: Map[String, Q] = Map(
@@ -96,20 +131,34 @@ object Linkage extends QueryGroup {
          |  SELECT rid, dirty,
          |    substr(dirty, 1, 4) || substr(dirty, -1, 1) AS blk
          |  FROM reg0),
+         |pblk AS (
+         |  SELECT p_partkey, nm,
+         |    substr(nm, 1, 4) || substr(nm, -1, 1) AS blk FROM p),
+         |pcap AS (
+         |  SELECT p_partkey, nm, blk,
+         |    GREATEST(0, bsz - $BlockCap) AS blk_overflow
+         |  FROM (
+         |    SELECT p_partkey, nm, blk,
+         |      row_number() OVER (PARTITION BY blk ORDER BY p_partkey) bn,
+         |      COUNT(*) OVER (PARTITION BY blk) bsz
+         |    FROM pblk) t
+         |  WHERE bn <= $BlockCap),
          |scored AS (
-         |  SELECT reg.rid, p.p_partkey AS match_key,
-         |    jaro_winkler_similarity(reg.dirty, p.nm) AS jw
-         |  FROM reg JOIN p
-         |    ON substr(p.nm, 1, 4) || substr(p.nm, -1, 1) = reg.blk
-         |    AND abs(length(p.nm) - length(reg.dirty)) <= 4),
+         |  SELECT reg.rid, c.p_partkey AS match_key,
+         |    jaro_winkler_similarity(reg.dirty, c.nm) AS jw,
+         |    c.blk_overflow
+         |  FROM reg JOIN pcap c
+         |    ON c.blk = reg.blk
+         |    AND abs(length(c.nm) - length(reg.dirty)) <= 4),
          |ranked AS (
-         |  SELECT rid, match_key, jw,
+         |  SELECT rid, match_key, jw, blk_overflow,
          |    row_number() OVER (PARTITION BY rid
          |      ORDER BY jw DESC, match_key) AS rnk
          |  FROM scored)
          |SELECT rid, rnk, match_key,
          |  CAST(floor(jw * 1000000.0) AS BIGINT) AS score_micro,
-         |  (rid = match_key) AS exact_hit
+         |  (rid = match_key) AS exact_hit,
+         |  CAST(blk_overflow AS BIGINT) AS blk_overflow
          |FROM ranked WHERE rnk <= $TopMatches ORDER BY rid, rnk""".stripMargin,
   )
 }

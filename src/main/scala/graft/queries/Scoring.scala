@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
+import graft.core.Checkpoints.MaterializeOps
 import graft.functions.TextFunctions.tokens
 import Catalog._
 
@@ -71,7 +72,7 @@ object Scoring extends QueryGroup {
         count(lit(1)).as("f"),
         (sum($"value".cast(DecimalType(18, 6))) * 1000000)
           .cast("long").as("m_micro"))
-      .localCheckpoint() // skinny 4-col relation feeds histogram + output
+      .materialized // skinny 4-col relation feeds histogram + output
     val metrics = u.select(lit("r").as("mt"), $"r_days".as("v"))
       .union(u.select(lit("f"), $"f"))
       .union(u.select(lit("m"), expr("m_micro div 1000000")))
@@ -88,7 +89,7 @@ object Scoring extends QueryGroup {
           ($"lt" >= expr("(1*n+3) div 4")).cast("int") +
           ($"lt" >= expr("(2*n+3) div 4")).cast("int") +
           ($"lt" >= expr("(3*n+3) div 4")).cast("int")).as("q"))
-      .localCheckpoint() // tiny; evaluated once, broadcast three times
+      .materialized // tiny; evaluated once, broadcast three times
     def q(mt: String) = broadcast(qmap.filter($"mt" === mt).drop("mt"))
     u.join(q("r"), $"r_days" === $"v").drop("v")
       .withColumnRenamed("q", "r_q")

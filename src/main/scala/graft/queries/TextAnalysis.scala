@@ -650,6 +650,17 @@ object TextAnalysis extends QueryGroup {
   }
 
   private[queries] val BpeMerges = 3
+  /** Merge budget of the deep variant (`q_text_bpe_deep`). */
+  private[queries] val BpeMergesDeep = 10
+  /** Vocab-budget stop rule: a merge whose best pair occurs fewer than
+    * this many times buys no compression — the driver loop stops there
+    * even with budget left. Max pair count is NON-INCREASING under BPE
+    * merges (a new pair (l, rs) occurs at most as often as the (r, s) it
+    * contains did), so "first step under the floor" = "every later step
+    * under the floor" — which is what lets the oracle mirror the stop
+    * rule as a plain `pair_cnt >= floor` filter over its unrolled
+    * steps. */
+  private[queries] val BpeMinPairSupport = 2L
   private val SymA = "\u0001" // symbol-start sentinel in the encoded form
   private val SymB = "\u0002" // symbol-end sentinel
   private val EndWord = "</w>" // classic BPE end-of-word marker
@@ -671,13 +682,27 @@ object TextAnalysis extends QueryGroup {
     * START sentinel) — and both engines' replace() scans left-to-right
     * non-overlapping, which IS BPE's greedy application order.
     *
+    * Shape (r13): a DRIVER-BOUNDED loop — each step collects its 1-row
+    * argmax (count DESC, pair ASC), inlines the winning pair as string
+    * LITERALS into the next step's row-local replace, and materializes
+    * the re-encoded vocab ([[graft.core.Checkpoints]]), so step k+1 is
+    * one pass over step k's blocks instead of a k-deep lazy
+    * re-derivation (the r12 all-lazy form was Θ(N²) vocab passes at
+    * merge depth N — fine at 3, wrong at a production vocab budget).
+    * The loop STOPS at [[BpeMinPairSupport]] — the vocab-budget rule —
+    * and `maxMerges` is the declared budget: [[BpeMerges]] for the
+    * catalog query, [[BpeMergesDeep]] for `q_text_bpe_deep`, both
+    * oracle-gated.
+    *
     * Scale: every relation after the first groupBy is vocab-sized
-    * (~1e8 rows at 100 TB, skinny strings); each of the 3 steps is one
-    * map-side-combined pair count + a 1-row broadcast argmax + a
+    * (~1e8 rows at 100 TB, skinny strings); each step is one
+    * map-side-combined pair count + a 1-row driver argmax + a
     * row-local replace. Nothing iterates over the corpus again, and the
     * 1-row LIMIT sort runs over observed-pair counts, not tokens. */
-  private def textBpe(s: SparkSession, d: String): DataFrame = {
+  private[queries] def textBpeN(s: SparkSession, d: String,
+      maxMerges: Int): DataFrame = {
     import s.implicits._
+    import graft.core.Checkpoints.MaterializeOps
     val pq = java.util.regex.Pattern.quote(SymB + SymA)
     val vocab = Tables.documents(s, d)
       .select(explode(tokens($"text")).as("w"))
@@ -688,32 +713,42 @@ object TextAnalysis extends QueryGroup {
         array_join(transform(sequence(lit(1), length($"w")),
           i => concat(lit(SymA), $"w".substr(i, lit(1)), lit(SymB))), ""),
         lit(SymA + EndWord + SymB)).as("enc"))
+      .materialized
     val symsOf = (c: Column) =>
       split(c.substr(lit(2), length(c) - 2), pq)
     val steps = Seq.newBuilder[DataFrame]
-    for (step <- 1 to BpeMerges) {
-      val pairs = enc.select($"freq", symsOf($"enc").as("sy"))
+    var stopped = false
+    for (step <- 1 to maxMerges if !stopped) {
+      val best = enc.select($"freq", symsOf($"enc").as("sy"))
         .select($"freq",
           explode(zip_with(slice($"sy", lit(1), size($"sy") - 1),
             slice($"sy", lit(2), size($"sy") - 1),
             (x, y) => struct(x.as("lhs"), y.as("rhs")))).as("p"))
         .groupBy($"p.lhs".as("lhs"), $"p.rhs".as("rhs"))
         .agg(sum($"freq").as("cnt"))
-      val best = pairs.orderBy($"cnt".desc, $"lhs".asc, $"rhs".asc).limit(1)
-      enc = enc.crossJoin(broadcast(best))
-        .select($"freq", expr(
-          """replace(enc,
-            |  concat(char(1), lhs, char(2), char(1), rhs, char(2)),
-            |  concat(char(1), lhs, rhs, char(2)))""".stripMargin).as("enc"))
-      steps += enc
-        .agg(sum($"freq" * size(symsOf($"enc"))).as("n_tokens_after"))
-        .crossJoin(broadcast(best))
-        .select(lit(step).as("step"), $"lhs", $"rhs",
-          concat($"lhs", $"rhs").as("merged"), $"cnt".as("pair_cnt"),
-          $"n_tokens_after")
+        .orderBy($"cnt".desc, $"lhs".asc, $"rhs".asc).limit(1)
+        .collect()
+      if (best.isEmpty || best(0).getLong(2) < BpeMinPairSupport) {
+        stopped = true
+      } else {
+        val (lh, rh, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        enc = enc.select($"freq",
+          replace($"enc", lit(SymA + lh + SymB + SymA + rh + SymB),
+            lit(SymA + lh + rh + SymB)).as("enc"))
+          .materialized
+        steps += enc
+          .agg(sum($"freq" * size(symsOf($"enc"))).as("n_tokens_after"))
+          .select(lit(step).as("step"), lit(lh).as("lhs"), lit(rh).as("rhs"),
+            lit(lh + rh).as("merged"), lit(cnt).as("pair_cnt"),
+            $"n_tokens_after")
+      }
     }
     steps.result().reduce(_.union(_)).orderBy($"step")
   }
+
+  private def textBpe(s: SparkSession, d: String): DataFrame =
+    textBpeN(s, d, BpeMerges)
 
   private val OovVocabK = 100
 
@@ -749,6 +784,7 @@ object TextAnalysis extends QueryGroup {
     "q_text_chunk" -> textChunk,
     "q_text_vocab" -> textVocab,
     "q_text_bpe" -> textBpe,
+    "q_text_bpe_deep" -> ((s, d) => textBpeN(s, d, BpeMergesDeep)),
     "q_text_top_skills" -> topSkills,
     "q_text_langid" -> langId,
     "q_text_quality" -> quality,
@@ -767,6 +803,61 @@ object TextAnalysis extends QueryGroup {
     "q_split_contamination" -> contamination,
     "q_text_containment" -> containment,
   )
+
+  /** BPE oracle at merge budget `n` — unrolled per step like the kmeans
+    * oracle; the greedy merge application is the same sentinel-encoded
+    * literal replace() chain (chr(1)/chr(2) = the Spark side's
+    * SymA/SymB sentinels). The driver loop's [[BpeMinPairSupport]]
+    * stop rule is mirrored as the final `pair_cnt >=` filter: max pair
+    * count is non-increasing under merges, so the unrolled steps past
+    * the stop point all fail the filter and the unconditional SQL
+    * unrolling matches the early-stopped loop exactly. */
+  private def bpeOracleSql(n: Int): String = {
+    def sy(encExpr: String) =
+      s"string_split(substr($encExpr, 2, len($encExpr) - 2), chr(2)||chr(1))"
+    def step(i: Int): String =
+      s"""sy$i AS (
+         |  SELECT freq, ${sy("enc")} AS sy FROM e${i - 1}),
+         |c$i AS (
+         |  SELECT t.sy[r.i] AS lhs, t.sy[r.i+1] AS rhs,
+         |    CAST(SUM(t.freq) AS BIGINT) AS cnt
+         |  FROM sy$i t, UNNEST(range(1, len(t.sy))) AS r(i)
+         |  GROUP BY 1, 2),
+         |b$i AS (
+         |  SELECT lhs, rhs, cnt FROM c$i
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |e$i AS (
+         |  SELECT e.freq,
+         |    replace(e.enc, chr(1)||b.lhs||chr(2)||chr(1)||b.rhs||chr(2),
+         |      chr(1)||b.lhs||b.rhs||chr(2)) AS enc
+         |  FROM e${i - 1} e, b$i b),
+         |n$i AS (
+         |  SELECT CAST(SUM(freq * len(${sy("enc")})) AS BIGINT)
+         |    AS n_tokens_after
+         |  FROM e$i),
+         |s$i AS (
+         |  SELECT $i AS step, b.lhs, b.rhs, b.lhs||b.rhs AS merged,
+         |    b.cnt AS pair_cnt, n.n_tokens_after
+         |  FROM b$i b, n$i n)"""
+    val union = (1 to n).map(i => s"SELECT * FROM s$i")
+      .mkString("\n      UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents) t
+       |  WHERE len(w) > 0 GROUP BY w),
+       |e0 AS (
+       |  SELECT freq,
+       |    array_to_string([chr(1) || w[i] || chr(2)
+       |      FOR i IN range(1, len(w) + 1)], '')
+       |      || chr(1) || '</w>' || chr(2) AS enc
+       |  FROM v),
+       |${(1 to n).map(step).mkString(",\n")}
+       |SELECT step, lhs, rhs, merged, pair_cnt, n_tokens_after
+       |FROM ($union) u
+       |WHERE pair_cnt >= $BpeMinPairSupport
+       |ORDER BY step""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // Brute-force specification: string-shingle containment across every
@@ -882,50 +973,8 @@ object TextAnalysis extends QueryGroup {
     // Unrolled per merge step like the kmeans oracle; the greedy merge
     // application is the same sentinel-encoded literal replace() chain
     // (chr(1)/chr(2) = the Spark side's \u0001/\u0002 sentinels).
-    "q_text_bpe" -> {
-      def sy(encExpr: String) =
-        s"string_split(substr($encExpr, 2, len($encExpr) - 2), chr(2)||chr(1))"
-      def step(i: Int): String =
-        s"""sy$i AS (
-           |  SELECT freq, ${sy("enc")} AS sy FROM e${i - 1}),
-           |c$i AS (
-           |  SELECT t.sy[r.i] AS lhs, t.sy[r.i+1] AS rhs,
-           |    CAST(SUM(t.freq) AS BIGINT) AS cnt
-           |  FROM sy$i t, UNNEST(range(1, len(t.sy))) AS r(i)
-           |  GROUP BY 1, 2),
-           |b$i AS (
-           |  SELECT lhs, rhs, cnt FROM c$i
-           |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-           |e$i AS (
-           |  SELECT e.freq,
-           |    replace(e.enc, chr(1)||b.lhs||chr(2)||chr(1)||b.rhs||chr(2),
-           |      chr(1)||b.lhs||b.rhs||chr(2)) AS enc
-           |  FROM e${i - 1} e, b$i b),
-           |n$i AS (
-           |  SELECT CAST(SUM(freq * len(${sy("enc")})) AS BIGINT)
-           |    AS n_tokens_after
-           |  FROM e$i),
-           |s$i AS (
-           |  SELECT $i AS step, b.lhs, b.rhs, b.lhs||b.rhs AS merged,
-           |    b.cnt AS pair_cnt, n.n_tokens_after
-           |  FROM b$i b, n$i n)"""
-      s"""WITH v AS (
-         |  SELECT w, COUNT(*) AS freq FROM (
-         |    SELECT unnest(string_split(lower(text), ' ')) AS w
-         |    FROM documents) t
-         |  WHERE len(w) > 0 GROUP BY w),
-         |e0 AS (
-         |  SELECT freq,
-         |    array_to_string([chr(1) || w[i] || chr(2)
-         |      FOR i IN range(1, len(w) + 1)], '')
-         |      || chr(1) || '</w>' || chr(2) AS enc
-         |  FROM v),
-         |${(1 to BpeMerges).map(step).mkString(",\n")}
-         |SELECT step, lhs, rhs, merged, pair_cnt, n_tokens_after
-         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
-         |      UNION ALL SELECT * FROM s3) u
-         |ORDER BY step""".stripMargin
-    },
+    "q_text_bpe" -> bpeOracleSql(BpeMerges),
+    "q_text_bpe_deep" -> bpeOracleSql(BpeMergesDeep),
     // Exact specification of the two-pass MG query's OUTPUT (tokens with
     // support > n/(c+1)) — the sketch is implementation detail; its
     // superset guarantee is what makes this hash-comparable.

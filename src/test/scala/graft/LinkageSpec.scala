@@ -107,5 +107,37 @@ class LinkageSpec extends SparkTestBase {
     // row (exact_hit) — the corruption only drops one character.
     val hitRate = top.count(_.getBoolean(4)).toDouble / top.length
     assert(hitRate >= 0.8, s"rank-1 exact-hit rate $hitRate")
+    // the test SFs never hit the per-block cap: overflow must be 0
+    // everywhere (committed hashes unchanged by the budget machinery)
+    assert(out.forall(_.getLong(5) == 0L), "unexpected block overflow")
+  }
+
+  test("per-block pair budget caps an adversarial hot block, loudly") {
+    import spark.implicits._
+    val cap = 8
+    // One hot block ("AAAAZ"): 50 comparison rows, far over the cap;
+    // one cold block with 2 rows. Registry rows probe both.
+    val parts = ((1L to 50L).map(i => (i, s"AAAA_part_$i Z", "AAAAZ")) ++
+      Seq((100L, "BBBB_part_x Z", "BBBBZ"), (101L, "BBBB_part_y Z", "BBBBZ")))
+      .toDF("p_partkey", "nm", "blk")
+    val registry = Seq(
+      (1000L, "AAAA_dirty_1 Z", "AAAAZ"),
+      (1001L, "AAAA_dirty_2 Z", "AAAAZ"),
+      (2000L, "BBBB_dirty Z", "BBBBZ"))
+      .toDF("rid", "dirty", "blk")
+    val out = graft.queries.Linkage.linkCore(registry, parts, cap)
+      .collect()
+    val hot = out.filter(_.getLong(0) < 2000L)
+    val cold = out.filter(_.getLong(0) == 2000L)
+    // truncation is visible: every hot-block row reports the 42 dropped
+    // comparison rows; the cold block reports 0
+    assert(hot.nonEmpty && hot.forall(_.getLong(5) == 50L - cap))
+    assert(cold.nonEmpty && cold.forall(_.getLong(5) == 0L))
+    // and enforced: the surviving comparison set is the cap-smallest
+    // keys, so no match_key beyond the cap'th smallest appears
+    assert(hot.forall(_.getLong(2) <= cap.toLong))
+    // the budget bounds pair work per registry row at the cap
+    val perRid = out.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perRid.values.forall(_ <= cap))
   }
 }

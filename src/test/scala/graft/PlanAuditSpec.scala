@@ -387,7 +387,7 @@ object PlanAuditSpec {
     "q_join_interval" -> 1,
     // registry side broadcasts into the block join; the per-rid resolve
     // window + output sort share nothing (different keys) = 2.
-    "q_link_jarowinkler" -> 2,
+    "q_link_jarowinkler" -> 3, // +1: per-block cap window (r13)
     // 4: salted shuffle-hash join shuffles both sides on (key,salt), then
     // the nationkey agg + final sort — the deliberately-shuffled path the
     // salt exists for (broadcast would hide the operator under test).
@@ -568,7 +568,8 @@ object PlanAuditSpec {
     "q_text_vocab" -> 1,
     // word-vocab groupBy + 3x(pair-count agg + 1-row argmax/stats) + the
     // 3-row output sort; every post-vocab relation is vocab-sized.
-    "q_text_bpe" -> 7,
+    "q_text_bpe" -> 3, // tightened r13: per-step materialization
+    "q_text_bpe_deep" -> 10,
     "q_text_fingerprint" -> 1,
     "q_text_langid" -> 1,
     // unigram agg + bigram agg + top-K sort; unigram side broadcasts.

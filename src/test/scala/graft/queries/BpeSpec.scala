@@ -25,7 +25,10 @@ class BpeSpec extends graft.SparkTestBase {
     out.result()
   }
 
-  test("merge table equals the sequential reference trainer") {
+  /** The Sennrich reference trainer at merge budget n, with the same
+    * vocab-budget stop rule as the query (stop when the best pair's
+    * support drops under BpeMinPairSupport). */
+  private def referenceTrain(n: Int): Seq[(Int, String, String, String, Long, Long)] = {
     val words = Tables.documents(spark, Sf0001)
       .select($"text").as[String].collect().toSeq
       .flatMap(_.toLowerCase.split(" ", -1)) // trailing-empty semantics
@@ -36,8 +39,9 @@ class BpeSpec extends graft.SparkTestBase {
         (w.map(_.toString).toVector :+ "</w>", f)
       }
     assert(vocab.nonEmpty)
-
-    val expected = (1 to TextAnalysis.BpeMerges).map { step =>
+    val out = Seq.newBuilder[(Int, String, String, String, Long, Long)]
+    var stopped = false
+    for (step <- 1 to n if !stopped) {
       val counts = scala.collection.mutable.Map
         .empty[(String, String), Long]
       vocab.foreach { case (sy, f) =>
@@ -47,18 +51,39 @@ class BpeSpec extends graft.SparkTestBase {
       }
       val ((l, r), cnt) = counts.toSeq
         .minBy { case ((a, b), c) => (-c, a, b) }
-      vocab = vocab.groupBy { case (sy, _) => applyMerge(sy, l, r) }
-        .view.mapValues(_.values.sum).toMap
-      val nTokens = vocab.map { case (sy, f) => sy.length * f }.sum
-      (step, l, r, l + r, cnt, nTokens)
+      if (cnt < TextAnalysis.BpeMinPairSupport) stopped = true
+      else {
+        vocab = vocab.groupBy { case (sy, _) => applyMerge(sy, l, r) }
+          .view.mapValues(_.values.sum).toMap
+        val nTokens = vocab.map { case (sy, f) => sy.length * f }.sum
+        out += ((step, l, r, l + r, cnt, nTokens))
+      }
     }
+    out.result()
+  }
 
+  test("merge table equals the sequential reference trainer") {
+    val expected = referenceTrain(TextAnalysis.BpeMerges)
     val got = SparkEntry.queries("q_text_bpe")(spark, Sf0001)
       .as[(Int, String, String, String, Long, Long)].collect().toSeq
     assert(got == expected)
     // corpus token count is strictly decreasing — each merge fires
     assert(got.map(_._6) == got.map(_._6).sorted.reverse)
     assert(got.map(_._6).distinct.size == got.size)
+  }
+
+  test("deep merge budget (N=10) equals the reference trainer") {
+    val expected = referenceTrain(TextAnalysis.BpeMergesDeep)
+    val got = SparkEntry.queries("q_text_bpe_deep")(spark, Sf0001)
+      .as[(Int, String, String, String, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the deep run extends the shallow one: first 3 steps identical
+    val shallow = SparkEntry.queries("q_text_bpe")(spark, Sf0001)
+      .as[(Int, String, String, String, Long, Long)].collect().toSeq
+    assert(got.take(shallow.size) == shallow)
+    assert(got.size > shallow.size, "deep budget added no merges")
+    // every emitted merge clears the support floor (the stop rule)
+    assert(got.forall(_._5 >= TextAnalysis.BpeMinPairSupport))
   }
 
   test("sentinel replace() equals greedy merge on adversarial overlaps") {

@@ -3,10 +3,11 @@ package graft.queries
 import graft.SparkEntry
 
 /** q_dedup_semantic against a sequential recompute of the SemDeDup
-  * semantics: given the IVF cell assignment (itself oracle-gated through
-  * q_ann_ivf), re-derive every within-cell pair decision with BigInt
-  * arithmetic and the min-id keep policy driver-side, then pin the
-  * policy's structural invariants. */
+  * semantics: given the data-derived nearest-anchor cell assignment
+  * (cells = semCellCount(n), the same integer formula the DuckDB oracle
+  * computes from its own COUNT(*)), re-derive every within-cell pair
+  * decision with BigInt arithmetic and the min-id keep policy
+  * driver-side, then pin the policy's structural invariants. */
 class DedupSemanticSpec extends graft.SparkTestBase {
   import spark.implicits._
 
@@ -14,8 +15,26 @@ class DedupSemanticSpec extends graft.SparkTestBase {
     SparkEntry.queries("q_dedup_semantic")(spark, Sf0001)
       .as[(Long, Long, Long)].collect().toSeq
 
+  test("cell count derives from the corpus with clamped √n geometry") {
+    // 500 sf0.001 vectors → smallest power of two whose square covers n.
+    val n = graft.core.Tables.embeddings(spark, Sf0001).count()
+    assert(Similarity.semCellCount(n) == 32)
+    assert(Similarity.semCellCount(1) == 16)      // clamp floor
+    assert(Similarity.semCellCount(256) == 16)    // boundary: 16² = 256
+    assert(Similarity.semCellCount(257) == 32)
+    assert(Similarity.semCellCount(200000) == 512)
+    assert(Similarity.semCellCount(Long.MaxValue) == 4096) // clamp ceil
+    assert(Similarity.embBandBits(n) == 6)        // test SFs keep 2⁶
+    assert(Similarity.embBandBits(4096) == 6)     // boundary: 4⁶ = 4096
+    assert(Similarity.embBandBits(4097) == 7)
+    assert(Similarity.embBandBits(200000) == 9)
+    assert(Similarity.embBandBits(Long.MaxValue) == 16)
+  }
+
   test("verdicts equal the sequential within-cell recompute") {
-    val asg = Similarity.ivfAssignment(spark, Sf0001)
+    val n = graft.core.Tables.embeddings(spark, Sf0001).count()
+    val asg = Similarity
+      .semAssignment(spark, Sf0001, Similarity.semCellCount(n))
       .as[(Long, Seq[Long], Long)].collect().toSeq
     val removed = scala.collection.mutable.Set.empty[Long]
     asg.groupBy(_._3).values.foreach { cell =>

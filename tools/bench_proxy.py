@@ -57,7 +57,22 @@ def main():
     long_timeout = float(sys.argv[5]) if len(sys.argv) > 5 else 180.0
 
     oracle = json.load(open(oracle_path))
-    spark = json.load(open(detail_path))["queries"]
+    detail = json.load(open(detail_path))
+    spark = detail["queries"]
+    # Per-query Spark scheduling floor: measured by Bench's no-op probe
+    # (consume of a 1-row range through the same timing path, recorded as
+    # "floor_sec"); fall back to the fastest catalog query, which is an
+    # upper bound on the floor. Subtracting it separates structural
+    # local[32]-vs-embedded overhead from actual plan cost — the r12
+    # verdict's "proxy floor honesty" ask: without it, sub-second queries
+    # read as 20-30x slower than DuckDB when nearly all of that is the
+    # fixed ~0.3-0.6 s scheduling floor, an artifact that amortizes to
+    # zero at scale (SCALE_PROBE.md measures exactly that).
+    floor = detail.get("floor_sec")
+    floor_src = "bench_noop_probe"
+    if floor is None:
+        floor = min(spark.values()) if spark else 0.0
+        floor_src = "min_catalog_query_fallback"
 
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(RUNNER)
@@ -94,19 +109,29 @@ def main():
         if name in spark:
             e["spark_sec"] = round(spark[name], 4)
             e["spark_over_duck"] = round(spark[name] / max(duck, 1e-6), 2)
+            e["spark_over_duck_floor_adj"] = round(
+                max(spark[name] - floor, 0.0) / max(duck, 1e-6), 2)
             both_d += duck
             both_s += spark[name]
         out[name] = e
 
+    n_compared = sum(1 for e in out.values() if "spark_over_duck" in e)
+    adj_total = sum(max(e["spark_sec"] - floor, 0.0)
+                    for e in out.values() if "spark_over_duck" in e)
     summary = {
         "sf": sf,
         "timeout_s": timeout,
         "long_timeout_s": long_timeout,
-        "n_compared": sum(1 for e in out.values() if "spark_over_duck" in e),
+        "n_compared": n_compared,
         "n_duck_timeout": n_timeout,
         "duck_total_sec": round(both_d, 2),
         "spark_total_sec": round(both_s, 2),
         "spark_over_duck_total": round(both_s / max(both_d, 1e-6), 2),
+        "floor_sec": round(floor, 4),
+        "floor_source": floor_src,
+        "spark_floor_adj_total_sec": round(adj_total, 2),
+        "spark_over_duck_total_floor_adj":
+            round(adj_total / max(both_d, 1e-6), 2),
     }
     json.dump({"summary": summary, "queries": out},
               open("BENCH_PROXY.json", "w"), indent=1)
@@ -123,7 +148,8 @@ def main():
         print(f"  {n}: spark {ratio}x duck")
     print("\nworst ratios (fixed Spark floor on sub-second queries):")
     for ratio, n in worst[-3:]:
-        print(f"  {n}: spark {ratio}x duck")
+        adj = out[n].get("spark_over_duck_floor_adj")
+        print(f"  {n}: spark {ratio}x duck ({adj}x after floor)")
 
 
 if __name__ == "__main__":

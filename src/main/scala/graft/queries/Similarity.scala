@@ -57,8 +57,10 @@ object Similarity extends QueryGroup {
   // their bucket count from a cheap count(*) of the vector table (parquet
   // footer metadata — the q_graph_triangles bloom-sizing move) with the
   // SAME integer formula the DuckDB oracle computes from its own
-  // count(*), so the hash gate is unchanged at every SF and the pair work
-  // is Θ(n^1.5) at any corpus size.
+  // count(*), so the hash gate is unchanged at every SF and the pair
+  // work tracks each family's design point at any corpus size —
+  // Θ(n^1.5) for IVF (√n cells balance the Θ(n·cells) assignment cost),
+  // Θ(n·C) for LSH (buckets ∝ n, since hashing is only Θ(n·b)).
 
   /** Smallest power of two p ∈ [16, 4096] with p² ≥ n — i.e. cells ≈ √n,
     * expected cell size ≈ √n. Pure integer arithmetic (a float log2
@@ -66,27 +68,48 @@ object Similarity extends QueryGroup {
   private[queries] def semCellCount(n: Long): Int =
     (4 to 12).map(1 << _).find(p => p.toLong * p >= n).getOrElse(4096)
 
-  /** Smallest hyperplane count b ∈ [6, 16] with 4^b ≥ n — i.e.
-    * 2^b buckets per band ≈ √n. At the test SFs (n ≤ 4096) this is the
-    * historical 6, so committed bench numbers are unchanged. */
+  /** Expected-bucket-size ceiling for the LSH near-dup grid (shared by
+    * the DuckDB oracle's inlined formula). */
+  private[queries] val EmbBucketTarget: Long = 64L
+
+  /** Smallest hyperplane count b ∈ [6, 20] with 2^b · [[EmbBucketTarget]]
+    * ≥ n — i.e. expected bucket size ≤ 64 rows, so within-bucket pair
+    * work is Θ(n · C) LINEAR in corpus size. LSH can afford buckets ∝ n
+    * where the IVF twin cannot: hashing costs only Θ(n · b) = Θ(n log n)
+    * (b more sign dots per vector), whereas IVF assignment costs
+    * Θ(n · cells), which forces [[semCellCount]]'s √n balance point.
+    * (The first shipped derivation used 2^b ≈ √n for both — measured at
+    * ×100: 470 s for this query, second-decade exponent 1.8, because
+    * √n-sized buckets still hold Θ(n) pairs each.) At the test SFs
+    * (n ≤ 4096) this is the historical 6, so committed bench numbers are
+    * unchanged. */
   private[queries] def embBandBits(n: Long): Int =
-    (6 to 16).find(b => (1L << (2 * b)) >= n).getOrElse(16)
+    (6 to 20).find(b => (1L << b) * EmbBucketTarget >= n).getOrElse(20)
 
   /** Loud backstop behind the derived geometry: the ACTUAL within-bucket
     * pair count (Σ c·(c−1)/2 over buckets) must stay within a 32× slack
-    * of the Θ(n^1.5) design point. Organic skew (a hot Voronoi cell, a
+    * of the family's design point. Organic skew (a hot Voronoi cell, a
     * dominant sign pattern) degrades gradually and passes; a geometry
     * regression to Θ(n²) overshoots by orders of magnitude and fails the
     * query with the knob named, instead of grinding the driver dead the
     * way the fixed constants measurably did at ×100. */
-  private def requirePairBudget(query: String, n: Long, pairs: Long): Unit = {
-    val isqrt = math.sqrt(n.toDouble).toLong + 1
-    val budget = 32L * n * isqrt + 100000L
+  private def requirePairBudget(query: String, n: Long, pairs: Long,
+      budget: Long): Unit =
     require(pairs <= budget,
       s"$query: $pairs within-bucket candidate pairs exceed the " +
         s"sub-quadratic budget $budget for n=$n — bucket geometry is " +
         "not tracking corpus size (semCellCount/embBandBits)")
-  }
+
+  /** Θ(n^1.5) design point with 32× organic-skew slack — the IVF/√n
+    * geometry (`q_dedup_semantic`). */
+  private def sqrtPairBudget(n: Long): Long =
+    32L * n * (math.sqrt(n.toDouble).toLong + 1) + 100000L
+
+  /** Θ(n·C) design point with 32× slack — the bucket-bounded LSH
+    * geometry (`q_dedup_embedding`): [[LshBands]] bands of expected
+    * bucket ≤ [[EmbBucketTarget]] hold ≈ bands · n · C/2 pairs. */
+  private def linearPairBudget(n: Long): Long =
+    32L * LshBands * n * EmbBucketTarget / 2 + 100000L
 
   /** floor(x * 1e7) int64 quantization of a float-array column. */
   private[queries] def quantize(v: Column): Column =
@@ -284,48 +307,57 @@ object Similarity extends QueryGroup {
     * Scale: bucket self-join shuffles O(n x bands) skinny (band, sig, id)
     * rows — never all-pairs; within-bucket pair count is Θ(n²/2^b), and
     * b — the planes per band — is DERIVED from the corpus count
-    * ([[embBandBits]]: 2^b buckets ≈ √n; the same integer formula runs
-    * in the oracle's count(*) subquery, and the fixed 2⁶ grid it
-    * replaces was a measured ×100 driver-killer). Like the semantic
+    * ([[embBandBits]]: 2^b buckets ≈ n/[[EmbBucketTarget]], so expected
+    * bucket size is a CONSTANT and pair work is Θ(n·C) linear; the same
+    * integer formula runs in the oracle's count(*) subquery. The fixed
+    * 2⁶ grid this replaces was a measured ×100 driver-killer, and the
+    * intermediate √n-bucket derivation still measured 470 s /
+    * exponent 1.8 in the second decade — √n buckets hold Θ(n) pairs
+    * each, a balance LSH does not need since hashing is Θ(n·b), unlike
+    * the IVF twin's Θ(n·cells) assignment). Like the semantic
     * twin, the sub-quadratic claim is ENFORCED: the signature relation
     * is materialized once and its actual within-bucket pair count is
-    * checked against the Θ(n^1.5) budget before the self-join runs.
-    * Verification joins the skinny pair list back to the vectors on id —
-    * declarative equi-joins, so Catalyst broadcasts at small scale and
-    * AQE shifts to shuffle joins (with skew splitting) at 100 TB. */
+    * checked against the Θ(n·C) budget before the self-join runs.
+    *
+    * Candidate scoring is INLINE in the bucket self-join: the signature
+    * relation carries (embedding, norm2), both join sides share the
+    * materialized hash partitioning on (band, sig) — a zero-exchange
+    * sort-merge self-join — and the cosine filter runs in the join's own
+    * projection, so candidate pairs are compute only (one codegen'd
+    * 64-wide double dot each) and NEVER shuffle; only true duplicates
+    * (output-linear) reach the dedup exchange. The first shipped shape
+    * materialized the skinny pair list, dedup-shuffled it, and joined
+    * vectors back on id — three shuffles of the CANDIDATE relation,
+    * measured 261 s at ×100 on this corpus, where clustered embeddings
+    * stack within-bucket pairs 18× above the uniform expectation
+    * (182M pairs); inline scoring makes the same 182M pairs a streamed
+    * in-partition scan. */
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.core.Checkpoints.MaterializeOps
     val n = Tables.embeddings(s, d).count() // parquet metadata count
     val b = embBandBits(n)
-    val vecs = Tables.embeddings(s, d)
-      .select($"vec_id", quantize($"embedding").as("qv"))
-    val sigs = vecs
-      .select($"vec_id",
+    val sigs = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        dotDouble($"embedding", $"embedding").as("norm2"),
+        quantize($"embedding").as("qv"))
+      .select($"vec_id", $"embedding", $"norm2",
         posexplode(array((0 until LshBands).map(bandSigN($"qv", _, b)): _*)))
-      .toDF("vec_id", "band", "sig")
+      .toDF("vec_id", "embedding", "norm2", "band", "sig")
       .repartition($"band", $"sig")
       .materialized
     val pairs = sigs.groupBy($"band", $"sig").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("p"))
       .head().getLong(0)
-    requirePairBudget("q_dedup_embedding", n, pairs)
-    val cand = sigs.as("x").join(sigs.as("y"),
+    requirePairBudget("q_dedup_embedding", n, pairs, linearPairBudget(n))
+    sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct() // a pair may collide in several bands
-    val norms = Tables.embeddings(s, d)
-      .select($"vec_id", $"embedding",
-        dotDouble($"embedding", $"embedding").as("norm2"))
-    cand
-      .join(norms.select($"vec_id".as("vec_a"), $"embedding".as("ea"),
-        $"norm2".as("na")), "vec_a")
-      .join(norms.select($"vec_id".as("vec_b"), $"embedding".as("eb"),
-        $"norm2".as("nb")), "vec_b")
-      .select($"vec_a", $"vec_b",
-        (dotDouble($"ea", $"eb") / (sqrt($"na") * sqrt($"nb"))).as("cosine"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        (dotDouble(col("x.embedding"), col("y.embedding")) /
+          (sqrt(col("x.norm2")) * sqrt(col("y.norm2")))).as("cosine"))
       .filter($"cosine" >= CosDupThreshold)
+      .distinct() // a pair may collide in several bands; scores identical
       .orderBy($"vec_a", $"vec_b")
   }
 
@@ -405,7 +437,7 @@ object Similarity extends QueryGroup {
     val pairs = asg.groupBy($"cell").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("p"))
       .head().getLong(0)
-    requirePairBudget("q_dedup_semantic", n, pairs)
+    requirePairBudget("q_dedup_semantic", n, pairs, sqrtPairBudget(n))
     val removed = asg.as("a").join(asg.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -937,16 +969,17 @@ object Similarity extends QueryGroup {
          |  FROM scored) t
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     // Planes per band computed from the oracle's own COUNT(*) with the
-    // same integer formula as embBandBits (smallest b in [6, 16] with
-    // 4^b ≥ n) — `geo.nb` rides a cross join because DuckDB forbids
-    // scalar subqueries inside lambda/list-comprehension bodies.
+    // same integer formula as embBandBits (smallest b in [6, 20] with
+    // 2^b · EmbBucketTarget ≥ n) — `geo.nb` rides a cross join because
+    // DuckDB forbids scalar subqueries inside lambda/list-comprehension
+    // bodies.
     "q_dedup_embedding" ->
       s"""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings
          |), geo AS (
          |  SELECT COALESCE(MIN(CASE
-         |      WHEN (CAST(1 AS BIGINT) << (2*b)) >= nn.n THEN b END), 16)
-         |    AS nb
-         |  FROM (SELECT unnest(range(6, 17)) AS b) bb, nn
+         |      WHEN (CAST(1 AS BIGINT) << b) * $EmbBucketTarget >= nn.n
+         |      THEN b END), 20) AS nb
+         |  FROM (SELECT unnest(range(6, 21)) AS b) bb, nn
          |), q AS (
          |  SELECT vec_id, $duckQuant qv, embedding,
          |    ${duckDotDouble("embedding", "embedding")} norm2

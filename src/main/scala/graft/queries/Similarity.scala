@@ -367,7 +367,8 @@ object Similarity extends QueryGroup {
 
   /** Anchor-plane row offset for the semantic-dedup coarse quantizer —
     * far above every other consumer of the shared `planeComponent`
-    * stream (LSH planes 0..31, IVF anchors 100..115, JL rows 200..207),
+    * stream (LSH planes 0..39 — b ≤ 20 over 2 bands — IVF anchors
+    * 100..115, JL rows 200..207),
     * so up to 4096 data-derived cells never alias another family. */
   private[queries] val SemAnchorOffset: Int = 1000000
 

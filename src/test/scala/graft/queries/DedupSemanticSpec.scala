@@ -25,10 +25,10 @@ class DedupSemanticSpec extends graft.SparkTestBase {
     assert(Similarity.semCellCount(200000) == 512)
     assert(Similarity.semCellCount(Long.MaxValue) == 4096) // clamp ceil
     assert(Similarity.embBandBits(n) == 6)        // test SFs keep 2⁶
-    assert(Similarity.embBandBits(4096) == 6)     // boundary: 4⁶ = 4096
+    assert(Similarity.embBandBits(4096) == 6)     // boundary: 2⁶·64 = 4096
     assert(Similarity.embBandBits(4097) == 7)
-    assert(Similarity.embBandBits(200000) == 9)
-    assert(Similarity.embBandBits(Long.MaxValue) == 16)
+    assert(Similarity.embBandBits(200000) == 12)  // 2¹²·64 = 262144 ≥ n
+    assert(Similarity.embBandBits(Long.MaxValue) == 20) // clamp ceil
   }
 
   test("verdicts equal the sequential within-cell recompute") {

@@ -195,6 +195,12 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional checkpoint-mode override (local|disk|reliable) so the
+    // fault-tolerant modes' overhead can be MEASURED with the identical
+    // harness (SCALE_PROBE.md local-vs-disk rows) — a runtime session
+    // conf, so an env var is the only way into a fresh bench JVM.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_MODE")
+      .foreach(m => spark.conf.set(graft.core.Checkpoints.ModeKey, m))
 
     // Optional single-query iteration mode: SPARK_GRAFT_BENCH_ONLY is a
     // comma-separated name list. Unknown names are a hard error (the

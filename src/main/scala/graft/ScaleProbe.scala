@@ -42,20 +42,38 @@ object ScaleProbe {
 
   private val KeyOffset = 100000000L
 
-  /** Per-copy alphabet rotation for document text — a 1:1 substitution
-    * over lowercase, UPPERCASE, and digits (r11 advisory: lowercase-only
-    * rotation left digit/uppercase-bearing tokens identical across
-    * copies, weakening the disjoint-vocabulary rationale). Tokens map
-    * 1:1, so within-copy dup/shingle structure is exactly preserved;
+  /** Per-copy AFFINE alphabet substitution for text columns — a 1:1
+    * substitution over lowercase, UPPERCASE, and digits: letter index
+    * j → (a·j + b) mod 26 with a coprime to 26 (digits mod 10), copy 0
+    * the identity. Tokens map 1:1, so within-copy dup/shingle structure
+    * is exactly preserved and vocabularies are disjoint ACROSS copies;
     * punctuation/whitespace (token separators) stay fixed — the residual
     * cross-copy overlap is punctuation-only grams, noted in
-    * SCALE_PROBE.md. */
-  private def rotAlphabet(i: Int): (String, String) = {
+    * SCALE_PROBE.md.
+    *
+    * Affine, not rotation (r13 verdict item 4): rotation is
+    * order-preserving on byte values (+k except at the wrap), so
+    * byte-ORDER statistics survive it — the multimodal aHash thresholds
+    * each sampled byte against the payload mean, and under a uniform +k
+    * shift both sides move together, leaving cross-copy hashes
+    * near-identical: every doc became an N-way cross-copy near-dup and
+    * `q_multimodal_phash` went quadratic as a derivation artifact, not
+    * an engine property. The affine scramble (a ≥ 3 jumps the alphabet
+    * non-monotonically) decorrelates byte order across copies, so
+    * band/bucket occupancy replicates ×N instead of stacking ×N in the
+    * same buckets. */
+  private def subAlphabet(i: Int): (String, String) = {
     val lo = "abcdefghijklmnopqrstuvwxyz"
     val up = lo.toUpperCase(java.util.Locale.ROOT)
     val dg = "0123456789"
-    def rot(s: String, k: Int) = s.drop(k) + s.take(k)
-    (lo + up + dg, rot(lo, i % 26) + rot(up, i % 26) + rot(dg, i % 10))
+    val cop26 = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val cop10 = Seq(1, 3, 7, 9)
+    def affine(s: String, a: Int, b: Int) =
+      s.indices.map(j => s((a * j + b) % s.length)).mkString
+    (lo + up + dg,
+      affine(lo, cop26(i % 12), i % 26) +
+        affine(up, cop26(i % 12), i % 26) +
+        affine(dg, cop10(i % 4), i % 10))
   }
 
   def main(args: Array[String]): Unit = {
@@ -94,19 +112,55 @@ object ScaleProbe {
         df.write.mode("overwrite").parquet(s"$out/$name.parquet")
         println(s"[scaleprobe] wrote x$n/$name")
       }
+      /** Per-copy substitution over a table's entity-name columns:
+        * blocking keys / name prefixes become copy-disjoint, so blocked
+        * fuzzy-match work (q_link_jarowinkler's Σ|block|²) REPLICATES
+        * ×N instead of stacking ×N rows into the same blocks (verbatim
+        * names made per-block occupancy grow N× — a quadratic
+        * derivation artifact, same story as the aHash rotation above).
+        * Jaro-Winkler depends only on character equality patterns, so a
+        * bijective substitution applied consistently within a copy
+        * leaves every within-copy score identical to copy 0. */
+      def subbed(cols: String*): (DataFrame, Int) => DataFrame = (d, i) => {
+        val (from, to) = subAlphabet(i)
+        cols.foldLeft(d)((dd, c) =>
+          dd.withColumn(c, translate(col(c), from, to)))
+      }
       write("lineitem", copies(table("lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey"), n)(plain))
       write("orders", copies(table("orders"),
         Seq("o_orderkey", "o_custkey"), n)(plain))
-      write("customer", copies(table("customer"), Seq("c_custkey"), n)(plain))
-      write("part", copies(table("part"), Seq("p_partkey"), n)(plain))
-      write("supplier", copies(table("supplier"), Seq("s_suppkey"), n)(plain))
+      write("customer", copies(table("customer"), Seq("c_custkey"), n)(
+        subbed("c_name")))
+      write("part", copies(table("part"), Seq("p_partkey"), n)(
+        subbed("p_name", "p_brand")))
+      write("supplier", copies(table("supplier"), Seq("s_suppkey"), n)(
+        subbed("s_name")))
       write("events", copies(table("events"),
         Seq("event_id", "user_id"), n)(plain))
+      // Documents get the affine substitution PLUS a per-copy cyclic
+      // word rotation. The rotation is what decorrelates the multimodal
+      // aHash across copies: over text stand-in payloads the byte-mean
+      // threshold sits between the space byte (32) and every letter
+      // (97+), so the 63 hash bits reduce to "is the sampled byte a
+      // space" — invariant under ANY letter↔letter substitution. Only
+      // moving the spaces (rotating the word order) changes the sampled
+      // geometry (measured: hamming 11–23 between copies of the same doc
+      // vs the ≤8 near-dup radius; with substitution alone it was 0 and
+      // every doc stacked into one ×N cross-copy near-dup family).
+      // Token MULTISET is exactly preserved (unigram stats identical);
+      // shingle sets are preserved 1:1 except the k-1 seam grams, so
+      // within-copy near-dup candidate structure still replicates.
       write("documents", copies(table("documents"), Seq("doc_id"), n) {
         (d, i) =>
-          val (from, to) = rotAlphabet(i)
-          d.withColumn("text", translate(col("text"), from, to))
+          val (from, to) = subAlphabet(i)
+          val sub = translate(col("text"), from, to)
+          val w = split(sub, " ")
+          val k = pmod(lit(i), size(w))
+          d.withColumn("text",
+            when(size(w) <= 1, sub).otherwise(array_join(
+              concat(slice(w, k + lit(1), size(w) - k), slice(w, lit(1), k)),
+              " ")))
       })
       write("embeddings", copies(table("embeddings"), Seq("vec_id"), n) {
         (d, i) =>

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Streaming state-scale probe — the measured evidence behind the
@@ -10,7 +11,7 @@ import org.apache.spark.sql.streaming.OutputMode
   * The behavioral suite (StreamingSpec) pins CORRECTNESS on tiny
   * MemoryStream fixtures; this main drives the RocksDB-backed stateful
   * operators with a full scale-probe events corpus fed in chronological
-  * chunks, and records, per micro-batch: input rows, wall seconds,
+  * chunks, and records, per chunk: input rows, wall seconds,
   * state-store rows, and state bytes (the store's own usage metric).
   * What the numbers must show, per operator:
   *
@@ -24,10 +25,21 @@ import org.apache.spark.sql.streaming.OutputMode
   *    rows must plateau and shrink as the watermark closes windows,
   *    never track corpus size.
   *
+  * The corpus NEVER materializes on the driver (the r13 verdict's probe
+  * finding: a `.collect()` feed capped the probe at whatever fits in
+  * driver memory — the exact anti-pattern the engine under test
+  * avoids). Instead a one-time distributed staging pass splits the
+  * corpus into nChunks chronological parquet slices (chunk = uniform
+  * event-time bucket between the corpus min/max ts — one tiny agg, no
+  * global sort), and each operator streams them through a FILE-SOURCE
+  * reader: per chunk, the staged files are hard-linked into the watch
+  * directory (driver-side file METADATA only) and the query drains
+  * them. Event-time order holds BETWEEN chunks (bucket boundaries
+  * partition by ts), which is what watermark advancement needs; order
+  * within a micro-batch is immaterial to every operator probed.
+  *
   * Usage: runMain graft.StateScaleProbe [eventsSfDir] [nChunks]
-  *        (defaults: /tmp/graft_scale/x10 10)
-  * The corpus is fed in event-time order (sorted by ts, event_id), so
-  * the watermark advances once per chunk like a live ingest tail. */
+  *        (defaults: /tmp/graft_scale/x10 10) */
 object StateScaleProbe {
 
   def main(args: Array[String]): Unit = {
@@ -49,31 +61,64 @@ object StateScaleProbe {
     import graft.streaming.EventsStreaming
     import EventsStreaming.Event
 
-    val all = spark.read.parquet(s"$dir/events.parquet")
+    // ---- Stage: one distributed pass splits the corpus into nChunks
+    // chronological parquet slices. Chunk = uniform ts bucket over
+    // [min, max] — rows never route through the driver; only the 2-value
+    // bounds aggregate does.
+    val events = spark.read.parquet(s"$dir/events.parquet")
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
-      .orderBy($"ts", $"event_id")
-      .as[Event].collect()
-    println(s"""{"probe":"corpus","dir":"$dir","rows":${all.length}}""")
-    val chunks = all.grouped((all.length + nChunks - 1) / nChunks).toSeq
+    val row = events
+      .agg(min(unix_timestamp($"ts")), max(unix_timestamp($"ts")),
+        count(lit(1))).collect()(0)
+    val (tsMin, tsMax, nRows) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    println(s"""{"probe":"corpus","dir":"$dir","rows":$nRows}""")
+    val span = math.max(1L, tsMax - tsMin + 1)
+    val stageBase = java.nio.file.Files
+      .createTempDirectory("graft-state-probe").toFile.getAbsolutePath
+    val staged = events
+      .withColumn("chunk",
+        least(lit(nChunks - 1), floor(
+          (unix_timestamp($"ts") - tsMin) * nChunks / span).cast("int")))
+      .repartition($"chunk")
+    staged.write.partitionBy("chunk").parquet(s"$stageBase/slices")
+    val chunkSizes = staged.groupBy($"chunk").count()
+      .as[(Int, Long)].collect().toMap
 
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+    /** Hard-link chunk i's staged part files into the watch dir (file
+      * metadata only — no payload bytes move through the driver). */
+    def publishChunk(watch: java.io.File, i: Int): Unit = {
+      val src = new java.io.File(s"$stageBase/slices/chunk=$i")
+      val parts = Option(src.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet"))
+      parts.foreach { f =>
+        java.nio.file.Files.createLink(
+          new java.io.File(watch, s"c${i}_${f.getName}").toPath, f.toPath)
+      }
+    }
+
     /** Feed the corpus chunk-by-chunk through `build`, recording one
-      * JSON line per micro-batch from the query's progress metrics. */
+      * JSON line per chunk from the query's progress metrics. */
     def drive(name: String)(
-        build: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+        build: org.apache.spark.sql.Dataset[Event]
           => org.apache.spark.sql.DataFrame): Unit = {
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[Event](spark)
+      val watch = java.nio.file.Files
+        .createTempDirectory(s"graft-state-probe-$name").toFile
+      val input = spark.readStream
+        .schema(events.schema)
+        .parquet(watch.getAbsolutePath)
+        .as[Event]
       val q = build(input).writeStream.format("noop")
         .outputMode(OutputMode.Update).start()
       try {
-        chunks.zipWithIndex.foreach { case (chunk, i) =>
+        (0 until nChunks).foreach { i =>
           val t0 = System.nanoTime()
-          input.addData(chunk.toIndexedSeq: _*)
+          publishChunk(watch, i)
           q.processAllAvailable()
           val sec = (System.nanoTime() - t0) / 1e9
+          val rowsIn = chunkSizes.getOrElse(i, 0L)
           val so = Option(q.lastProgress).toSeq
             .flatMap(_.stateOperators.toSeq)
           val rows = so.map(_.numRowsTotal).sum
@@ -90,15 +135,14 @@ object StateScaleProbe {
             .groupMapReduce(_._1)((kv: (String, java.lang.Long)) =>
               kv._2.longValue)(_ + _)
           val flush = cm.getOrElse("rocksdbTotalBytesWrittenByFlush", 0L)
-          println(s"""{"probe":"$name","chunk":${i + 1},"rows_in":${chunk.length},"sec":${f3(sec)},"rows_per_sec":${f3(chunk.length / sec)},"state_rows":$rows,"batch_flush_bytes":$flush,"sst_accum_bytes":$bytes}""")
+          println(s"""{"probe":"$name","chunk":${i + 1},"rows_in":$rowsIn,"sec":${f3(sec)},"rows_per_sec":${f3(rowsIn / sec)},"state_rows":$rows,"batch_flush_bytes":$flush,"sst_accum_bytes":$bytes}""")
         }
       } finally q.stop()
     }
 
-    drive("ewma")(in => EventsStreaming.ewmaUpdates(in.toDS()).toDF())
-    drive("attribution")(in =>
-      EventsStreaming.attributionUpdates(in.toDS()).toDF())
-    drive("sliding")(in => EventsStreaming.slidingCounts(in.toDS().toDF()))
+    drive("ewma")(in => EventsStreaming.ewmaUpdates(in).toDF())
+    drive("attribution")(in => EventsStreaming.attributionUpdates(in).toDF())
+    drive("sliding")(in => EventsStreaming.slidingCounts(in.toDF()))
 
     spark.stop()
   }

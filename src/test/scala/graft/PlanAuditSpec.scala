@@ -569,7 +569,8 @@ object PlanAuditSpec {
     // word-vocab groupBy + 3x(pair-count agg + 1-row argmax/stats) + the
     // 3-row output sort; every post-vocab relation is vocab-sized.
     "q_text_bpe" -> 3, // tightened r13: per-step materialization
-    "q_text_bpe_deep" -> 10,
+    // derived budget: 31 word types at the audit SF -> bpeMergeBudget = 7.
+    "q_text_bpe_deep" -> 7,
     "q_text_fingerprint" -> 1,
     "q_text_langid" -> 1,
     // unigram agg + bigram agg + top-K sort; unigram side broadcasts.

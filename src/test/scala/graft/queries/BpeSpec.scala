@@ -72,8 +72,20 @@ class BpeSpec extends graft.SparkTestBase {
     assert(got.map(_._6).distinct.size == got.size)
   }
 
-  test("deep merge budget (N=10) equals the reference trainer") {
-    val expected = referenceTrain(TextAnalysis.BpeMergesDeep)
+  test("deep derived merge budget equals the reference trainer") {
+    // The derived budget re-computed from scratch: distinct word types
+    // by the same tokenizer, through the same integer-find formula.
+    val nTypes = Tables.documents(spark, Sf0001)
+      .select($"text").as[String].collect().toSeq
+      .flatMap(_.toLowerCase.split(" ", -1))
+      .filter(_.nonEmpty).distinct.size.toLong
+    val budget = TextAnalysis.bpeMergeBudget(nTypes)
+    // smallest m in [4,16] with 2^m >= 4*types; 31 types -> 2^7 >= 124
+    assert(budget == 7)
+    assert(TextAnalysis.bpeMergeBudget(1) == 4)      // clamp floor
+    assert(TextAnalysis.bpeMergeBudget(16384) == 16) // 2^16 = 4*16384
+    assert(TextAnalysis.bpeMergeBudget(Long.MaxValue) == 16)     // ceil
+    val expected = referenceTrain(budget)
     val got = SparkEntry.queries("q_text_bpe_deep")(spark, Sf0001)
       .as[(Int, String, String, String, Long, Long)].collect().toSeq
     assert(got == expected)

@@ -16,13 +16,19 @@ import org.apache.spark.sql.functions._
   *    themselves (FKs preserved), node/user/doc counts grow ×N — the
   *    graph/dedup problem gets N× more entities, not N× multiplicity on
   *    the same entities.
-  *  - `documents.text` is alphabet-rotated per copy (a 1:1 letter
-  *    substitution): token/shingle statistics are preserved inside each
-  *    copy but vocabularies are disjoint ACROSS copies, so near-dup
-  *    candidate structure replicates ×N instead of exploding
-  *    quadratically (10 verbatim copies would make every doc a 10-way
-  *    cross-copy duplicate — a different, artificially adversarial
-  *    problem).
+  *  - `documents.text` gets a per-copy AFFINE alphabet substitution
+  *    (a 1:1 letter map) plus a per-copy cyclic word rotation:
+  *    token/shingle statistics are preserved inside each copy but
+  *    vocabularies are disjoint ACROSS copies AND payload byte
+  *    geometry decorrelates (the aHash concern — see `subAlphabet` and
+  *    the documents tweak below), so near-dup candidate structure
+  *    replicates ×N instead of exploding quadratically (10 verbatim
+  *    copies would make every doc a 10-way cross-copy duplicate — a
+  *    different, artificially adversarial problem).
+  *  - Entity-name columns (`p_name`/`p_brand`/`c_name`/`s_name`) get
+  *    the same per-copy substitution, so name-blocking keys are
+  *    copy-disjoint and blocked-linkage work replicates instead of
+  *    stacking (see `subbed` below).
   *  - `embeddings.embedding` rotates its components by `copy` positions:
   *    norms and within-copy geometry are preserved, cross-copy cosine is
   *    that of unrelated vectors.

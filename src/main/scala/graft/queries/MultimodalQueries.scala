@@ -77,6 +77,11 @@ object MultimodalQueries extends QueryGroup {
     (0L +: singles) ++ doubles
   }.toArray
 
+  /** Docs above this make the exact-chunk relation (3 rows/doc, ~28 B
+    * each) too big to broadcast; the join degrades to SHUFFLE_HASH with
+    * the chunk side as build — the variant stream is never sorted. */
+  private[queries] val PhashBroadcastDocLimit = 4000000L
+
   /** Perceptual near-dup pairs via MULTI-INDEX HASHING (Norouzi et al.):
     * the 63-bit aHash splits into 3 chunks of 21 bits; hamming <= 8
     * overall pigeonholes to <= 2 errors in SOME chunk, so one side
@@ -86,12 +91,30 @@ object MultimodalQueries extends QueryGroup {
     * candidates are docs genuinely within 2 bits on a chunk — unlike
     * plain narrow-chunk banding, whose 2^7 buckets collide
     * quadratically as the corpus grows (measured 4x slower at sf0.1).
-    * Only (id, hash, chunk) rows shuffle; the exact verify is one
-    * bit_count(xor). */
+    *
+    * Scale shape (r14 — the ×100 sweep caught the old one): the
+    * variant-exploded stream is Θ(n·3·232) rows and must be COMPUTE,
+    * never sort or shuffle input (the r13 `q_dedup_embedding` lesson).
+    * Three load-bearing choices:
+    *  1. The hamming <= [[PhashMaxHamming]] verify sits IN the join
+    *     condition, so a candidate pair that fails it is dropped at
+    *     probe time and never materializes — only true near-dups
+    *     (output-linear) reach the dedup exchange. The old shape
+    *     dropDuplicates'd ALL candidates first: at ×100 the clustered
+    *     text-stand-in hashes made that pair stream big enough to fill
+    *     the disk ("No space left on device", sort-merge spill).
+    *  2. The EXACT-chunk side (3 rows/doc) broadcasts below
+    *     [[PhashBroadcastDocLimit]] — the exploded stream then never
+    *     exchanges at all; above it, a SHUFFLE_HASH hint keeps the
+    *     planner from sort-merge-joining (sorting the variant stream is
+    *     the spill that killed the ×100 run).
+    *  3. Variant enumeration stays a row-local XOR over a constant
+    *     array literal. */
   private def phashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val docs = Tables.documents(s, d)
     val sigs = Multimodal.perceptualHashes(
-      Multimodal.mediaTable(Tables.documents(s, d))).toDF()
+      Multimodal.mediaTable(docs)).toDF()
     val chunks = sigs.select($"media_id", $"ahash",
       posexplode(array((0 until 3).map(i =>
         shiftright($"ahash", i * 21) % (1 << 21)): _*)))
@@ -99,16 +122,19 @@ object MultimodalQueries extends QueryGroup {
     val expanded = chunks.select($"media_id", $"ahash", $"chunk_idx",
       explode(transform(typedLit(phashMasks),
         m => $"chunk_val".bitwiseXOR(m))).as("variant"))
+    val build =
+      if (docs.count() <= PhashBroadcastDocLimit) broadcast(chunks.as("b"))
+      else chunks.as("b").hint("SHUFFLE_HASH")
     expanded.as("a")
-      .join(chunks.as("b"),
+      .join(build,
         $"a.chunk_idx" === $"b.chunk_idx" &&
           $"a.variant" === $"b.chunk_val" &&
-          $"a.media_id" < $"b.media_id")
+          $"a.media_id" < $"b.media_id" &&
+          bit_count($"a.ahash".bitwiseXOR($"b.ahash")) <= PhashMaxHamming)
       .select($"a.media_id".as("media_a"), $"b.media_id".as("media_b"),
         bit_count($"a.ahash".bitwiseXOR($"b.ahash")).cast("long")
           .as("hamming"))
       .dropDuplicates("media_a", "media_b")
-      .filter($"hamming" <= PhashMaxHamming)
       .orderBy($"media_a", $"media_b")
   }
 

@@ -106,9 +106,13 @@ object StateScaleProbe {
           => org.apache.spark.sql.DataFrame): Unit = {
       val watch = java.nio.file.Files
         .createTempDirectory(s"graft-state-probe-$name").toFile
+      // The staged parquet round-trips ts as TIMESTAMP_NTZ; watermarked
+      // operators require TIMESTAMP — cast at the stream boundary (the
+      // MemoryStream feed this replaced got TIMESTAMP from the encoder).
       val input = spark.readStream
         .schema(events.schema)
         .parquet(watch.getAbsolutePath)
+        .withColumn("ts", $"ts".cast("timestamp"))
         .as[Event]
       val q = build(input).writeStream.format("noop")
         .outputMode(OutputMode.Update).start()

@@ -68,7 +68,7 @@ object ScaleProbe {
     * non-monotonically) decorrelates byte order across copies, so
     * band/bucket occupancy replicates ×N instead of stacking ×N in the
     * same buckets. */
-  private def subAlphabet(i: Int): (String, String) = {
+  private[graft] def subAlphabet(i: Int): (String, String) = {
     val lo = "abcdefghijklmnopqrstuvwxyz"
     val up = lo.toUpperCase(java.util.Locale.ROOT)
     val dg = "0123456789"

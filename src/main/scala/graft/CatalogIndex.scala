@@ -93,7 +93,7 @@ object CatalogIndex {
     "q_text_top_skills" -> "FLAGSHIP: dictionary-filtered top-10 skills per source",
     "q_text_vocab" -> "corpus vocabulary induction with min-count cut",
     "q_text_bpe" -> "BPE tokenizer training: 3-merge budget, freq-weighted steps over the word vocab",
-    "q_text_bpe_deep" -> "BPE training at the 10-merge budget with the min-support stop rule",
+    "q_text_bpe_deep" -> "BPE training at a DATA-DERIVED merge budget (smallest m in [4,16] with 2^(m-2) >= word types; 7 at the test SFs, 14 at x100) with the min-support stop rule",
     // ---- Dedup ----------------------------------------------------------
     "q_dedup_cluster" -> "connected-component cluster labels over near-dup pairs",
     "q_dedup_exact" -> "exact duplicate groups by content hash",

@@ -217,21 +217,39 @@ object Bench {
         sys.exit(2)
       }
     }
+    // Whole-catalog child-JVM isolation: SPARK_GRAFT_BENCH_ISOLATE_ALL=N
+    // times EVERY query in fresh child JVMs, N catalog queries per child
+    // (each child does its own warmup + median). Motivation (r14 ×100
+    // sweep): once per-query work reaches seconds, in-sweep JVM residue
+    // (JIT/codegen churn + heap fragmentation from the ~200 preceding
+    // queries) inflates mid-tier queries 5–8× over their isolated
+    // medians — the same effect that moved the graph family to a child
+    // JVM in r12, now measurable across the catalog at ×100-scale
+    // corpora. Off by default: the canonical sf0.1 sweep stays the
+    // committed methodology; scale probes opt in.
+    val isolateChunk =
+      if (only.isEmpty && !isChild)
+        sys.env.get("SPARK_GRAFT_BENCH_ISOLATE_ALL")
+          .map(_.trim.toInt).filter(_ > 0)
+      else None
     // Full parent sweeps hand the graph family to a child JVM; filtered
     // runs (including the child itself) time everything in-process.
-    val isolateFamily = only.isEmpty && !isChild
+    val isolateFamily = only.isEmpty && !isChild && isolateChunk.isEmpty
     val isolated =
       if (isolateFamily) IsolatedFamily.filter(SparkEntry.queries.contains)
       else Seq.empty
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .filterNot { case (n, _) => isolated.contains(n) }
+    // In isolate-all mode nothing is timed in this JVM (children warm up
+    // themselves); the parent is only the orchestrator.
+    val inProcess = if (isolateChunk.isDefined) Seq.empty else queries
 
     // Untimed warmup: run everything once (ignore failures here; they are
     // captured in the timed pass). Quiesce per query so warmup leaves the
     // block manager empty rather than carrying 200 queries of residue
     // into the first timed window.
-    queries.foreach { case (_, fn) =>
+    inProcess.foreach { case (_, fn) =>
       try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
       quiesce(spark)
     }
@@ -244,7 +262,7 @@ object Bench {
     /** One timed pass over the in-process queries: per-query median of
       * nRuns. Failures land in `errors` once, keyed by query. */
     def timedPass(): Map[String, Double] = {
-      val results = queries.flatMap { case (name, fn) =>
+      val results = inProcess.flatMap { case (name, fn) =>
         val times = (1 to nRuns).flatMap { _ =>
           // Quiesce before EVERY timed run, not just between queries: a
           // checkpoint-heavy query's own run-1 blocks otherwise inflate
@@ -306,16 +324,63 @@ object Bench {
         }
       }
 
+    /** Isolate-all pass: every catalog query in fresh child JVMs, `chunk`
+      * queries per child. A failed child falls back to in-process timing
+      * for ITS chunk only (with its own warmup), so the sweep never
+      * loses queries — same contract as the graph-family fallback. */
+    def isolateAllPass(chunk: Int): Map[String, Double] = {
+      val names = queries.map(_._1)
+      names.grouped(chunk).flatMap { grp =>
+        quiesce(spark) // parent idles with a drained block manager
+        childBench(grp, nRuns, sfDir, cpus).getOrElse {
+          System.err.println(s"[bench] chunk ${grp.head}.. fell back in-process")
+          val fns = queries.filter { case (n, _) => grp.contains(n) }
+          fns.foreach { case (_, fn) =>
+            try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+            quiesce(spark)
+          }
+          fns.flatMap { case (name, fn) =>
+            val times = (1 to nRuns).flatMap { _ =>
+              quiesce(spark)
+              val t0 = System.nanoTime()
+              try { consume(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+              catch {
+                case e: Throwable =>
+                  val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+                  if (!errors.exists(_._1 == name))
+                    errors :+= (name -> msg
+                      .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120))
+                  None
+              }
+            }
+            if (times.isEmpty) None
+            else Some(name -> times.sorted.apply((times.size - 1) / 2))
+          }.toMap
+        }
+      }.toMap
+    }
+
     // Sweep loop: per-query MIN of the sweep medians (with one sweep this
     // is just the median — the historical behavior).
-    val sweepMaps = (1 to nSweeps).map { _ => timedPass() ++ isolatedPass() }
+    val sweepMaps = (1 to nSweeps).map { _ =>
+      isolateChunk match {
+        case Some(c) => isolateAllPass(c)
+        case None    => timedPass() ++ isolatedPass()
+      }
+    }
     val resultMap = sweepMaps.flatMap(_.keys).distinct.map { name =>
       name -> sweepMaps.flatMap(_.get(name)).min
     }.toMap
     val results = resultMap.toSeq.sortBy(_._1)
-    val selection =
-      if (nSweeps == 1) s"median-of-$nRuns-runs"
-      else s"min-of-$nSweeps-sweep-medians"
+    val selection = {
+      val base =
+        if (nSweeps == 1) s"median-of-$nRuns-runs"
+        else s"min-of-$nSweeps-sweep-medians"
+      isolateChunk match {
+        case Some(c) => s"$base+child-jvm-chunks-of-$c"
+        case None    => base
+      }
+    }
 
     val es = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")

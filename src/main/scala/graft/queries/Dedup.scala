@@ -432,16 +432,59 @@ object Dedup extends QueryGroup {
        |)""".stripMargin
   }
 
+  /** DuckDB fragment extending [[shingleCte]] to `vp(doc_a, doc_b, jac)`
+    * — all pairs with shingle-set jaccard >= 0.8, computed via the SAME
+    * prefix-filter blocking the Spark side uses (Bayardo et al. WWW'07)
+    * instead of the literal all-pairs join of rounds <= 14.
+    *
+    * The result set is UNCHANGED — the prefix-filter theorem is exact
+    * (under the (dfreq, shingle) total order, two sets with jaccard >= t
+    * must share a shingle inside each other's first
+    * |x| - ceil(t*|x|) + 1, and the size-ratio filter min/max >= t is a
+    * jaccard upper bound), and every candidate is still verified against
+    * the brute-force predicate — but the oracle now runs in ~5 s at
+    * sf0.1 where the all-pairs join blew the proxy harness's 180 s
+    * budget and was priced as a timeout (r14 BENCH_PROXY
+    * `n_duck_timeout: 5`). Equality to the all-pairs formulation is
+    * pinned per-round by the hash gate itself and was verified directly
+    * in DuckDB at sf0.01 when this was introduced. */
+  private val blockedPairsCtes: String =
+    s""", ex AS (
+       |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM s
+       |), dfreq AS (
+       |  SELECT shingle, COUNT(*) AS dfreq FROM ex GROUP BY 1
+       |), pfx AS (
+       |  SELECT doc_id, shingle, sz FROM (
+       |    SELECT e.doc_id, e.shingle, e.sz,
+       |      row_number() OVER (PARTITION BY e.doc_id
+       |                         ORDER BY d.dfreq, e.shingle) AS rn
+       |    FROM ex e JOIN dfreq d USING (shingle)) q
+       |  WHERE rn <= sz - (sz*4 + 4) // 5 + 1
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pfx a JOIN pfx b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |   AND a.sz * 5 >= b.sz * 4 AND b.sz * 5 >= a.sz * 4
+       |), vp AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+       |      AS jac
+       |  FROM cand c JOIN s sa ON sa.doc_id = c.doc_a
+       |              JOIN s sb ON sb.doc_id = c.doc_b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+       |      >= 0.8
+       |)""".stripMargin
+
   /** DuckDB fragment ending in `cc(id, rep_id)` — the recursive-CTE
     * connected-components twin of [[clusterLabels]], shared by the
-    * q_dedup_cluster oracle and the keep-best oracle in [[Inference]]. */
+    * q_dedup_cluster oracle and the keep-best oracle in [[Inference]].
+    * Pairs come from the blocked (zero-false-negative) formulation in
+    * [[blockedPairsCtes]]. */
   private[queries] lazy val duckClusterCcCte: String =
-    s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, p AS (
-       |  SELECT a.doc_id doc_a, b.doc_id doc_b
-       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-       |      >= 0.8
+    s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")}$blockedPairsCtes, p AS (
+       |  SELECT doc_a, doc_b FROM vp
        |), e AS (
        |  SELECT doc_a a, doc_b b FROM p
        |  UNION ALL SELECT doc_b, doc_a FROM p
@@ -487,18 +530,14 @@ object Dedup extends QueryGroup {
        |  FROM h
        |)""".stripMargin
 
-  /** Brute-force all-pairs Jaccard >= 0.8 — the specification both the
-    * MinHash-band and prefix-filter candidate generators must match. */
+  /** All pairs with Jaccard >= 0.8 — the specification both the
+    * MinHash-band and prefix-filter candidate generators must match,
+    * spelled with the exact blocked formulation of [[blockedPairsCtes]]
+    * (identical result set to the literal all-pairs join; see that
+    * fragment's doc for why). */
   private val bruteForcePairsSql =
-    s"""$shingleCte
-       |SELECT a.doc_id doc_a, b.doc_id doc_b,
-       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-       |    AS jac
-       |FROM s a JOIN s b ON a.doc_id < b.doc_id
-       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-       |    >= 0.8
+    s"""$shingleCte$blockedPairsCtes
+       |SELECT doc_a, doc_b, jac FROM vp
        |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(

@@ -160,7 +160,21 @@ object Graph extends QueryGroup {
     * with explicit conf-free geometry) prunes non-closing wedges
     * map-side, BEFORE they hit the wire. False positives just pass
     * a few extra wedges to the exact join; the count is unchanged. */
-  private def triangles(s: SparkSession, d: String): DataFrame = {
+  private def triangles(s: SparkSession, d: String): DataFrame =
+    trianglesWithBloomBucketItems(s, d, TriangleBloomBucketItems)
+
+  /** Per-bucket item capacity of the partitioned closure bloom. 64M
+    * items ≈ 77 MB of bloom at 1% FP — large enough that every corpus
+    * up to ~64M oriented edges keeps the single-bucket plan (bucket
+    * count 1 degenerates to exactly the r14 scalar-bloom probe), small
+    * enough that each bucket's bit array stays far from the sketch
+    * library's Int-indexed ceiling. The test seam
+    * [[trianglesWithBloomBucketItems]] lowers this to force the
+    * multi-bucket path on the small fixtures. */
+  private[queries] val TriangleBloomBucketItems = 64000000L
+
+  private[graft] def trianglesWithBloomBucketItems(
+      s: SparkSession, d: String, bucketItems: Long): DataFrame = {
     import s.implicits._
     org.apache.spark.sql.graft.GraftSqlFunctions.ensure(s)
     // The oriented edge set is read FOUR times (bloom build, both wedge
@@ -182,11 +196,37 @@ object Graph extends QueryGroup {
     // into the plan at construction, NO session conf consulted: the r12
     // variant had to raise spark.sql.optimizer.runtime.bloomFilter.
     // maxNumItems/maxNumBits session-wide and never restored them, a
-    // cross-query side effect on any shared session. Clamped to Int
-    // range — ~2.4 GiB of bloom at 1% FP before a partitioned-bloom
-    // fallback would be needed.
+    // cross-query side effect on any shared session.
+    //
+    // PARTITIONED above `bucketItems` edges (r15; the partitioned-bloom
+    // fallback rounds 12-14 only named in this comment): edges hash into
+    // `nBuckets` key ranges by pmod(xxhash64(u,v), nBuckets), one
+    // bloom_agg_exact scalar subquery per bucket, and wedges probe the
+    // bucket their own hash selects via a CASE over the subqueries —
+    // still entirely map-side (each scalar is computed once and cached
+    // by might_contain, zero wedge bytes moved for the prune). The CASE
+    // shape rather than a map<bucket, bloom> scalar because Spark's
+    // might_contain analyzer only accepts a constant or a DIRECT scalar
+    // subquery as the filter argument — element_at(subquery-map, k) is
+    // a DATATYPE_MISMATCH. Each bucket's bloom holds ~edges/nBuckets
+    // items, so no single bit array ever approaches the sketch
+    // library's Int-indexed bound and the FP rate stays at the designed
+    // 1% at ANY edge count (the single-bloom clamp degraded FP past
+    // ~2.1B edges and sat at a 2.4 GiB monolith well before that). An
+    // empty bucket aggregates to an EMPTY bloom → probe returns false,
+    // which is exact (empty bucket = the wedge's closing edge cannot
+    // exist). Build cost is nBuckets passes over the checkpointed edge
+    // blocks (each with the bucket predicate evaluated scan-side);
+    // total bloom bytes are unchanged by the split. At corpora where
+    // even the summed blooms outgrow broadcast budgets, the knob to
+    // turn is FPP (more FPs only cost extra exact-join probes), never
+    // correctness.
     val edgeRows = oe.count()
-    val nEdges = math.min(math.max(4000000L, edgeRows), Int.MaxValue).toInt
+    val nBuckets = math.max(1L, (edgeRows + bucketItems - 1) / bucketItems).toInt
+    // 20% headroom over the mean bucket fill: xxhash64 spreads edges
+    // near-uniformly, so mean+20% keeps every bucket at-or-under its
+    // designed FP rate without re-counting per bucket.
+    val perBucket = math.max(4000000L, edgeRows / nBuckets * 6 / 5 + 1)
     // Per-invocation view name: two concurrent triangle runs on one
     // session must not race on create/drop of a shared name
     // (ConcurrencySpec interleaves this query with itself since r13).
@@ -206,14 +246,29 @@ object Graph extends QueryGroup {
     val closureHint =
       if (edgeRows <= 8000000L) "/*+ BROADCAST(bc) */"
       else "/*+ SHUFFLE_HASH(bc) */"
+    // nBuckets == 1 keeps the exact single-scalar probe (no pmod filter
+    // on the build scan, no CASE around the probe) — the common plan for
+    // every corpus under `bucketItems` edges.
+    val bloomPredicate =
+      if (nBuckets == 1)
+        s"""bloom_might_contain(
+           |  (SELECT bloom_agg_exact(xxhash64(u, v), $perBucket) FROM $vn),
+           |  xxhash64(e1.v, e2.v))""".stripMargin
+      else {
+        val branches = (0 until nBuckets).map { b =>
+          s"""WHEN $b THEN bloom_might_contain(
+             |  (SELECT bloom_agg_exact(xxhash64(u, v), $perBucket)
+             |   FROM $vn WHERE pmod(xxhash64(u, v), $nBuckets) = $b),
+             |  xxhash64(e1.v, e2.v))""".stripMargin
+        }.mkString("\n")
+        s"CASE pmod(xxhash64(e1.v, e2.v), $nBuckets)\n$branches\nEND"
+      }
     val out = s.sql(s"""
       WITH w AS (
         SELECT e1.v AS b, e2.v AS c
         FROM $vn e1 JOIN $vn e2
           ON e1.u = e2.u AND e1.v < e2.v
-        WHERE bloom_might_contain(
-            (SELECT bloom_agg_exact(xxhash64(u, v), $nEdges) FROM $vn),
-            xxhash64(e1.v, e2.v))
+        WHERE $bloomPredicate
       )
       SELECT $closureHint COUNT(*) AS n_triangles
       FROM w JOIN $vn bc ON w.b = bc.u AND w.c = bc.v""")

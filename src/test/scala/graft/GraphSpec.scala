@@ -50,6 +50,27 @@ class GraphSpec extends SparkTestBase {
     assert(got == expected && got > 0)
   }
 
+  test("partitioned closure bloom (forced multi-bucket) keeps the count") {
+    // The default plan keeps one bloom bucket until ~64M edges; force the
+    // partitioned path on the tiny fixture by shrinking the per-bucket
+    // item capacity below the fixture's edge count (>= 2 buckets, plus
+    // wedge probes landing in empty buckets → NULL bloom → filtered),
+    // and pin that the count is identical to the independent enumeration
+    // the single-bucket test above is checked against.
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val expected = edges.toSeq.map { case (a, b) =>
+      (nbrs(a) & nbrs(b)).count(c => c > b)
+    }.sum.toLong
+    // edges.size == the oriented edge count, so size/3 forces >= 3
+    // buckets (each min-clamped to 4M bloom items — a few MB apiece).
+    val forced = graft.queries.Graph
+      .trianglesWithBloomBucketItems(spark, Sf0001,
+        bucketItems = math.max(1L, edges.size / 3L))
+      .collect()(0).getLong(0)
+    assert(forced == expected && forced > 0)
+  }
+
   test("degree orientation emits no more wedges than id orientation") {
     // The triangle query's wedge stage fans out C(out-deg, 2) per corner;
     // degree-ordered orientation bounds out-deg by arboricity where raw id

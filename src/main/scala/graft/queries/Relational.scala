@@ -165,23 +165,42 @@ object Relational extends QueryGroup {
   }
 
   // ROLLUP with grouping level disambiguated via coalesce to 'ALL'.
+  //
+  // Classic rollup decomposition: ROLLUP directly over the fact table
+  // plans an Expand that duplicates EVERY input row once per grouping
+  // set (3x the fact rows through the hash aggregate). count and the
+  // exact decimal sum are both re-aggregable, so aggregate to the
+  // finest grain (l_returnflag, l_linestatus — a handful of rows) in
+  // ONE ordinary scan-shaped pass, then run the ROLLUP over that
+  // collapsed relation: the Expand now multiplies ~6 rows, not the
+  // fact table. The partial sum stays DECIMAL until after the re-agg
+  // (sum-of-exact-sums == one exact sum; the double cast happens once,
+  // at the end), so values are bit-identical to the direct form.
   private def aggRollup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("pn"),
+        sum($"l_quantity".cast(DecimalType(18, 6))).as("ps"))
       .rollup($"l_returnflag", $"l_linestatus")
-      .agg(count(lit(1)).as("n_rows"), dsum($"l_quantity").as("sum_qty"))
+      .agg(sum($"pn").as("n_rows"), sum($"ps").cast("double").as("sum_qty"))
       .select(coalesce($"l_returnflag", lit("ALL")).as("rflag"),
         coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
         $"n_rows", $"sum_qty")
       .orderBy($"rflag", $"lstatus")
   }
 
-  // CUBE over two dims.
+  // CUBE over two dims — same finest-grain-first decomposition as
+  // aggRollup (the Expand quadruples rows under CUBE, so collapsing to
+  // the (status, priority) grain first matters even more).
   private def aggCube(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, d)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("pn"),
+        sum($"o_totalprice".cast(DecimalType(18, 6))).as("ps"))
       .cube($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .agg(sum($"pn").as("n_orders"), sum($"ps").cast("double").as("sum_price"))
       .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
         coalesce($"o_orderpriority", lit("ALL")).as("priority"),
         $"n_orders", $"sum_price")

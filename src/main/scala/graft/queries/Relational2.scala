@@ -38,15 +38,29 @@ object Relational2 extends QueryGroup {
       .orderBy($"s_suppkey")
   }
 
-  /** GROUPING SETS via the SQL-string surface (also the spark.sql row). */
+  /** GROUPING SETS via the SQL-string surface (also the spark.sql row).
+    *
+    * Finest-grain-first decomposition (same move as aggRollup/aggCube in
+    * [[Relational]]): GROUPING SETS straight over the fact table Expands
+    * every row once per set; pre-aggregating to the (l_returnflag,
+    * l_linestatus) grain — the common refinement of all three declared
+    * sets — leaves the Expand multiplying ~6 rows. The partial sum stays
+    * DECIMAL through the re-agg so values match the direct form exactly
+    * (and the GROUPING SETS surface itself is still what this row
+    * exercises — just over the collapsed relation). */
   private def groupingSetsSql(s: SparkSession, d: String): DataFrame = {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
     s.sql(
-      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+      s"""WITH base AS (
+         |  SELECT l_returnflag, l_linestatus, COUNT(*) AS pn,
+         |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS ps
+         |  FROM lineitem_v GROUP BY l_returnflag, l_linestatus
+         |)
+         |SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
          |  COALESCE(l_linestatus, 'ALL') AS lstatus,
-         |  COUNT(*) AS n_rows,
-         |  ${dsumSql("l_quantity")} AS sum_qty
-         |FROM lineitem_v
+         |  SUM(pn) AS n_rows,
+         |  CAST(SUM(ps) AS DOUBLE) AS sum_qty
+         |FROM base
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          |ORDER BY rflag, lstatus""".stripMargin)
   }
@@ -161,11 +175,23 @@ object Relational2 extends QueryGroup {
     * memory hazard `q_quantile_global` exists to avoid. Now three
     * fast-path legs over the cents-quantized scan, broadcast-joined at
     * 3 rows each: sketch agg, two-phase exact-distinct agg, and a
-    * discrete rank envelope off the bounded (flag, cents) counts
-    * relation — lo/hi = first value whose cumulative count crosses
-    * 0.49/0.51 (0.94/0.96)·n, a strictly sound bound for
+    * discrete rank envelope — lo/hi = first value whose cumulative
+    * count crosses 0.49/0.51 (0.94/0.96)·n, a strictly sound bound for
     * percentile_approx's ±0.001-rank guarantee since the approx result
-    * is always an observed value. */
+    * is always an observed value.
+    *
+    * r15 envelope rework, same values: the (flag, cents) counts
+    * relation barely collapsed (~594k of 600k rows at sf0.1 — cents
+    * are near-unique), so its cumulative window SORTED the whole
+    * column, the query's dominant cost (1.2 of 1.9 s standalone). The
+    * envelope is really 4 order statistics per flag, so it now uses the
+    * same two-phase selection as `q_quantile_global`, partitioned by
+    * flag: a 4096-cent-bin histogram (a few thousand bins — the
+    * cumulative window sorts bins, not rows), rank → hit bin via a
+    * broadcast join, and a second scan that ranks ONLY the rows landing
+    * in a hit bin (~bin occupancy each). min-c-with-cum·100 ≥ n·p is
+    * exactly the value at global rank ceil(p·n/100), which is what the
+    * selection returns. */
   private def approxStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Tables.lineitem(s, d)
@@ -179,16 +205,40 @@ object Relational2 extends QueryGroup {
         percentile_approx($"c", lit(0.95), lit(1000)).as("p95"))
     val exactDistinct = base.groupBy($"l_returnflag")
       .agg(countDistinct($"l_partkey").as("n_parts"))
-    val byFlag = Window.partitionBy($"l_returnflag")
-    val env = base.groupBy($"l_returnflag", $"c").agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum($"cnt").over(byFlag.orderBy($"c")))
-      .withColumn("n", sum($"cnt").over(byFlag))
+    // Phase 1: per-flag bin histogram + cumulative over BINS (tiny).
+    val bins = base
+      .groupBy($"l_returnflag", shiftright($"c", 12).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumBins = bins.withColumn("cum",
+      sum($"cnt").over(Window.partitionBy($"l_returnflag").orderBy($"bin")))
+    // Target ranks: k = ceil(p·n/100) as exact integer arithmetic
+    // (cum·100 >= n·p  <=>  cum >= ceil(n·p/100) for integer cum).
+    val ks = bins.groupBy($"l_returnflag").agg(sum($"cnt").as("n"))
+      .crossJoin(broadcast(Seq(49, 51, 94, 96).toDF("pct")))
+      .select($"l_returnflag", $"pct",
+        (($"n" * $"pct" + 99) / 100).cast("long").as("k"))
+    // Hit bin per (flag, pct): first bin whose cumulative reaches k,
+    // plus the within-bin offset of the target rank.
+    val tgt = ks.join(broadcast(cumBins), Seq("l_returnflag"))
+      .filter($"cum" >= $"k")
+      .groupBy($"l_returnflag", $"pct", $"k").agg(min($"bin").as("bin"))
+      .join(broadcast(cumBins), Seq("l_returnflag", "bin"))
+      .select($"l_returnflag", $"pct", $"bin",
+        ($"k" - ($"cum" - $"cnt")).as("off"))
+    // Phase 2: rank only the hit bins' rows (each window partition is
+    // one bin's occupancy, bounded by the bin width — never n).
+    val env = base
+      .select($"l_returnflag", $"c", shiftright($"c", 12).as("bin"))
+      .join(broadcast(tgt), Seq("l_returnflag", "bin"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"l_returnflag", $"pct").orderBy($"c")))
+      .filter($"rn" === $"off")
       .groupBy($"l_returnflag")
       .agg(
-        min(when($"cum" * 100 >= $"n" * 49, $"c")).as("lo50"),
-        min(when($"cum" * 100 >= $"n" * 51, $"c")).as("hi50"),
-        min(when($"cum" * 100 >= $"n" * 94, $"c")).as("lo95"),
-        min(when($"cum" * 100 >= $"n" * 96, $"c")).as("hi95"))
+        min(when($"pct" === 49, $"c")).as("lo50"),
+        min(when($"pct" === 51, $"c")).as("hi50"),
+        min(when($"pct" === 94, $"c")).as("lo95"),
+        min(when($"pct" === 96, $"c")).as("hi95"))
     sketches.join(broadcast(exactDistinct), Seq("l_returnflag"))
       .join(broadcast(env), Seq("l_returnflag"))
       .select($"l_returnflag", $"n_rows", $"n_parts",

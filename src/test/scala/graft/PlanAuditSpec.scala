@@ -186,7 +186,9 @@ class PlanAuditSpec extends SparkTestBase {
 object PlanAuditSpec {
   val baseline: Map[String, Int] = Map(
     "q_agg_collect_sorted" -> 2,
-    "q_agg_cube" -> 2,
+    // r15: same decomposition as q_agg_rollup (pre-agg exchange + the
+    // CUBE Expand over the collapsed relation + output sort).
+    "q_agg_cube" -> 3,
     "q_agg_distinct" -> 3,
     "q_agg_filter_revenue" -> 1,
     // base-side partial agg + batch-side partial agg share the custkey
@@ -209,7 +211,10 @@ object PlanAuditSpec {
     // name alignment is a projection, not a shuffle.
     "q_union_byname" -> 2,
     "q_agg_pricing" -> 2,
-    "q_agg_rollup" -> 2,
+    // r15 finest-grain-first decomposition: +1 exchange for the
+    // (rf, ls) pre-aggregation, but the Expand + rollup agg now runs
+    // over ~6 rows instead of 3x the fact table (1.07 s -> 0.60 s).
+    "q_agg_rollup" -> 3,
     // ONE custkey exchange feeds all four MAD window functions (+ the
     // final output sort) — the conditional-window-MAX-instead-of-join
     // design is exactly what keeps this at 2.
@@ -222,11 +227,14 @@ object PlanAuditSpec {
     // membership-join/summary aggs. Skinny (query, neighbor) pairs on
     // every exchange; |queries| is a constant.
     "q_ann_recall" -> 6,
-    // r11 split: sketch agg + two-phase exact-distinct + (flag,cents)
-    // envelope agg/window — three fast-path legs (6 skinny exchanges,
-    // all ≤ |distinct cents| rows) instead of one sort-based fallback
-    // over Expand-doubled input.
-    "q_approx_stats" -> 6,
+    // r11 split: sketch agg + two-phase exact-distinct + envelope —
+    // three fast-path legs instead of one sort-based fallback over
+    // Expand-doubled input. r15: the envelope became the same two-phase
+    // rank selection as q_quantile_global (bin histogram agg + tiny
+    // bin-cumulative window + per-flag totals agg + hit-bin row window
+    // + final envelope agg), trading 3 more skinny exchanges for not
+    // sorting the near-unique (flag, cents) column (1.23 s -> 0.97 s).
+    "q_approx_stats" -> 9,
     "q_array_explode" -> 1,
     "q_array_funs" -> 1,
     "q_clean_company_size" -> 1,
@@ -359,7 +367,9 @@ object PlanAuditSpec {
     "q_filename_column" -> 2,
     "q_filter_in_like" -> 1,
     "q_filter_project" -> 1,
-    "q_grouping_sets" -> 2,
+    // r15: finest-grain pre-agg CTE + GROUPING SETS over the collapsed
+    // relation + output sort (was Expand x3 over lineitem at 2).
+    "q_grouping_sets" -> 3,
     "q_histogram" -> 2,
     // token×doc tf agg + per-token merge + final token sort.
     "q_index_inverted" -> 3,

@@ -165,6 +165,8 @@ object CatalogIndex {
     "q_events_trending" -> "trending top-k per window",
     "q_events_tumbling" -> "tumbling windows (batch twin of the stream)",
     "q_events_view_click" -> "stream-stream interval join (batch twin)",
+    "q_events_view_click_outer" ->
+      "left-outer stream-stream join funnel (batch twin)",
     "q_join_asof" -> "as-of join, rewrite form (window over union)",
     "q_join_asof_fwd" -> "native FORWARD as-of join",
     "q_join_asof_native" -> "native backward as-of join (custom plan+strategy+exec)",

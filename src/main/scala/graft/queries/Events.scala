@@ -66,6 +66,28 @@ object Events extends QueryGroup {
       .orderBy($"user_id")
   }
 
+  /** Batch twin of the LEFT-OUTER stream-stream join
+    * ([[graft.streaming.EventsStreaming.viewClickJoinOuter]]) — the
+    * funnel shape: conversion AND abandonment from one join. The outer
+    * side's null-padding horizon semantics are what this row pins
+    * (n_abandoned counts views whose horizon closed with no click; in
+    * streaming those rows only surface after the watermark passes
+    * view_ts + horizon, which the StreamingSpec twin asserts). Same
+    * join/agg shape as the inner twin: one user_id co-partitioned
+    * shuffle, one partial-agg shuffle. */
+  private def viewClickOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.EventsStreaming.viewClickJoinOuter(Tables.events(s, d))
+      .groupBy($"user_id")
+      .agg(countDistinct($"view_id").as("n_views"),
+        count($"click_id").as("n_attributed"),
+        countDistinct(when($"click_id".isNotNull, $"view_id"))
+          .as("n_views_clicked"))
+      .select($"user_id", $"n_views", $"n_attributed", $"n_views_clicked",
+        ($"n_views" - $"n_views_clicked").as("n_abandoned"))
+      .orderBy($"user_id")
+  }
+
   /** As-of (point-in-time) join: each click picks up the user's most
     * recent view at or before it — the feature-store lookup a training
     * pipeline does per example. Spark has no ASOF JOIN; a range join
@@ -373,6 +395,7 @@ object Events extends QueryGroup {
     "q_events_sliding" -> sliding,
     "q_events_session" -> session,
     "q_events_view_click" -> viewClick,
+    "q_events_view_click_outer" -> viewClickOuter,
     "q_events_dedup" -> eventsDedup,
     "q_join_asof" -> asof,
     "q_join_asof_native" -> asofNative,
@@ -484,6 +507,20 @@ object Events extends QueryGroup {
         |FROM events v JOIN events c
         |  ON c.user_id = v.user_id
         |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL '10 minutes'
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    "q_events_view_click_outer" ->
+      """SELECT v.user_id,
+        |  COUNT(DISTINCT v.event_id) AS n_views,
+        |  COUNT(c.event_id) AS n_attributed,
+        |  COUNT(DISTINCT CASE WHEN c.event_id IS NOT NULL
+        |                      THEN v.event_id END) AS n_views_clicked,
+        |  COUNT(DISTINCT v.event_id)
+        |    - COUNT(DISTINCT CASE WHEN c.event_id IS NOT NULL
+        |                          THEN v.event_id END) AS n_abandoned
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
         |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL '10 minutes'
         |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
     "q_join_asof" -> asofOracleSql,

@@ -336,6 +336,8 @@ object PlanAuditSpec {
     // 3: both interval-join sides shuffle on user_id, the per-user agg
     // reuses that partitioning, final ORDER BY adds the range exchange.
     "q_events_view_click" -> 3,
+    // outer twin: same user_id join exchanges + distinct-agg as inner.
+    "q_events_view_click_outer" -> 3,
     "q_except" -> 2,
     // edge dedup + the min-depth and per-layer aggs; the UnionLoop's
     // per-step exchanges are iteration-internal, not in the static plan.

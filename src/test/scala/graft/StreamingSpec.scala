@@ -239,6 +239,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("outer stream-stream join equals its batch twin for closed horizons") {
+    // Batch-equivalence for the LEFT-OUTER variant (the inner variant is
+    // oracle-gated via q_events_view_click; the outer twin is
+    // q_events_view_click_outer): every view whose horizon the final
+    // watermark has passed must appear in the streamed output with
+    // exactly the batch join's match set — matched rows AND the
+    // null-padded abandonment row.
+    val input = MemoryStream[Event](spark)
+    val q = EventsStreaming.viewClickJoinOuter(input.toDF())
+      .writeStream.format("memory").queryName("viewclick_outer_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val batch1 = Seq(
+        ev(1, ts(0), user = 1, typ = "view"),
+        ev(2, ts(3), user = 1, typ = "click"),
+        ev(3, ts(1), user = 2, typ = "view"), // abandoned
+        ev(4, ts(2), user = 3, typ = "view"),
+        ev(5, ts(5), user = 3, typ = "click"),
+        ev(6, ts(8), user = 3, typ = "click"), // two matches, one view
+        ev(7, ts(20), user = 4, typ = "click")) // viewless click
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      // Flush: watermark -> 10:110; every batch1 horizon (<= 10:30) closes.
+      val flush = Seq(ev(90, ts(120), user = 9, typ = "view"),
+        ev(91, ts(120), user = 9, typ = "click"))
+      input.addData(flush: _*)
+      q.processAllAvailable()
+      val cutoff = ts(100)
+      def rowSet(df: org.apache.spark.sql.DataFrame) = df
+        .filter($"view_ts" < cutoff)
+        .select($"user_id", $"view_id", $"click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      val streamed = rowSet(spark.table("viewclick_outer_eq"))
+      val batch = rowSet(EventsStreaming.viewClickJoinOuter(
+        (batch1 ++ flush).toDF()))
+      assert(streamed.nonEmpty && streamed === batch)
+      assert(streamed.contains((2L, 3L, None))) // the funnel's abandonment
+    } finally q.stop()
+  }
+
   test("foreachBatch upserts aggregated rows into a KV store") {
     val input = MemoryStream[Event](spark)
     val agg = input.toDF().groupBy($"event_type")

@@ -94,6 +94,35 @@ class PlanAuditSpec extends SparkTestBase {
           .mkString(", "))
   }
 
+  test("linkpred keeps its broadcast zero-exchange wedge plan") {
+    // q_graph_linkpred is the catalog's most expensive query and its
+    // plan is load-bearing: the capped adjacency is checkpointed once
+    // and BROADCAST into the wedge self-join (zero exchanges under the
+    // join — the wedge stream is probed where it is produced and never
+    // sorted), and the final anti-join broadcasts the skinny edge list.
+    // Pin the shape at the suite SF and at sf0.01 (a 10x bigger
+    // adjacency — guards against a stats threshold silently demoting
+    // either broadcast to a sort-merge join, which would sort the
+    // multi-million-row wedge stream): exactly two BroadcastHashJoins
+    // (inner wedge + LeftAnti edges), no SortExec anywhere (ordering is
+    // TakeOrderedAndProject), and at most the one aggregation exchange.
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    for (sf <- Seq(Sf0001, "/root/testdata/sf0.01")) {
+      val nodes = SparkEntry.queries("q_graph_linkpred")(auditSession, sf)
+        .queryExecution.executedPlan.collectWithSubqueries { case n => n }
+      assert(!nodes.exists(_.isInstanceOf[SortExec]),
+        s"linkpred plan at $sf sorts the wedge stream")
+      val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.size == 2 && bhj.count(_.joinType == LeftAnti) == 1,
+        s"linkpred at $sf lost a broadcast join: ${bhj.map(_.joinType)}")
+      val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles <= 1,
+        s"linkpred at $sf gained shuffle exchanges: $shuffles > 1")
+    }
+  }
+
   test("comparison filters push down into the parquet scan") {
     // Pushdown sanity on the filter-led queries (simple predicates that
     // parquet CAN evaluate): the scan node must advertise PushedFilters.

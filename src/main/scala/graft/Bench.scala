@@ -131,7 +131,17 @@ object Bench {
       // 4-query record. The child runs exactly one sweep; the parent's
       // sweep loop provides the selection pressure.
       env.put("SPARK_GRAFT_BENCH_SWEEPS", "1")
-      env.remove("SPARK_GRAFT_BENCH_DETAIL_OUT")
+      // Timings are read from the child's FULL-PRECISION detail file,
+      // not its stdout summary line: the stdout line budgets itself to
+      // ~1.4 kB (slowest-first, rest "omitted"), so a chunk of more
+      // than ~45 queries would lose entries there — which this caller
+      // would misread as "child returned no timing" and silently fall
+      // back to in-process for the whole chunk, defeating isolation
+      // for large SPARK_GRAFT_BENCH_ISOLATE_ALL chunk sizes.
+      val detailFile =
+        java.io.File.createTempFile("graft-bench-child", ".detail.json")
+      detailFile.deleteOnExit()
+      env.put("SPARK_GRAFT_BENCH_DETAIL_OUT", detailFile.getPath)
       // Child stderr (Spark WARN chatter) flows to our stderr — never
       // buffered in a pipe the parent forgets to drain (deadlock).
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -150,13 +160,24 @@ object Bench {
         java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
       outFile.delete()
       if (!done || p.exitValue() != 0) {
+        detailFile.delete()
         System.err.println(s"[bench] child JVM failed (timeout=${!done}); " +
           "falling back to in-process timing for the graph family")
         return None
       }
-      val line = out.linesIterator.find(_.contains("\"metric\":\"total\""))
-        .getOrElse(return None)
-      val qt = """"(q_\w+)":([0-9]+(?:\.[0-9]+)?)""".r
+      // Prefer the detail file (complete + full precision); the stdout
+      // summary line is only the fallback if the write failed.
+      val detail =
+        if (detailFile.length() > 0)
+          new String(
+            java.nio.file.Files.readAllBytes(detailFile.toPath), "UTF-8")
+        else ""
+      detailFile.delete()
+      val line =
+        if (detail.contains("\"metric\":\"total\"")) detail
+        else out.linesIterator.find(_.contains("\"metric\":\"total\""))
+          .getOrElse(return None)
+      val qt = """"(q_\w+)":([0-9]+(?:\.[0-9]+)?(?:[eE]-?[0-9]+)?)""".r
       val parsed = qt.findAllMatchIn(line)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
       val missing = family.filterNot(parsed.contains)
@@ -404,10 +425,15 @@ object Bench {
     // A failed detail write must be LOUD: bench_proxy.py and the summary
     // line's "detail" pointer both read the committed artifact, so a
     // swallowed IOException leaves a stale file masquerading as current.
-    // Only a FULL sweep at the canonical bench scale may overwrite it —
-    // a full run at sf0.001 (e.g. a verify smoke) would otherwise
-    // replace the committed sf0.1 record with toy numbers.
-    if (only.isEmpty && sfDir.endsWith("sf0.1")) {
+    // Only a FULL IN-PROCESS sweep at the canonical bench scale may
+    // overwrite it — a full run at sf0.001 (e.g. a verify smoke) would
+    // replace the committed sf0.1 record with toy numbers, and an
+    // isolate-all run would replace it with child-chunked-methodology
+    // numbers the file's consumers don't expect (those runs carry their
+    // provenance only in `selection`; write them somewhere explicit via
+    // SPARK_GRAFT_BENCH_DETAIL_OUT — the committed isolated artifact is
+    // BENCH_DETAIL_ISOLATED.json).
+    if (only.isEmpty && isolateChunk.isEmpty && sfDir.endsWith("sf0.1")) {
       try {
         val w = new java.io.PrintWriter("BENCH_DETAIL.json")
         try w.println(detail) finally w.close()

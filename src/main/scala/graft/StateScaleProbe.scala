@@ -141,13 +141,29 @@ object StateScaleProbe {
           val flush = cm.getOrElse("rocksdbTotalBytesWrittenByFlush", 0L)
           println(s"""{"probe":"$name","chunk":${i + 1},"rows_in":$rowsIn,"sec":${f3(sec)},"rows_per_sec":${f3(rowsIn / sec)},"state_rows":$rows,"batch_flush_bytes":$flush,"sst_accum_bytes":$bytes}""")
         }
-      } finally q.stop()
+      } finally {
+        q.stop()
+        deleteRecursively(watch)
+      }
     }
 
-    drive("ewma")(in => EventsStreaming.ewmaUpdates(in).toDF())
-    drive("attribution")(in => EventsStreaming.attributionUpdates(in).toDF())
-    drive("sliding")(in => EventsStreaming.slidingCounts(in.toDF()))
+    try {
+      drive("ewma")(in => EventsStreaming.ewmaUpdates(in).toDF())
+      drive("attribution")(in => EventsStreaming.attributionUpdates(in).toDF())
+      drive("sliding")(in => EventsStreaming.slidingCounts(in.toDF()))
+    } finally {
+      // The staging dir is a full re-write of the events corpus and each
+      // watch dir holds a hard-linked copy's worth of directory entries —
+      // a ×100 probe run would otherwise leave a corpus-sized residue in
+      // /tmp (plus three link trees) per invocation.
+      deleteRecursively(new java.io.File(stageBase))
+    }
 
     spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 }

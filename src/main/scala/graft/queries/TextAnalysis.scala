@@ -719,7 +719,51 @@ object TextAnalysis extends QueryGroup {
     * row-local replace. Nothing iterates over the corpus again, and the
     * 1-row LIMIT sort runs over observed-pair counts, not tokens. */
   private[queries] def textBpeN(s: SparkSession, d: String,
-      maxMerges: Int): DataFrame = {
+      maxMerges: Int): DataFrame =
+    textBpeNCounted(s, d, maxMerges)._1
+
+  /** The BPE trainer loop, returning (merge table, driver ROUNDS run).
+    *
+    * r15 merge-round BATCHING: the r13 loop was strictly sequential —
+    * one driver round-trip (pair-count job + argmax collect + replace +
+    * materialize + token-count job) PER merge, which at a production
+    * budget (~30k merges) is 30k driver round-trips. One round now
+    * applies a PREFIX of the (cnt DESC, lhs, rhs)-ordered candidate
+    * list whenever doing so provably reproduces the sequential result:
+    *
+    *  - accepted pairs are pairwise DISJOINT on the strings
+    *    {lhs, rhs, lhs+rhs} — so no accepted merge consumes, produces,
+    *    or renames a symbol another accepted pair matches on: each
+    *    accepted pair's count and realized merge set are exactly its
+    *    sequential values (old-pair adjacencies never increase, and a
+    *    disjoint merge can neither create nor destroy them);
+    *  - merging (a,b) can only ADD pairs involving the new symbol ab,
+    *    and every such adjacency — at ANY intermediate sequential state
+    *    of the round — maps injectively to a pre-round symbol triple
+    *    (x,a,b) or (a,b,y), so max over those triple counts bounds the
+    *    rank any created pair can reach. A candidate is accepted only
+    *    while it STRICTLY outranks that bound (ties close the round:
+    *    string tie-break against an unknown created pair is not worth
+    *    reasoning about), which guarantees the sequential argmax at its
+    *    turn is the candidate itself;
+    *  - lhs == rhs pairs (overlapping-run merges, where greedy
+    *    application makes realized merges < adjacency count) are only
+    *    ever accepted as a round of their own;
+    *  - candidates are never SKIPPED — acceptance stops at the first
+    *    conflict, so the accepted set is always a prefix of the exact
+    *    sequential order.
+    *
+    * Intermediate `n_tokens_after` values are derived by subtraction
+    * (each disjoint lhs≠rhs merge removes exactly pair_cnt tokens) and
+    * the round's final value is ASSERTED against a measured token
+    * count — a violated batching assumption fails loudly instead of
+    * shipping a wrong table. Per round the corpus-derived work is one
+    * pair-count job, one (candidate-filtered) triple-bound job, one
+    * chained-replace materialize, and one token-count job — ~4 jobs for
+    * up to `maxBatch` merges vs 3 jobs per merge sequentially.
+    * BpeSpec pins batched == sequential == the Sennrich reference. */
+  private[graft] def textBpeNCounted(s: SparkSession, d: String,
+      maxMerges: Int, maxBatch: Int = 16): (DataFrame, Int) = {
     import s.implicits._
     import graft.core.Checkpoints.MaterializeOps
     val pq = java.util.regex.Pattern.quote(SymB + SymA)
@@ -735,35 +779,135 @@ object TextAnalysis extends QueryGroup {
       .materialized
     val symsOf = (c: Column) =>
       split(c.substr(lit(2), length(c) - 2), pq)
-    val steps = Seq.newBuilder[DataFrame]
+    def tokenCount(): Long = enc
+      .agg(sum($"freq" * size(symsOf($"enc"))).as("n")).collect()(0).getLong(0)
+    var nTokens = tokenCount()
+    val merges =
+      Seq.newBuilder[(Int, String, String, String, Long, Long)]
+    var stepsSoFar = 0
+    var rounds = 0
     var stopped = false
-    for (step <- 1 to maxMerges if !stopped) {
-      val best = enc.select($"freq", symsOf($"enc").as("sy"))
+    while (!stopped && stepsSoFar < maxMerges) {
+      val m = math.min(math.max(1, maxBatch), maxMerges - stepsSoFar)
+      val cand = enc.select($"freq", symsOf($"enc").as("sy"))
         .select($"freq",
           explode(zip_with(slice($"sy", lit(1), size($"sy") - 1),
             slice($"sy", lit(2), size($"sy") - 1),
             (x, y) => struct(x.as("lhs"), y.as("rhs")))).as("p"))
         .groupBy($"p.lhs".as("lhs"), $"p.rhs".as("rhs"))
         .agg(sum($"freq").as("cnt"))
-        .orderBy($"cnt".desc, $"lhs".asc, $"rhs".asc).limit(1)
+        .orderBy($"cnt".desc, $"lhs".asc, $"rhs".asc).limit(m)
         .collect()
-      if (best.isEmpty || best(0).getLong(2) < BpeMinPairSupport) {
-        stopped = true
-      } else {
-        val (lh, rh, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        enc = enc.select($"freq",
-          replace($"enc", lit(SymA + lh + SymB + SymA + rh + SymB),
-            lit(SymA + lh + rh + SymB)).as("enc"))
-          .materialized
-        steps += enc
-          .agg(sum($"freq" * size(symsOf($"enc"))).as("n_tokens_after"))
-          .select(lit(step).as("step"), lit(lh).as("lhs"), lit(rh).as("rhs"),
-            lit(lh + rh).as("merged"), lit(cnt).as("pair_cnt"),
-            $"n_tokens_after")
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .takeWhile(_._3 >= BpeMinPairSupport)
+      if (cand.isEmpty) stopped = true
+      else {
+        // Upper bound, per candidate, on the count of any pair a merge
+        // of that candidate could CREATE: max pre-round triple count
+        // adjacent to the pair (suffix (x,lhs,rhs) or prefix
+        // (lhs,rhs,y)). Only needed when a multi-merge round is
+        // possible.
+        // Greedy prefix acceptance under the safety rules above, with
+        // the created-pair bound injectable: `enforce = false` is the
+        // OPTIMISTIC pass that only measures how long the
+        // string-disjoint prefix could be, so a round that can only
+        // ever take one merge (the common case on small corpora, where
+        // count gaps are narrow) skips the triple-bound job entirely.
+        def acceptPrefix(maxNewOf: ((String, String)) => Long,
+            enforce: Boolean): Seq[(String, String, Long)] = {
+          val used = scala.collection.mutable.Set.empty[String]
+          val acc =
+            scala.collection.mutable.Buffer.empty[(String, String, Long)]
+          var cap = -1L
+          var open = true
+          for (p @ (l, r, c) <- cand if open) {
+            if (acc.isEmpty) {
+              acc += p
+              if (l == r) open = false
+              else {
+                used ++= Seq(l, r, l + r)
+                cap = maxNewOf((l, r))
+              }
+            } else if (l != r && (!enforce || cap < c) &&
+                !used(l) && !used(r) && !used(l + r)) {
+              acc += p
+              used ++= Seq(l, r, l + r)
+              cap = math.max(cap, maxNewOf((l, r)))
+            } else open = false
+          }
+          acc.toSeq
+        }
+        val optimistic = acceptPrefix(_ => 0L, enforce = false)
+        // NUL separator: symbols are token substrings or merged
+        // concatenations of them, so they can never contain it.
+        val sep = "\u0000"
+        val maxNew: Map[(String, String), Long] =
+          if (optimistic.length <= 1) Map.empty
+          else {
+            val keys = cand.map(p => p._1 + sep + p._2).toSeq
+            enc.select($"freq", symsOf($"enc").as("sy"))
+              .filter(size($"sy") >= 3)
+              .select($"freq", explode(transform(
+                sequence(lit(1), size($"sy") - 2),
+                i => struct(
+                  element_at($"sy", i).as("s1"),
+                  element_at($"sy", i + 1).as("s2"),
+                  element_at($"sy", i + 2).as("s3")))).as("t"))
+              .select($"freq",
+                concat($"t.s1", lit(sep), $"t.s2").as("k12"),
+                concat($"t.s2", lit(sep), $"t.s3").as("k23"),
+                $"t.s1".as("s1"), $"t.s3".as("s3"))
+              .filter($"k12".isInCollection(keys) ||
+                $"k23".isInCollection(keys))
+              .select($"freq", explode(filter(array(
+                when($"k23".isInCollection(keys),
+                  struct($"k23".as("ck"), $"s1".as("other"))),
+                when($"k12".isInCollection(keys),
+                  struct($"k12".as("ck"), $"s3".as("other")))),
+                x => x.isNotNull)).as("c"))
+              .groupBy($"c.ck".as("ck"), $"c.other".as("other"))
+              .agg(sum($"freq").as("cnt"))
+              .groupBy($"ck").agg(max($"cnt").as("max_new"))
+              .collect()
+              .map { r =>
+                val Array(l, rr) = r.getString(0).split(sep, 2)
+                (l, rr) -> r.getLong(1)
+              }.toMap
+          }
+        val acc =
+          if (optimistic.length <= 1) optimistic
+          else acceptPrefix(maxNew.getOrElse(_, 0L), enforce = true)
+        val newEnc = acc.foldLeft($"enc": Column) { case (col, (l, r, _)) =>
+          replace(col, lit(SymA + l + SymB + SymA + r + SymB),
+            lit(SymA + l + r + SymB))
+        }
+        enc = enc.select($"freq", newEnc.as("enc")).materialized
+        val actual = tokenCount()
+        if (acc.size == 1) {
+          // Singleton round: lhs==rhs greedy application can realize
+          // fewer merges than the adjacency count, so measure directly.
+          val (l, r, c) = acc(0)
+          merges += ((stepsSoFar + 1, l, r, l + r, c, actual))
+        } else {
+          var running = nTokens
+          acc.zipWithIndex.foreach { case ((l, r, c), i) =>
+            running -= c
+            merges += ((stepsSoFar + i + 1, l, r, l + r, c, running))
+          }
+          require(running == actual,
+            s"BPE batched round diverged from sequential semantics: " +
+              s"derived token count $running vs measured $actual " +
+              s"(accepted ${acc.toSeq})")
+        }
+        nTokens = actual
+        stepsSoFar += acc.size
+        rounds += 1
       }
     }
-    steps.result().reduce(_.union(_)).orderBy($"step")
+    val table = merges.result()
+      .toDF("step", "lhs", "rhs", "merged", "pair_cnt", "n_tokens_after")
+      .orderBy($"step")
+    (table, rounds)
   }
 
   private def textBpe(s: SparkSession, d: String): DataFrame =

@@ -98,6 +98,28 @@ class BpeSpec extends graft.SparkTestBase {
     assert(got.forall(_._5 >= TextAnalysis.BpeMinPairSupport))
   }
 
+  test("batched merge rounds reproduce the sequential trainer") {
+    // The r15 batching claim: a round may apply several argmax pairs at
+    // once, but ONLY when the safety rules prove the sequential trainer
+    // would have picked exactly those pairs in exactly that order — so
+    // the merge table must be IDENTICAL at any maxBatch, and the
+    // batched run must not use more rounds than merges.
+    val budget = 7 // the sf0.001 deep budget — long enough to batch
+    val (seqDf, seqRounds) =
+      TextAnalysis.textBpeNCounted(spark, Sf0001, budget, maxBatch = 1)
+    val sequential =
+      seqDf.as[(Int, String, String, String, Long, Long)].collect().toSeq
+    assert(seqRounds == sequential.size) // 1 round per merge by def
+    val (batDf, batRounds) =
+      TextAnalysis.textBpeNCounted(spark, Sf0001, budget)
+    val batched =
+      batDf.as[(Int, String, String, String, Long, Long)].collect().toSeq
+    assert(batched == sequential)
+    assert(batRounds <= seqRounds)
+    info(s"rounds: batched=$batRounds sequential=$seqRounds " +
+      s"for ${sequential.size} merges")
+  }
+
   test("sentinel replace() equals greedy merge on adversarial overlaps") {
     // The query's load-bearing assumption: ONE literal replace() over the
     // sentinel encoding implements BPE's greedy left-to-right

@@ -120,6 +120,8 @@ def main():
                     for e in out.values() if "spark_over_duck" in e)
     summary = {
         "sf": sf,
+        "spark_detail": detail_path,
+        "spark_detail_selection": detail.get("selection"),
         "timeout_s": timeout,
         "long_timeout_s": long_timeout,
         "n_compared": n_compared,

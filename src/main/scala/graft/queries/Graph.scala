@@ -225,8 +225,22 @@ object Graph extends QueryGroup {
     val nBuckets = math.max(1L, (edgeRows + bucketItems - 1) / bucketItems).toInt
     // 20% headroom over the mean bucket fill: xxhash64 spreads edges
     // near-uniformly, so mean+20% keeps every bucket at-or-under its
-    // designed FP rate without re-counting per bucket.
-    val perBucket = math.max(4000000L, edgeRows / nBuckets * 6 / 5 + 1)
+    // designed FP rate without re-counting per bucket. The capacity
+    // floor applies ONLY to the single-bucket plan: under the split the
+    // floor would multiply by bucket count (total bloom bytes growing
+    // ~nBuckets× past the single bloom's, for zero FP benefit), and
+    // because every bucket's bloom builds as a CONCURRENT scalar
+    // subquery whose partial-agg buffer is allocated full-size in every
+    // task, a floored 16-bucket build holds nBuckets × tasks × floorMB
+    // of live bit arrays at once — measured as a heap OOM at the ×10
+    // forced-bucket probe on an 8g driver. Per-bucket capacity scaled
+    // to actual fill keeps total bloom bytes (and peak build memory)
+    // constant under any split; in the production regime (buckets only
+    // above `bucketItems` edges) per-bucket fill is ≥ bucketItems/1.2
+    // anyway, so no floor is ever binding there.
+    val perBucket =
+      if (nBuckets == 1) math.max(4000000L, edgeRows * 6 / 5 + 1)
+      else math.max(65536L, edgeRows / nBuckets * 6 / 5 + 1)
     // Per-invocation view name: two concurrent triangle runs on one
     // session must not race on create/drop of a shared name
     // (ConcurrencySpec interleaves this query with itself since r13).

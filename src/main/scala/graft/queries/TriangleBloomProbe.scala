@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Timing/equality probe for the r15 partitioned closure bloom in
+  * `q_graph_triangles` (Graph.trianglesWithBloomBucketItems).
+  *
+  * The default plan keeps ONE exactly-sized bloom until ~64M oriented
+  * edges (TriangleBloomBucketItems); above that the build hashes edges
+  * into per-range buckets and wedges probe the bucket their own key
+  * hash selects — still fully map-side. No test corpus reaches 64M
+  * edges, so this probe FORCES the multi-bucket path on a real corpus
+  * by lowering the per-bucket capacity, and reports side-by-side
+  * timings plus the triangle counts (which must be identical: the
+  * bloom is a prune, never a truth source — GraphSpec pins the same
+  * equality on fixtures, this probe pins it at probe scale with the
+  * wall-clock evidence SCALE_PROBE.md cites).
+  *
+  * Usage: runMain graft.queries.TriangleBloomProbe [sfDir] [runs] [bucketCounts]
+  *        (defaults: /root/testdata/sf0.1  3  "1,4,16")
+  * Prints one JSON line:
+  *   {"edge_rows":N,"configs":{"b1":{"n_buckets":1,"median_sec":...,
+  *    "triangles":T},...}}
+  */
+object TriangleBloomProbe {
+
+  private def quiesce(s: SparkSession): Unit = {
+    s.catalog.clearCache()
+    s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+    Thread.sleep(200)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 1) args(1).toInt else 3
+    val bucketCounts = (if (args.length > 2) args(2) else "1,4,16")
+      .split(",").map(_.trim.toInt).filter(_ > 0).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val edgeRows =
+      Graph.orientedEdges(Graph.coEdges(spark, sfDir)).count()
+
+    val results = bucketCounts.map { nb =>
+      // bucketItems chosen so ceil(edgeRows / items) == nb (for nb == 1
+      // any items >= edgeRows works; use the production default so the
+      // "b1" row IS the default plan, not merely an equivalent one).
+      val items =
+        if (nb == 1) math.max(Graph.TriangleBloomBucketItems, edgeRows)
+        else math.max(1L, (edgeRows + nb - 1) / nb)
+      // Untimed warmup (codegen + checkpoint), then timed medians.
+      def once(): Long = {
+        val row = Graph.trianglesWithBloomBucketItems(spark, sfDir, items)
+          .collect()
+        row(0).getLong(0)
+      }
+      quiesce(spark)
+      val tri = once()
+      val times = (1 to runs).map { _ =>
+        quiesce(spark)
+        val t0 = System.nanoTime()
+        val t = once()
+        require(t == tri, s"triangle count drift: $t != $tri (nb=$nb)")
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val median = times(times.length / 2)
+      (nb, median, tri)
+    }
+
+    val tris = results.map(_._3).distinct
+    require(tris.size == 1,
+      s"triangle counts differ across bucket configs: $results")
+
+    val body = results.map { case (nb, sec, tri) =>
+      f""""b$nb":{"n_buckets":$nb,"median_sec":$sec%.3f,"triangles":$tri}"""
+    }.mkString(",")
+    println(s"""{"edge_rows":$edgeRows,"sf":"$sfDir","runs":$runs,"configs":{$body}}""")
+    spark.stop()
+  }
+}

@@ -261,31 +261,68 @@ object Graph extends QueryGroup {
       if (edgeRows <= 8000000L) "/*+ BROADCAST(bc) */"
       else "/*+ SHUFFLE_HASH(bc) */"
     // nBuckets == 1 keeps the exact single-scalar probe (no pmod filter
-    // on the build scan, no CASE around the probe) — the common plan for
-    // every corpus under `bucketItems` edges.
-    val bloomPredicate =
-      if (nBuckets == 1)
-        s"""bloom_might_contain(
-           |  (SELECT bloom_agg_exact(xxhash64(u, v), $perBucket) FROM $vn),
-           |  xxhash64(e1.v, e2.v))""".stripMargin
-      else {
-        val branches = (0 until nBuckets).map { b =>
-          s"""WHEN $b THEN bloom_might_contain(
-             |  (SELECT bloom_agg_exact(xxhash64(u, v), $perBucket)
-             |   FROM $vn WHERE pmod(xxhash64(u, v), $nBuckets) = $b),
-             |  xxhash64(e1.v, e2.v))""".stripMargin
-        }.mkString("\n")
-        s"CASE pmod(xxhash64(e1.v, e2.v), $nBuckets)\n$branches\nEND"
+    // on the build scan) — the common plan for every corpus under
+    // `bucketItems` edges.
+    //
+    // nBuckets > 1 does NOT use per-bucket scalar subqueries: a scalar
+    // subquery result is pasted into the plan as a LITERAL and ships
+    // inside every fused stage's serialized task binary, rehydrated per
+    // task — measured at the ×100 probe corpus (119.6M edges, 2 buckets
+    // of ~82 MB) as a 328.8 MiB wedge-stage task binary (the CASE form
+    // landed the bloom bytes in two stages, one of them twice) that
+    // OOMed a 48g heap the single-bloom plan runs in comfortably.
+    // Instead the per-bucket blooms are built SEQUENTIALLY (one
+    // bounded-memory aggregate job per bucket — never nBuckets
+    // concurrent full-size partial buffers), pulled to the driver (the
+    // same bytes a scalar subquery would have moved there anyway), and
+    // shipped as a real Broadcast[Array[BloomFilter]]: block-manager
+    // torrent, ONE shared copy per executor, a stub in the task binary.
+    // Wedges probe their key-selected bucket via the codegen
+    // `bloom_bucket_probe` expression — same pmod the build groups by.
+    // At corpora where even the summed blooms outgrow the broadcast
+    // budget (~1.2 B per edge at 1% FPP), the knob to turn is FPP (more
+    // FPs only cost extra exact-join probes), never correctness.
+    val out =
+      if (nBuckets == 1) {
+        s.sql(s"""
+          WITH w AS (
+            SELECT e1.v AS b, e2.v AS c
+            FROM $vn e1 JOIN $vn e2
+              ON e1.u = e2.u AND e1.v < e2.v
+            WHERE bloom_might_contain(
+              (SELECT bloom_agg_exact(xxhash64(u, v), $perBucket) FROM $vn),
+              xxhash64(e1.v, e2.v))
+          )
+          SELECT $closureHint COUNT(*) AS n_triangles
+          FROM w JOIN $vn bc ON w.b = bc.u AND w.c = bc.v""")
+      } else {
+        val bloomBytes = (0 until nBuckets).map { b =>
+          s.sql(
+            s"""SELECT bloom_agg_exact(xxhash64(u, v), $perBucket)
+               |FROM $vn WHERE pmod(xxhash64(u, v), $nBuckets) = $b"""
+              .stripMargin)
+            .head().getAs[Array[Byte]](0)
+        }
+        // Deserialize once on the driver; the broadcast re-serializes
+        // compactly and every executor rehydrates exactly one copy. An
+        // empty bucket yields an empty bloom -> probe false, which is
+        // exact (the wedge's closing edge cannot exist in that bucket).
+        val blooms = s.sparkContext.broadcast(
+          bloomBytes.map(bs => org.apache.spark.util.sketch.BloomFilter
+            .readFrom(bs)).toArray)
+        val closing = xxhash64(col("e1.v"), col("e2.v"))
+        val wedges = oe.as("e1")
+          .join(oe.as("e2"),
+            col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+          .where(org.apache.spark.sql.graft.BloomBucketProbe
+            .probe(closing, blooms))
+          .select(col("e1.v").as("b"), col("e2.v").as("c"))
+        val bc =
+          if (edgeRows <= 8000000L) broadcast(oe.as("bc"))
+          else oe.as("bc").hint("shuffle_hash")
+        wedges.join(bc, col("b") === col("bc.u") && col("c") === col("bc.v"))
+          .agg(count(lit(1)).as("n_triangles"))
       }
-    val out = s.sql(s"""
-      WITH w AS (
-        SELECT e1.v AS b, e2.v AS c
-        FROM $vn e1 JOIN $vn e2
-          ON e1.u = e2.u AND e1.v < e2.v
-        WHERE $bloomPredicate
-      )
-      SELECT $closureHint COUNT(*) AS n_triangles
-      FROM w JOIN $vn bc ON w.b = bc.u AND w.c = bc.v""")
     // Analysis has inlined the view; drop it so the checkpointed blocks
     // are collectable once the result is dropped (same as reachability).
     s.catalog.dropTempView(vn)

@@ -63,11 +63,21 @@ class GraphSpec extends SparkTestBase {
       (nbrs(a) & nbrs(b)).count(c => c > b)
     }.sum.toLong
     // edges.size == the oriented edge count, so size/3 forces >= 3
-    // buckets (each min-clamped to 4M bloom items — a few MB apiece).
-    val forced = graft.queries.Graph
+    // buckets (capacity scaled to the per-bucket fill since r15 — the
+    // 4M single-bloom floor multiplied across buckets and OOMed the
+    // forced ×10 probe).
+    val forcedDf = graft.queries.Graph
       .trianglesWithBloomBucketItems(spark, Sf0001,
         bucketItems = math.max(1L, edges.size / 3L))
-      .collect()(0).getLong(0)
+    // The bucketed path must probe through the broadcast expression, not
+    // scalar-subquery literals: bloom bytes in the plan ship inside every
+    // fused stage's task binary (measured 328.8 MiB at the ×100 corpus).
+    val plan = forcedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_bucket_probe"),
+      s"expected broadcast bloom probe in plan:\n$plan")
+    assert(!plan.contains("bloom_might_contain"),
+      "bucketed path must not embed bloom literals via scalar subqueries")
+    val forced = forcedDf.collect()(0).getLong(0)
     assert(forced == expected && forced > 0)
   }
 

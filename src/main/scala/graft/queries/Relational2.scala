@@ -197,12 +197,20 @@ object Relational2 extends QueryGroup {
     val base = Tables.lineitem(s, d)
       .select($"l_returnflag",
         ($"l_extendedprice" * 100).cast("long").as("c"), $"l_partkey")
+    // ONE percentile_approx call for both percentiles: the per-group
+    // QuantileSummaries buffer is the dominant cost of this query (an
+    // ObjectHashAggregate outside codegen), and two scalar calls build
+    // two identical summaries over the same rows to read one quantile
+    // each. The array form builds the summary once and reads both —
+    // values are bit-identical (same summary, same query points).
     val sketches = base.groupBy($"l_returnflag")
       .agg(
         count(lit(1)).as("n_rows"),
         approx_count_distinct($"l_partkey").as("apx"),
-        percentile_approx($"c", lit(0.5), lit(1000)).as("p50"),
-        percentile_approx($"c", lit(0.95), lit(1000)).as("p95"))
+        percentile_approx($"c", array(lit(0.5), lit(0.95)), lit(1000))
+          .as("ps"))
+      .select($"l_returnflag", $"n_rows", $"apx",
+        $"ps".getItem(0).as("p50"), $"ps".getItem(1).as("p95"))
     val exactDistinct = base.groupBy($"l_returnflag")
       .agg(countDistinct($"l_partkey").as("n_parts"))
     // Phase 1: per-flag bin histogram + cumulative over BINS (tiny).

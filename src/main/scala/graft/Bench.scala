@@ -43,9 +43,26 @@ object Bench {
     * The four iterative graph queries: heaviest in the catalog, most
     * sensitive to JVM-wide residue, and the exact family whose in-sweep
     * inflation the r10/r11 verdicts flagged. */
+  /** Queries a full sweep times in fresh child JVMs. The graph family
+    * moved here in r12 (JVM-wide residue inflated them up to 3× on a
+    * loaded box); r15 extends the list with the mid-tier queries the
+    * r15 sweep-vs-isolated artifact pair measured at ≥1.5× in-sweep
+    * inflation on identical code (q_assoc_rules 7.79 s in-sweep vs
+    * 2.82 s isolated was the extreme) — the same JIT/codegen-churn +
+    * heap-fragmentation effect, now measurable once per-query work
+    * reaches seconds. Timed in chunks so residue cannot rebuild WITHIN
+    * the child either. The list is selection methodology, not engine:
+    * BASELINE.md's comparability notes cover the r15 boundary. */
   private val IsolatedFamily = Seq(
     "q_graph_pagerank", "q_graph_linkpred",
-    "q_graph_triangles", "q_graph_reachability")
+    "q_graph_triangles", "q_graph_reachability",
+    "q_assoc_rules", "q_ann_recall", "q_ann_ivf",
+    "q_text_containment", "q_agg_corr", "q_agg_median_weighted",
+    "q_dedup_cluster", "q_table_checksum", "q_approx_stats")
+
+  /** Chunk size for the isolated family's child JVMs (the isolate-all
+    * mode takes its own size from SPARK_GRAFT_BENCH_ISOLATE_ALL). */
+  private val IsolatedChunk = 5
 
   /** Force end-to-end evaluation of every output column. bit_xor (not sum)
     * folds the row hashes: hash sums overflow longs within a few thousand
@@ -84,13 +101,30 @@ object Bench {
   private def childBench(family: Seq[String], nRuns: Int, sfDir: String,
                          cpus: String): Option[Map[String, Double]] = {
     try {
-      val classesDir = new java.io.File(
-        Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
-      val sparkJarDir = new java.io.File(
-        classOf[SparkSession].getProtectionDomain.getCodeSource.getLocation.toURI)
-        .getParentFile
-      val cp = classesDir.getPath + java.io.File.pathSeparator +
-        sparkJarDir.getPath + java.io.File.separator + "*"
+      // Prefer the forked JVM's own resolved classpath: it is, by
+      // construction, sufficient (this process is running on it), and
+      // it survives sbt's bg-jobs snapshotting — `sbt runMain` may copy
+      // every classpath entry into per-jar hash directories under
+      // target/bg-jobs/, in which case deriving a jar DIRECTORY from
+      // one class's code source points at a folder holding a single
+      // jar: the child then dies at bootstrap with
+      // NoClassDefFoundError: scala/collection/immutable/Seq (r15: all
+      // three isolated chunks of a canonical sweep fell back
+      // in-process this way, silently). The code-source scheme remains
+      // the fallback for in-process launches whose java.class.path is
+      // just the sbt launcher.
+      val jcp = System.getProperty("java.class.path")
+      val cp =
+        if (jcp != null && jcp.contains("spark-sql")) jcp
+        else {
+          val classesDir = new java.io.File(
+            Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+          val sparkJarDir = new java.io.File(
+            classOf[SparkSession].getProtectionDomain
+              .getCodeSource.getLocation.toURI).getParentFile
+          classesDir.getPath + java.io.File.pathSeparator +
+            sparkJarDir.getPath + java.io.File.separator + "*"
+        }
       val javaExe = new java.io.File(
         new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
       // Inherit the parent JVM's flags (heap, code cache, add-opens from
@@ -316,11 +350,11 @@ object Bench {
       * same median-of-nRuns), in-process fallback if the child fails. */
     def isolatedPass(): Map[String, Double] =
       if (isolated.isEmpty) Map.empty
-      else {
+      else isolated.grouped(IsolatedChunk).flatMap { grp =>
         quiesce(spark) // parent idles with a drained block manager
-        childBench(isolated, nRuns, sfDir, cpus).getOrElse {
+        childBench(grp, nRuns, sfDir, cpus).getOrElse {
           val fam = SparkEntry.queries.toSeq.sortBy(_._1)
-            .filter { case (n, _) => isolated.contains(n) }
+            .filter { case (n, _) => grp.contains(n) }
           fam.foreach { case (_, fn) => // family warmup (skipped above)
             try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
             quiesce(spark)
@@ -343,7 +377,7 @@ object Bench {
             else Some(name -> times.sorted.apply((times.size - 1) / 2))
           }.toMap
         }
-      }
+      }.toMap
 
     /** Isolate-all pass: every catalog query in fresh child JVMs, `chunk`
       * queries per child. A failed child falls back to in-process timing
@@ -413,6 +447,24 @@ object Bench {
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+    // Measured per-query scheduling floor: consume() of a 1-row range
+    // through the exact timing path every query takes (xxhash64 +
+    // bit_xor aggregate + collect). tools/bench_proxy.py subtracts this
+    // from each per-query time to separate the fixed local[32]
+    // scheduling/collect floor from plan cost; before r15 it fell back
+    // to the fastest catalog query — an upper bound that overstated the
+    // floor. Two untimed consumes absorb the one-off codegen compile,
+    // then median of 5 on the warmed session.
+    val floorSec = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        consume(spark.range(1).toDF("id"))
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 2).foreach(_ => once())
+      (1 to 5).map(_ => once()).sorted.apply(2)
+    }
+
     // Full-precision per-query detail, one entry per catalog query, for
     // humans / the judge (committed as BENCH_DETAIL.json). Carries its
     // own provenance: runs per median, sweep count, selection rule, and
@@ -421,7 +473,7 @@ object Bench {
       .mkString("{", ",", "}")
     val isoJson = isolated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$es,"runs":$nRuns,"sweeps":$nSweeps,"selection":"$selection","isolated_child_jvm":$isoJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$es,"runs":$nRuns,"sweeps":$nSweeps,"selection":"$selection","isolated_child_jvm":$isoJson,"floor_sec":$floorSec,"sf":"$sfDir"}"""
     // A failed detail write must be LOUD: bench_proxy.py and the summary
     // line's "detail" pointer both read the committed artifact, so a
     // swallowed IOException leaves a stale file masquerading as current.

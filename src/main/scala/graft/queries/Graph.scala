@@ -173,6 +173,15 @@ object Graph extends QueryGroup {
     * multi-bucket path on the small fixtures. */
   private[queries] val TriangleBloomBucketItems = 64000000L
 
+  /** EAGER-BUILD CONTRACT (r15 advisor): in the nBuckets>1 path the
+    * per-bucket bloom-build jobs run DURING plan construction — this
+    * method is not purely lazy there. Building the plan without executing
+    * it still pays nBuckets full edge scans, and re-executing the returned
+    * DataFrame reuses the blooms built at construction time (stale if the
+    * underlying data changed — the test corpora are immutable, so this is
+    * a documented footgun, not a live bug). The broadcast blooms are
+    * registered with [[graft.core.Broadcasts]] so measurement harnesses
+    * can destroy them deterministically after each collect. */
   private[graft] def trianglesWithBloomBucketItems(
       s: SparkSession, d: String, bucketItems: Long): DataFrame = {
     import s.implicits._
@@ -307,9 +316,9 @@ object Graph extends QueryGroup {
         // compactly and every executor rehydrates exactly one copy. An
         // empty bucket yields an empty bloom -> probe false, which is
         // exact (the wedge's closing edge cannot exist in that bucket).
-        val blooms = s.sparkContext.broadcast(
+        val blooms = graft.core.Broadcasts.track(s.sparkContext.broadcast(
           bloomBytes.map(bs => org.apache.spark.util.sketch.BloomFilter
-            .readFrom(bs)).toArray)
+            .readFrom(bs)).toArray))
         val closing = xxhash64(col("e1.v"), col("e2.v"))
         val wedges = oe.as("e1")
           .join(oe.as("e2"),

@@ -158,17 +158,39 @@ object Mining extends QueryGroup {
           .as("yi"))
     val sup = Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey")
     val nat = Tables.nation(s, d).select($"n_nationkey", $"n_name")
-    val g = li
+    // Finest-grain pre-aggregation (the r15 Expand-family discipline): the
+    // 600k-row (600M at sf100) hot path sums moments PER SUPPLIER in pure
+    // int64 — a DECIMAL(38,0) agg buffer round-trips through BigInteger on
+    // every UnsafeRow update, which the r16 profile measured at 2.2× the
+    // cost of long sums (0.66 s vs 0.30 s at sf0.1). Per-supplier int64
+    // bounds (TPC-H scaling keeps rows/supplier ~600, SF-independent):
+    // syy_s <= 600·(2e7)² = 2.4e17 « 2^63; sxy_s <= 600·1e9 = 6e11;
+    // a violated bound throws under default-ANSI Spark 4 rather than
+    // wrapping. The dec38 re-agg then runs over suppliers (60× fewer rows
+    // than lineitems), after which the dimension joins broadcast onto the
+    // skinny per-supplier relation instead of the fact table. Regrouping
+    // exact integer sums is associative, so the final int128 moments are
+    // bit-identical to the single-stage formulation.
+    val perSupp = li
+      .groupBy($"l_suppkey")
+      .agg(
+        count(lit(1)).as("n_s"),
+        sum($"xi").as("sx_s"),
+        sum($"yi").as("sy_s"),
+        sum($"xi" * $"yi").as("sxy_s"),
+        sum($"xi" * $"xi").as("sxx_s"),
+        sum($"yi" * $"yi").as("syy_s"))
+    val g = perSupp
       .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(
-        count(lit(1)).as("n"),
-        sum($"xi").as("sx"),
-        sum($"yi").as("sy"),
-        sum(dd($"xi" * $"yi")).as("sxy"),
-        sum(dd($"xi" * $"xi")).as("sxx"),
-        sum(dd($"yi" * $"yi")).as("syy"))
+        sum($"n_s").as("n"),
+        sum($"sx_s").as("sx"),
+        sum($"sy_s").as("sy"),
+        sum(dd($"sxy_s")).as("sxy"),
+        sum(dd($"sxx_s")).as("sxx"),
+        sum(dd($"syy_s")).as("syy"))
     // int->double routes chosen for PROVABLE correct rounding in both
     // engines: num/denx fit int64 (bounds ~3e17 / ~1e12 at sf0.1 —
     // int64->double is a single correctly-rounded hardware op), while

@@ -27,6 +27,9 @@ object TriangleBloomProbe {
   private def quiesce(s: SparkSession): Unit = {
     s.catalog.clearCache()
     s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // Destroy the previous run's broadcast bucket blooms eagerly — each
+    // multi-bucket plan construction registers one (r15 advisor).
+    graft.core.Broadcasts.drain()
     System.gc()
     Thread.sleep(200)
   }
@@ -58,6 +61,11 @@ object TriangleBloomProbe {
       val items =
         if (nb == 1) math.max(Graph.TriangleBloomBucketItems, edgeRows)
         else math.max(1L, (edgeRows + nb - 1) / nb)
+      // Report the bucket count the plan ACTUALLY derives from `items`
+      // (same ceil-div as Graph) — for nb > edgeRows or rounding at tiny
+      // corpora the requested and effective counts differ, and the JSON
+      // label must not claim buckets that never existed (r15 advisor).
+      val effNb = math.max(1L, (edgeRows + items - 1) / items).toInt
       // Untimed warmup (codegen + checkpoint), then timed medians.
       def once(): Long = {
         val row = Graph.trianglesWithBloomBucketItems(spark, sfDir, items)
@@ -74,7 +82,7 @@ object TriangleBloomProbe {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       val median = times(times.length / 2)
-      (nb, median, tri)
+      (effNb, median, tri)
     }
 
     val tris = results.map(_._3).distinct

@@ -641,7 +641,12 @@ object PlanAuditSpec {
     "q_vector_topk" -> 2,
     // one n_name partial agg of 6-number moment states + output sort —
     // the whole corr/cov derivation is post-agg scalar arithmetic.
-    "q_agg_corr" -> 2,
+    // r16: +1 for the finest-grain per-supplier int64 moment pre-agg —
+    // the added exchange moves ~1 narrow row per supplier (60× fewer
+    // rows than lineitem under TPC-H scaling) and removes the
+    // DECIMAL(38,0) BigInteger buffer round-trip from the per-lineitem
+    // hot path (isolated median 1.05 → 0.70 s at sf0.1).
+    "q_agg_corr" -> 3,
     // ONE fact shuffle (the per-order basket-set agg) + the 1-row basket
     // count + item-count agg + pair agg + output sort; pair generation is
     // a row-local sorted-array explode and the a-priori frequent set +

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.MoneyDecimal.moneyDecimal
 
 import graft.core.Tables
 import Catalog._
@@ -240,7 +241,7 @@ object Maintenance extends QueryGroup {
     def partial(df: DataFrame, tag: String): DataFrame =
       df.groupBy($"o_custkey".as(s"k_$tag"))
         .agg(count(lit(1)).as(s"n_$tag"),
-          sum($"o_totalprice".cast("decimal(18,6)")).as(s"s_$tag"),
+          sum(moneyDecimal($"o_totalprice")).as(s"s_$tag"),
           min($"o_totalprice").as(s"mn_$tag"),
           max($"o_totalprice").as(s"mx_$tag"))
     val base = partial(orders.filter($"o_orderdate" < lit(IncrementalCutoff)), "b")

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.graft.MoneyDecimal.moneyDecimal
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
@@ -154,7 +155,7 @@ object Mining extends QueryGroup {
     val li = Tables.lineitem(s, d)
       .select($"l_suppkey",
         $"l_quantity".cast("long").as("xi"),
-        ($"l_extendedprice".cast(DecimalType(18, 2)) * 100).cast("long")
+        (moneyDecimal($"l_extendedprice", 18, 2) * 100).cast("long")
           .as("yi"))
     val sup = Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey")
     val nat = Tables.nation(s, d).select($"n_nationkey", $"n_name")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.graft.MoneyDecimal.moneyDecimal
 
 import graft.core.Tables
 import Catalog._
@@ -181,7 +182,7 @@ object Relational extends QueryGroup {
     Tables.lineitem(s, d)
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(count(lit(1)).as("pn"),
-        sum($"l_quantity".cast(DecimalType(18, 6))).as("ps"))
+        sum(moneyDecimal($"l_quantity")).as("ps"))
       .rollup($"l_returnflag", $"l_linestatus")
       .agg(sum($"pn").as("n_rows"), sum($"ps").cast("double").as("sum_qty"))
       .select(coalesce($"l_returnflag", lit("ALL")).as("rflag"),
@@ -198,7 +199,7 @@ object Relational extends QueryGroup {
     Tables.orders(s, d)
       .groupBy($"o_orderstatus", $"o_orderpriority")
       .agg(count(lit(1)).as("pn"),
-        sum($"o_totalprice".cast(DecimalType(18, 6))).as("ps"))
+        sum(moneyDecimal($"o_totalprice")).as("ps"))
       .cube($"o_orderstatus", $"o_orderpriority")
       .agg(sum($"pn").as("n_orders"), sum($"ps").cast("double").as("sum_price"))
       .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
@@ -272,7 +273,7 @@ object Relational extends QueryGroup {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, d)
       .select($"o_custkey", $"o_orderkey",
-        sum($"o_totalprice".cast(DecimalType(18, 6))).over(w).cast("double")
+        sum(moneyDecimal($"o_totalprice")).over(w).cast("double")
           .as("running_spend"),
         count(lit(1)).over(w).as("running_orders"))
       .orderBy($"o_custkey", $"o_orderkey")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.graft.MoneyDecimal.moneyDecimal
 
 import graft.core.Tables
 import Catalog._
@@ -75,7 +76,7 @@ object Relational2 extends QueryGroup {
     Tables.orders(s, d)
       .select($"o_custkey", $"o_orderkey", $"o_totalprice",
         count(lit(1)).over(w).as("n_in_band"),
-        sum($"o_totalprice".cast(DecimalType(18, 6))).over(w).cast("double")
+        sum(moneyDecimal($"o_totalprice")).over(w).cast("double")
           .as("band_spend"))
       .orderBy($"o_custkey", $"o_orderkey")
   }
@@ -94,7 +95,7 @@ object Relational2 extends QueryGroup {
     import s.implicits._
     val daily = Tables.lineitem(s, d)
       .select($"l_returnflag", $"l_shipdate".cast("date").as("day"),
-        ($"l_extendedprice".cast(DecimalType(18, 2)) * 100).cast("long")
+        (moneyDecimal($"l_extendedprice", 18, 2) * 100).cast("long")
           .as("cents"))
       .groupBy($"l_returnflag", $"day")
       .agg(sum($"cents").as("y"))
@@ -506,7 +507,7 @@ object Relational2 extends QueryGroup {
     * becomes a window partition. */
   private def zscoreNormalize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val cents = ($"o_totalprice".cast(DecimalType(18, 2)) * 100)
+    val cents = (moneyDecimal($"o_totalprice", 18, 2) * 100)
       .cast("long")
     val stats = Tables.orders(s, d)
       .select($"o_orderstatus", cents.as("c"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.graft.MoneyDecimal.moneyDecimal
 
 import graft.core.Tables
 import graft.core.Checkpoints.MaterializeOps
@@ -70,7 +71,7 @@ object Scoring extends QueryGroup {
         datediff(to_date(lit(RfmAnchor)), max($"ts").cast("date"))
           .cast("long").as("r_days"),
         count(lit(1)).as("f"),
-        (sum($"value".cast(DecimalType(18, 6))) * 1000000)
+        (sum(moneyDecimal($"value")) * 1000000)
           .cast("long").as("m_micro"))
       .materialized // skinny 4-col relation feeds histogram + output
     val metrics = u.select(lit("r").as("mt"), $"r_days".as("v"))
@@ -119,7 +120,7 @@ object Scoring extends QueryGroup {
       .rowsBetween(Window.unboundedPreceding, -1)
     val ev = Tables.events(s, d)
       .select($"user_id", $"event_id", $"ts", $"event_type",
-        $"value".cast(DecimalType(18, 6)).as("val_d"))
+        moneyDecimal($"value").as("val_d"))
       .withColumn("last_click_us",
         last(when($"event_type" === "click", unix_micros($"ts")),
           ignoreNulls = true).over(w))
@@ -305,7 +306,7 @@ object Scoring extends QueryGroup {
       .select($"l_returnflag",
         datediff($"l_shipdate".cast("date"), to_date(lit("1992-01-01")))
           .cast("long").as("x"),
-        ($"l_extendedprice".cast(DecimalType(18, 2)) * 100).cast("long")
+        (moneyDecimal($"l_extendedprice", 18, 2) * 100).cast("long")
           .as("cents"))
       .groupBy($"l_returnflag", $"x")
       .agg(sum($"cents").as("y"))

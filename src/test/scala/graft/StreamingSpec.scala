@@ -239,6 +239,65 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("outer join null-pads only past the exact horizon/watermark boundary") {
+    // The off-by-one class the batch twin cannot see (r15 verdict stretch
+    // item): a view's horizon closes at view_ts + 10min and the watermark
+    // trails max event time by 10min, so a view at 10:00 has horizon end
+    // 10:10 and the watermark reaches EXACTLY 10:10 when an event at
+    // 10:20 arrives. Pin the two halves of the contract around that
+    // instant: (a) strictly BEFORE the boundary (watermark 10:09) no
+    // null-padded row may exist — an in-horizon click could still arrive;
+    // (b) the view is emitted exactly once overall, and never BOTH as a
+    // null-padded abandonment and as a matched pair (the double-emit that
+    // an early null-pad plus a still-admissible click would produce).
+    val input = MemoryStream[Event](spark)
+    val q = EventsStreaming.viewClickJoinOuter(input.toDF())
+      .writeStream.format("memory").queryName("viewclick_boundary")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def user1Rows() = spark.table("viewclick_boundary")
+        .filter($"user_id" === 1L)
+        .select($"view_id", $"click_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+
+      // The watched view: user 1 at 10:00, horizon end 10:10.
+      input.addData(ev(1, ts(0), user = 1, typ = "view"))
+      q.processAllAvailable()
+      // (a) BOTH sides -> 10:19, so the global (min-of-sides) watermark
+      // reaches 10:09 — one minute SHY of the horizon end. (A one-sided
+      // advance would leave the global watermark at the other side's
+      // value: multipleWatermarkPolicy defaults to min.)
+      input.addData(ev(2, ts(19), user = 9, typ = "click"),
+        ev(20, ts(19), user = 9, typ = "view"))
+      q.processAllAvailable()
+      assert(user1Rows().isEmpty,
+        "null-padded row emitted while watermark < horizon end")
+      // Watermark -> exactly 10:10 == horizon end. Emitting here is
+      // legal (no in-horizon click can be on time any more: admissible
+      // clicks have click_ts >= 10:10, all out of horizon) but not
+      // required; do not pin Spark's choice at equality.
+      input.addData(ev(3, ts(20), user = 9, typ = "click"),
+        ev(21, ts(20), user = 9, typ = "view"))
+      q.processAllAvailable()
+      val atBoundary = user1Rows()
+      assert(atBoundary.forall(_ == (1L, None)) && atBoundary.size <= 1)
+      // A last-instant in-horizon click (10:09:59) arriving NOW is below
+      // the click watermark (10:10) — the engine must DROP it rather
+      // than pair it with a view that may already be null-padded.
+      input.addData(ev(4, ts(9, 59), user = 1, typ = "click"))
+      q.processAllAvailable()
+      // Push the watermark strictly past the boundary; the abandonment
+      // row must now exist.
+      input.addData(ev(5, ts(21), user = 9, typ = "click"),
+        ev(22, ts(21), user = 9, typ = "view"))
+      q.processAllAvailable()
+      val finalRows = user1Rows()
+      assert(finalRows == Seq((1L, None)),
+        s"expected exactly one null-padded row for the boundary view, got $finalRows")
+    } finally q.stop()
+  }
+
   test("outer stream-stream join equals its batch twin for closed horizons") {
     // Batch-equivalence for the LEFT-OUTER variant (the inner variant is
     // oracle-gated via q_events_view_click; the outer twin is

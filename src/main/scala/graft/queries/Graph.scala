@@ -173,6 +173,19 @@ object Graph extends QueryGroup {
     * multi-bucket path on the small fixtures. */
   private[queries] val TriangleBloomBucketItems = 64000000L
 
+  /** Transport threshold for the single-bucket closure bloom: at or
+    * under this many oriented edges the bloom ships as a scalar-subquery
+    * plan literal; above it (and always when bucketed) it rides a real
+    * `Broadcast` probed by the codegen `bloom_bucket_probe`. The r16
+    * transport A/B (SCALE_PROBE.md r16 section) measured the literal
+    * plan fastest at 1.2M edges (sf0.1: 5.6 s vs 6.0 s broadcast) and
+    * the broadcast plan fastest by ×10 (12M edges: 24.7 s literal vs
+    * 19.7 s broadcast single-bucket / 19.2 s 4-bucket) — the literal's
+    * per-task rehydration and non-codegen probe grow with bloom bytes
+    * and wedge count, the broadcast's fixed cost does not. 4M edges
+    * (~4.8 MB bloom) splits the two measured regimes. */
+  private[queries] val TriangleScalarMaxEdges = 4000000L
+
   /** EAGER-BUILD CONTRACT (r15 advisor): in the nBuckets>1 path the
     * per-bucket bloom-build jobs run DURING plan construction — this
     * method is not purely lazy there. Building the plan without executing
@@ -183,7 +196,19 @@ object Graph extends QueryGroup {
     * registered with [[graft.core.Broadcasts]] so measurement harnesses
     * can destroy them deterministically after each collect. */
   private[graft] def trianglesWithBloomBucketItems(
-      s: SparkSession, d: String, bucketItems: Long): DataFrame = {
+      s: SparkSession, d: String, bucketItems: Long): DataFrame =
+    trianglesWithBloomConfig(s, d, bucketItems, TriangleScalarMaxEdges)
+
+  /** Full test seam: `bucketItems` sets the bucket geometry (as above) and
+    * `scalarMaxEdges` the TRANSPORT threshold — a single-bucket bloom at
+    * or under it ships as a scalar subquery (plan literal), anything else
+    * rides a real Broadcast probed by the codegen `bloom_bucket_probe`.
+    * The r16 probe measures the two transports independently of bucket
+    * count this way (scalarMaxEdges=0 forces broadcast at one bucket;
+    * Long.MaxValue forces the literal plan wherever nBuckets == 1). */
+  private[graft] def trianglesWithBloomConfig(
+      s: SparkSession, d: String, bucketItems: Long,
+      scalarMaxEdges: Long): DataFrame = {
     import s.implicits._
     org.apache.spark.sql.graft.GraftSqlFunctions.ensure(s)
     // The oriented edge set is read FOUR times (bloom build, both wedge
@@ -292,7 +317,7 @@ object Graph extends QueryGroup {
     // budget (~1.2 B per edge at 1% FPP), the knob to turn is FPP (more
     // FPs only cost extra exact-join probes), never correctness.
     val out =
-      if (nBuckets == 1) {
+      if (nBuckets == 1 && edgeRows <= scalarMaxEdges) {
         s.sql(s"""
           WITH w AS (
             SELECT e1.v AS b, e2.v AS c

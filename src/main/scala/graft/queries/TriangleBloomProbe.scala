@@ -37,8 +37,13 @@ object TriangleBloomProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val runs = if (args.length > 1) args(1).toInt else 3
+    // Config tokens: a plain integer N = N buckets under the PRODUCTION
+    // transport rule (scalar literal iff one bucket and edges <= the
+    // TriangleScalarMaxEdges threshold); "1b" = one bucket with the
+    // broadcast transport FORCED, so the r16 transport A/B can separate
+    // transport cost from bucket-count cost.
     val bucketCounts = (if (args.length > 2) args(2) else "1,4,16")
-      .split(",").map(_.trim.toInt).filter(_ > 0).toSeq
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
@@ -54,7 +59,10 @@ object TriangleBloomProbe {
     val edgeRows =
       Graph.orientedEdges(Graph.coEdges(spark, sfDir)).count()
 
-    val results = bucketCounts.map { nb =>
+    val results = bucketCounts.map { tok =>
+      val forceBroadcast = tok.endsWith("b")
+      val nb = (if (forceBroadcast) tok.dropRight(1) else tok).toInt
+      require(nb > 0, s"bad bucket token $tok")
       // bucketItems chosen so ceil(edgeRows / items) == nb (for nb == 1
       // any items >= edgeRows works; use the production default so the
       // "b1" row IS the default plan, not merely an equivalent one).
@@ -67,9 +75,11 @@ object TriangleBloomProbe {
       // label must not claim buckets that never existed (r15 advisor).
       val effNb = math.max(1L, (edgeRows + items - 1) / items).toInt
       // Untimed warmup (codegen + checkpoint), then timed medians.
+      val scalarMax =
+        if (forceBroadcast) 0L else Graph.TriangleScalarMaxEdges
       def once(): Long = {
-        val row = Graph.trianglesWithBloomBucketItems(spark, sfDir, items)
-          .collect()
+        val row = Graph.trianglesWithBloomConfig(
+          spark, sfDir, items, scalarMax).collect()
         row(0).getLong(0)
       }
       quiesce(spark)
@@ -82,7 +92,7 @@ object TriangleBloomProbe {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       val median = times(times.length / 2)
-      (effNb, median, tri)
+      (if (forceBroadcast) s"${effNb}b" else effNb.toString, median, tri)
     }
 
     val tris = results.map(_._3).distinct
@@ -90,7 +100,7 @@ object TriangleBloomProbe {
       s"triangle counts differ across bucket configs: $results")
 
     val body = results.map { case (nb, sec, tri) =>
-      f""""b$nb":{"n_buckets":$nb,"median_sec":$sec%.3f,"triangles":$tri}"""
+      f""""b$nb":{"n_buckets":${nb.stripSuffix("b")},"median_sec":$sec%.3f,"triangles":$tri}"""
     }.mkString(",")
     println(s"""{"edge_rows":$edgeRows,"sf":"$sfDir","runs":$runs,"configs":{$body}}""")
     spark.stop()

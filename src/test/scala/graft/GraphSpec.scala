@@ -81,6 +81,26 @@ class GraphSpec extends SparkTestBase {
     assert(forced == expected && forced > 0)
   }
 
+  test("broadcast transport at ONE bucket keeps the count (r16 threshold)") {
+    // Above TriangleScalarMaxEdges the default plan keeps nBuckets == 1
+    // but ships the bloom as a Broadcast instead of a scalar-subquery
+    // plan literal (the r16 transport A/B: a wash at 1.2M edges, ~8%
+    // faster at 12M, 1.66x at 120M where the literal also OOMs). Force
+    // that transport on the fixture and pin count equality plus the
+    // plan shape (broadcast probe, no literal).
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val expected = edges.toSeq.map { case (a, b) =>
+      (nbrs(a) & nbrs(b)).count(c => c > b)
+    }.sum.toLong
+    val df = graft.queries.Graph.trianglesWithBloomConfig(
+      spark, Sf0001, bucketItems = Long.MaxValue, scalarMaxEdges = 0L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_bucket_probe") &&
+      !plan.contains("bloom_might_contain"))
+    assert(df.collect()(0).getLong(0) == expected)
+  }
+
   test("degree orientation emits no more wedges than id orientation") {
     // The triangle query's wedge stage fans out C(out-deg, 2) per corner;
     // degree-ordered orientation bounds out-deg by arboricity where raw id

@@ -50,6 +50,36 @@ class GraphSpec extends SparkTestBase {
     assert(got == expected && got > 0)
   }
 
+  /** Typed plan-shape probe (r15 advisor: match the expression TREE, not
+    * the plan's string rendering — a prettyName change must not fail the
+    * pin, and a regressed plan that merely mentions the string must not
+    * pass it): walk every physical node's expressions, counting real
+    * [[org.apache.spark.sql.graft.BloomBucketProbe]] instances and real
+    * Spark `BloomFilterMightContain` instances (the scalar-literal
+    * transport). AQE wrappers are walked into via their executed plans. */
+  private def bloomExprCounts(
+      df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
+    var probe = 0
+    var literal = 0
+    def walkExpr(e: Expression): Unit = {
+      e match {
+        case _: org.apache.spark.sql.graft.BloomBucketProbe => probe += 1
+        case _: BloomFilterMightContain => literal += 1
+        case _ => ()
+      }
+      e.children.foreach(walkExpr)
+    }
+    def walkPlan(p: SparkPlan): Unit = p.foreach {
+      case a: AdaptiveSparkPlanExec => walkPlan(a.executedPlan)
+      case node => node.expressions.foreach(walkExpr)
+    }
+    walkPlan(df.queryExecution.executedPlan)
+    (probe, literal)
+  }
+
   test("partitioned closure bloom (forced multi-bucket) keeps the count") {
     // The default plan keeps one bloom bucket until ~64M edges; force the
     // partitioned path on the tiny fixture by shrinking the per-bucket
@@ -72,10 +102,11 @@ class GraphSpec extends SparkTestBase {
     // The bucketed path must probe through the broadcast expression, not
     // scalar-subquery literals: bloom bytes in the plan ship inside every
     // fused stage's task binary (measured 328.8 MiB at the ×100 corpus).
-    val plan = forcedDf.queryExecution.executedPlan.toString
-    assert(plan.contains("bloom_bucket_probe"),
-      s"expected broadcast bloom probe in plan:\n$plan")
-    assert(!plan.contains("bloom_might_contain"),
+    val (probes, literals) = bloomExprCounts(forcedDf)
+    assert(probes >= 1,
+      s"expected the broadcast bloom probe expression in the plan:\n" +
+        forcedDf.queryExecution.executedPlan)
+    assert(literals == 0,
       "bucketed path must not embed bloom literals via scalar subqueries")
     val forced = forcedDf.collect()(0).getLong(0)
     assert(forced == expected && forced > 0)
@@ -95,9 +126,8 @@ class GraphSpec extends SparkTestBase {
     }.sum.toLong
     val df = graft.queries.Graph.trianglesWithBloomConfig(
       spark, Sf0001, bucketItems = Long.MaxValue, scalarMaxEdges = 0L)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("bloom_bucket_probe") &&
-      !plan.contains("bloom_might_contain"))
+    val (probes, literals) = bloomExprCounts(df)
+    assert(probes >= 1 && literals == 0)
     assert(df.collect()(0).getLong(0) == expected)
   }
 

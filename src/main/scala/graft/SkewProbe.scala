@@ -3,15 +3,15 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Skew probe: measures the engine's three answers to the classic 100 TB
-  * join-skew shape — one hot key owning a fifth of the fact table — on a
-  * derived corpus, with result equality pinned across all three plans.
+/** Skew probe: measures the engine's answers to the classic 100 TB
+  * join-skew shape — one hot key owning most of the fact table — on a
+  * derived corpus, with result equality pinned across all plans.
   *
   * Real corpora are Zipfian; the uniform ScaleProbe decades never stress
   * the skew machinery the brief calls out ("skewed keys → salting or AQE
   * skew-join"), and AqeSpec pins only that the runtime SPLITS a skewed
   * partition at toy scale — not what that split is worth in wall-clock.
-  * This probe derives a skewed lineitem (a deterministic 20% of rows
+  * This probe derives a skewed lineitem (a deterministic 60% of rows
   * rewritten to ONE hot l_orderkey — the matching orders row exists, so
   * join semantics stay valid), then times the fact⋈orders aggregate
   * under:
@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   *                 when adaptive splitting is unavailable (e.g.
   *                 stream-static joins)
   *
-  * The three row-counts and value hashes must be IDENTICAL (salting and
+  * All row-counts and value hashes must be IDENTICAL (salting and
   * splitting change partitioning, never matching) — a divergence fails
   * the probe before any timing is reported.
   *
@@ -42,7 +42,7 @@ import org.apache.spark.sql.functions._
   *        config subset to time one plan per fresh JVM — the ×100
   *        corpus showed heavy within-JVM position effects)
   * Prints one JSON line:
-  *   {"rows":N,"hot_rows":H,"configs":{"aqe_skew":sec,...}}
+  *   {"rows":N,"hot_rows":H,"configs":{"aqe_tuned":sec,...}}
   */
 object SkewProbe {
 
@@ -73,8 +73,8 @@ object SkewProbe {
     import spark.implicits._
 
     // Derive once: hot key = the smallest orderkey (exists in orders);
-    // membership in the hot 20% is a deterministic row hash, so the
-    // corpus is reproducible bit-for-bit.
+    // hot membership is a deterministic row hash, so the corpus is
+    // reproducible bit-for-bit.
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       val li = spark.read.parquet(s"$src/lineitem.parquet")
       val hot = li.agg(min($"l_orderkey")).head().getLong(0)

@@ -59,6 +59,7 @@ object CatalogIndex {
     "q_join_lateral" -> "LATERAL correlated per-group top-N",
     "q_join_nullsafe" -> "null-safe (<=>) equality join",
     "q_join_right" -> "right outer join",
+    "q_join_skew_hot" -> "hot-key-targeted salted join (production skew form)",
     "q_join_skew_salted" -> "salted join splitting a skewed hot key",
     "q_merge_upsert" -> "batch MERGE / upsert (update-else-insert) resolution",
     "q_normalize_zscore" -> "per-group z-score normalization",

@@ -1,5 +1,7 @@
 package graft.core
 
+import java.lang.ref.WeakReference
+
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.broadcast.Broadcast
@@ -16,24 +18,41 @@ import org.apache.spark.broadcast.Broadcast
   * DataFrame is lazy, so the query itself cannot destroy the broadcast
   * eagerly; instead the creator registers it here and the harnesses
   * (Bench.quiesce, TriangleBloomProbe) call [[drain]] after each collect.
-  * Outside a harness the registry is just a weak-ish bookkeeping list and
-  * ContextCleaner still reclaims everything as before.
+  *
+  * Entries are held through [[WeakReference]]s, so this registry never
+  * extends a broadcast's lifetime: outside a harness, once the plan that
+  * captured the stub is unreachable, GC clears the referent and
+  * ContextCleaner reclaims the executor-resident copies exactly as it
+  * would without tracking (r16 advisor — a strong-ref ArrayBuffer was
+  * an unbounded driver leak for long-lived non-harness sessions).
+  * Cleared entries are pruned on every [[track]] call.
   */
 object Broadcasts {
-  private val live = ArrayBuffer.empty[Broadcast[_]]
+  private val live = ArrayBuffer.empty[WeakReference[Broadcast[_]]]
 
   def track[T](b: Broadcast[T]): Broadcast[T] = synchronized {
-    live += b; b
+    live.filterInPlace(_.get != null)
+    live += new WeakReference[Broadcast[_]](b)
+    b
   }
 
-  /** Destroy every tracked broadcast. Safe to call while no tracked plan
-    * is mid-execution (the harness contract: call after the collect).
-    * Destroyed broadcasts are removed; a re-executed plan that still
-    * references one would fail, which is the loud behavior we want — the
-    * eager-built bloom would be stale against changed data anyway. */
+  /** Number of tracked broadcasts whose stubs are still strongly
+    * reachable elsewhere (diagnostic; used by BroadcastsSpec). */
+  def liveCount: Int = synchronized(live.count(_.get != null))
+
+  /** Destroy every still-reachable tracked broadcast. Safe to call while
+    * no tracked plan is mid-execution (the harness contract: call after
+    * the collect). A re-executed plan that still references a destroyed
+    * broadcast would fail, which is the loud behavior we want — the
+    * eager-built bloom would be stale against changed data anyway.
+    * GC-cleared entries need no action: ContextCleaner already handled
+    * (or will handle) them. */
   def drain(): Unit = synchronized {
-    live.foreach { b =>
-      try b.destroy() catch { case scala.util.control.NonFatal(_) => () }
+    live.foreach { ref =>
+      val b = ref.get
+      if (b != null) {
+        try b.destroy() catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
     live.clear()
   }

@@ -5,7 +5,8 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Cast, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -46,14 +47,34 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, Decimal, DecimalT
   * through to a real `Cast(child, DecimalType(p, s))`, delegated verbatim —
   * including its ANSI-vs-legacy overflow behavior — so the expression is
   * value-identical to the cast it replaces on every input.
+  *
+  * Two drop-in-replacement properties (r16 advisor):
+  * (1) [[ImplicitCastInputTypes]] lets the analyzer insert a
+  * numeric→double cast for int/long/decimal inputs, matching what a plain
+  * `.cast(DecimalType(p, s))` accepts. (2) The slow path re-evaluates
+  * `child` (both `slowCast.eval(input)` and the embedded `castGen` code
+  * re-run the child expression), so a NON-deterministic child could be
+  * slow-cast from a different value than the one that failed the fast
+  * test — [[checkInputDataTypes]] therefore rejects non-deterministic
+  * children at analysis time instead of miscomputing at runtime.
   */
 case class MoneyDecimal(child: Expression, precision: Int, scale: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   require(scale >= 0 && scale <= 12 && precision > scale,
     s"money_decimal supports 0 <= scale <= 12, got ($precision, $scale)")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val typeCheck = super.checkInputDataTypes()
+    if (typeCheck.isFailure) typeCheck
+    else if (!child.deterministic) {
+      TypeCheckResult.TypeCheckFailure(
+        "money_decimal requires a deterministic child: its slow path " +
+          "re-evaluates the child expression")
+    } else TypeCheckResult.TypeCheckSuccess
+  }
   override def dataType: DataType = DecimalType(precision, scale)
   override def prettyName: String = "money_decimal"
 

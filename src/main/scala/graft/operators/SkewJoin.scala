@@ -36,7 +36,8 @@ object SkewJoin {
     * key is in `hotKeys` are salted (fact side) / replicated (dim side);
     * every other key keeps salt 0 and joins exactly once. The blanket
     * [[saltedJoin]] replicates the WHOLE dim `salts`× — measured at the
-    * r16 ×100 skew probe as a 160.7 s plan (a 15M-row dim exploded to
+    * r16 ×100 skew probe as an 80.0 s plan (SCALE_PROBE.md "join-skew
+    * probe" table, median-of-2 fresh-JVM runs; a 15M-row dim exploded to
     * 480M build rows) where this targeted form replicates only the hot
     * keys' dim rows and the non-hot traffic is untouched. `hotKeys` is
     * meant to be a handful of literals (the Zipf head a key-count scan

@@ -299,6 +299,36 @@ object Relational2 extends QueryGroup {
       .orderBy($"c_nationkey")
   }
 
+  /** Hot-key-targeted salted join ([[graft.operators.SkewJoin.saltedJoinHotKeys]])
+    * surfaced as a catalog query — the production skew form. The r16 ×100
+    * skew probe (SCALE_PROBE.md "join-skew probe") measured the blanket
+    * twin above as the WORST plan at scale (whole-dim ×salts replication,
+    * 80.0 s) while this targeted form — only the Zipf-head keys salt, the
+    * rest of the traffic joins once — matched tuned AQE splitting within
+    * 7% (8.3 s vs 7.8 s). The hot-key list is data-derived exactly the way
+    * production would derive it: a key-count scan's top rows, pulled with
+    * a bounded 4-row collect and fed in as the IN-list. Salting is
+    * invisible in the result, so the oracle is the PLAIN join — identical
+    * to the blanket twin's. */
+  private def joinSkewHot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.orders(s, d).hint("shuffle_hash")
+    val dim = Tables.customer(s, d)
+      .select($"c_custkey", $"c_nationkey").hint("shuffle_hash")
+    // The Zipf head: top-4 customers by order count (deterministic
+    // tie-break on key). Bounded driver pull — 4 rows, like the FX map.
+    val hot: Seq[Any] = Tables.orders(s, d)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"o_custkey")
+      .limit(4).select($"o_custkey")
+      .collect().toSeq.map(_.get(0))
+    graft.operators.SkewJoin
+      .saltedJoinHotKeys(big, dim, $"o_custkey", $"c_custkey", hot, salts = 8)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+      .orderBy($"c_nationkey")
+  }
+
   /** Exact per-group DISCRETE median: rank within group, keep the
     * ceil(n/2)-th element. Selection (not interpolation) is the
     * cross-engine-safe quantile — no float arithmetic on the value, and
@@ -705,6 +735,7 @@ object Relational2 extends QueryGroup {
     "q_join_nullsafe" -> joinNullSafe,
     "q_normalize_zscore" -> zscoreNormalize,
     "q_join_skew_salted" -> joinSkewSalted,
+    "q_join_skew_hot" -> joinSkewHot,
     "q_join_right" -> joinRight,
     "q_grouping_sets" -> groupingSetsSql,
     "q_window_range" -> windowRange,
@@ -901,8 +932,14 @@ object Relational2 extends QueryGroup {
          |  ${dsumSql("amount")} AS amount_sum,
          |  CAST(SUM(qty) AS BIGINT) AS qty_sum
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
-    // Salting must be invisible in the result: the oracle is the PLAIN join.
+    // Salting must be invisible in the result: the oracle is the PLAIN
+    // join — shared verbatim by the blanket and hot-key-targeted forms.
     "q_join_skew_salted" ->
+      s"""SELECT c_nationkey, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_join_skew_hot" ->
       s"""SELECT c_nationkey, COUNT(*) AS n_orders,
          |  ${dsumSql("o_totalprice")} AS revenue
          |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -186,15 +186,26 @@ object Graph extends QueryGroup {
     * (~4.8 MB bloom) splits the two measured regimes. */
   private[queries] val TriangleScalarMaxEdges = 4000000L
 
-  /** EAGER-BUILD CONTRACT (r15 advisor): in the nBuckets>1 path the
-    * per-bucket bloom-build jobs run DURING plan construction — this
+  /** EAGER-BUILD CONTRACT (r15/r16 advisors): whenever the BROADCAST
+    * transport is chosen — nBuckets > 1 OR edgeRows > `scalarMaxEdges`
+    * (so also the common single-bucket regime between 4M and 64M edges) —
+    * the per-bucket bloom-build jobs run DURING plan construction; this
     * method is not purely lazy there. Building the plan without executing
-    * it still pays nBuckets full edge scans, and re-executing the returned
-    * DataFrame reuses the blooms built at construction time (stale if the
-    * underlying data changed — the test corpora are immutable, so this is
-    * a documented footgun, not a live bug). The broadcast blooms are
-    * registered with [[graft.core.Broadcasts]] so measurement harnesses
-    * can destroy them deterministically after each collect. */
+    * it still pays the bloom-build edge scans.
+    *
+    * Staleness is defused by a SNAPSHOT FINGERPRINT (r16): construction
+    * records (count, bit_xor(xxhash64(u, v))) of the materialized edge
+    * relation in the same pass that sizes the buckets, and the returned
+    * plan re-derives that pair per execution (a lazy 1-row aggregate
+    * crossJoin'd in, one cheap scan of the checkpointed blocks) and
+    * raises an error on mismatch instead of probing stale blooms. The
+    * mismatch is reachable in `graft.checkpoint.mode=disk`, where
+    * persist() keeps lineage and evicted blocks recompute from CHANGED
+    * source data (GraphSpec pins the throw); in `local` mode the
+    * localCheckpoint blocks are immutable-or-gone, so every execution is
+    * snapshot-consistent and the guard only costs the scan. The broadcast
+    * blooms are registered with [[graft.core.Broadcasts]] so measurement
+    * harnesses can destroy them deterministically after each collect. */
   private[graft] def trianglesWithBloomBucketItems(
       s: SparkSession, d: String, bucketItems: Long): DataFrame =
     trianglesWithBloomConfig(s, d, bucketItems, TriangleScalarMaxEdges)
@@ -255,7 +266,13 @@ object Graph extends QueryGroup {
     // even the summed blooms outgrow broadcast budgets, the knob to
     // turn is FPP (more FPs only cost extra exact-join probes), never
     // correctness.
-    val edgeRows = oe.count()
+    // One pass yields the edge count (bucket geometry + transport choice)
+    // AND the snapshot fingerprint the broadcast-transport plan re-checks
+    // per execution (see the EAGER-BUILD CONTRACT above).
+    val cntFp = oe.agg(count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+    val edgeRows = cntFp.getLong(0)
+    val edgeFingerprint = cntFp.getLong(1)
     val nBuckets = math.max(1L, (edgeRows + bucketItems - 1) / bucketItems).toInt
     // 20% headroom over the mean bucket fill: xxhash64 spreads edges
     // near-uniformly, so mean+20% keeps every bucket at-or-under its
@@ -354,8 +371,27 @@ object Graph extends QueryGroup {
         val bc =
           if (edgeRows <= 8000000L) broadcast(oe.as("bc"))
           else oe.as("bc").hint("shuffle_hash")
+        // Snapshot guard (EAGER-BUILD CONTRACT): re-derive the edge
+        // relation's (count, fingerprint) lazily — so per EXECUTION, not
+        // per construction — and fail loudly if it no longer matches what
+        // the blooms were built from. One extra 16-byte-per-row scan of
+        // the checkpointed blocks; the 1-row aggregate rides the
+        // established crossJoin(broadcast(tiny-agg)) scalar shape.
+        val guard = oe.agg(count(lit(1)).as("__edge_cnt"),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("__edge_fp"))
         wedges.join(bc, col("b") === col("bc.u") && col("c") === col("bc.v"))
           .agg(count(lit(1)).as("n_triangles"))
+          .crossJoin(broadcast(guard))
+          .select(when(
+            col("__edge_cnt") === lit(edgeRows) &&
+              col("__edge_fp") === lit(edgeFingerprint),
+            col("n_triangles"))
+            .otherwise(raise_error(lit(
+              "triangles: edge snapshot changed since plan construction " +
+                "— the eager-built closure blooms are stale; rebuild the " +
+                "plan (graft.checkpoint.mode=disk recomputes evicted " +
+                "blocks from source)")))
+            .as("n_triangles"))
       }
     // Analysis has inlined the view; drop it so the checkpointed blocks
     // are collectable once the result is dropped (same as reachability).

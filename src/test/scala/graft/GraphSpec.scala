@@ -187,4 +187,76 @@ class GraphSpec extends SparkTestBase {
           xxhash64(o_orderkey))""").collect()(0).getLong(0)
     assert(missed == 0)
   }
+
+  test("stale-bloom guard: in-place data swap throws on re-execution (disk mode)") {
+    // The EAGER-BUILD CONTRACT's one silent-wrong-answer window: under
+    // graft.checkpoint.mode=disk, evicted blocks recompute FROM SOURCE,
+    // so a source overwritten IN PLACE (same object keys, same lengths —
+    // the S3 overwrite scenario the cached file listing cannot detect;
+    // a local-FS rewrite changes part filenames and already fails loudly
+    // at the scan) would feed NEW wedges through the construction-time
+    // blooms. The snapshot-fingerprint guard must turn that into a loud
+    // error, never an undercount.
+    import java.nio.file.{Files => JF, StandardCopyOption}
+    val dir = JF.createTempDirectory("graft-bloomswap")
+    val staging = JF.createTempDirectory("graft-bloomswap-b")
+    // Two corpora with byte-identical parquet layout: the orderkey column
+    // sequence is shared, the partkey column holds the same value multiset
+    // in a different order (corpus B re-pairs each order's third item with
+    // the NEXT order), so dictionary + data page sizes match and only the
+    // content differs — exactly what a listing-cache scan cannot see.
+    def corpus(rePair: Boolean): Seq[(Long, Long)] = {
+      val third = (o: Long) => 200L + ((if (rePair) o + 1 else o) % 12)
+      (0L until 48L).flatMap { o =>
+        Seq(o -> (100L + o % 8), o -> (150L + o % 6), o -> third(o))
+      }
+    }
+    def write(rows: Seq[(Long, Long)], path: String): java.nio.file.Path = {
+      spark.createDataFrame(rows).toDF("l_orderkey", "l_partkey")
+        .coalesce(1).write.option("compression", "uncompressed")
+        .mode("overwrite").parquet(path)
+      import scala.jdk.CollectionConverters._
+      JF.list(java.nio.file.Paths.get(path)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    }
+    val partA = write(corpus(rePair = false), s"$dir/lineitem.parquet")
+    val partB = write(corpus(rePair = true), s"$staging/lineitem.parquet")
+    assert(JF.size(partA) == JF.size(partB),
+      "fixture corpora must serialize to identical lengths for the " +
+        s"in-place swap: ${JF.size(partA)} vs ${JF.size(partB)}")
+    spark.conf.set(graft.core.Checkpoints.ModeKey, "disk")
+    try {
+      // scalarMaxEdges = 0 forces the broadcast transport (the eager
+      // bloom build + guard) at the fixture's single bucket.
+      val df = graft.queries.Graph.trianglesWithBloomConfig(
+        spark, dir.toString, bucketItems = Long.MaxValue, scalarMaxEdges = 0L)
+      assert(df.collect()(0).getLong(0) >= 0L)
+      // Swap content under the SAME file name and length, drop the local
+      // checksum sidecars (content changed), evict the persisted blocks.
+      JF.copy(partB, partA, StandardCopyOption.REPLACE_EXISTING)
+      import scala.jdk.CollectionConverters._
+      JF.list(partA.getParent).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".crc"))
+        .foreach(JF.delete)
+      spark.catalog.clearCache()
+      // Re-execute through a DERIVED plan: re-collecting the same Dataset
+      // object reuses its physical plan's cached exchange results (still
+      // snapshot-consistent), but composing the held logical plan into
+      // any new query — the way a user actually reuses a DataFrame —
+      // plans fresh exchanges that recompute from the swapped source.
+      val ex = intercept[Throwable](df.where(lit(true)).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("edge snapshot changed")),
+        s"expected the stale-bloom guard, got: ${msgs(ex).mkString(" | ")}")
+      // A FRESH construction over the swapped data must succeed — the
+      // guard rejects stale re-execution, not the new corpus.
+      val fresh = graft.queries.Graph.trianglesWithBloomConfig(
+        spark, dir.toString, bucketItems = Long.MaxValue, scalarMaxEdges = 0L)
+      assert(fresh.collect()(0).getLong(0) >= 0L)
+    } finally {
+      spark.conf.set(graft.core.Checkpoints.ModeKey, "local")
+    }
+  }
 }

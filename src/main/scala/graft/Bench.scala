@@ -367,6 +367,43 @@ object Bench {
 
     var errors = Vector.empty[(String, String)]
 
+    // ---- drift sentinel (r16 verdict item #4) ---------------------------
+    // The box drifted 20–30% intra-day in r15 AND r16, and each time a
+    // per-query comparison against an earlier artifact cost a round-trip
+    // of forensics (q_dedup_cluster, triangles). Bracket every sweep with
+    // a fixed pair — the no-op floor probe and one mid-weight anchor
+    // query — timed at sweep START and END, recorded in the detail
+    // artifact, so any future comparison can normalize mechanically
+    // (BASELINE.md documents the rule: compare (q − floor)/(anchor −
+    // floor) across artifacts, using each artifact's own bracket means).
+    // Child JVMs skip it: the parent's bracket spans their whole run.
+    val SentinelAnchor = "q_agg_corr"
+    def floorOnce(): Double = {
+      val t0 = System.nanoTime()
+      consume(spark.range(1).toDF("id"))
+      (System.nanoTime() - t0) / 1e9
+    }
+    def sentinelFloor(): Double = {
+      (1 to 4).foreach(_ => floorOnce())
+      (1 to 5).map(_ => floorOnce()).sorted.apply(2)
+    }
+    def sentinelAnchor(): Double =
+      try {
+        val fn = SparkEntry.queries(SentinelAnchor)
+        consume(fn(spark, sfDir)); quiesce(spark) // warm
+        val ts = (1 to 3).map { _ =>
+          quiesce(spark)
+          val t0 = System.nanoTime()
+          consume(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }
+        quiesce(spark)
+        ts.sorted.apply(1)
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val runSentinel = !isChild && only.isEmpty
+    val (floorStart, anchorStart) =
+      if (runSentinel) (sentinelFloor(), sentinelAnchor()) else (-1.0, -1.0)
+
     /** One timed pass over the in-process queries: per-query median of
       * nRuns. Failures land in `errors` once, keyed by query. */
     def timedPass(): Map[String, Double] = {
@@ -521,6 +558,13 @@ object Bench {
       (1 to 8).foreach(_ => once())
       (1 to 7).map(_ => once()).sorted.apply(3)
     }
+    // Sweep-end half of the drift sentinel (floorSec just above IS the
+    // end-of-sweep floor reading; pair it with the end anchor).
+    val anchorEnd = if (runSentinel) sentinelAnchor() else -1.0
+    val sentinelJson =
+      s"""{"anchor":"$SentinelAnchor","floor_start":$floorStart,""" +
+        s""""anchor_start":$anchorStart,"floor_end":$floorSec,""" +
+        s""""anchor_end":$anchorEnd}"""
 
     // Full-precision per-query detail, one entry per catalog query, for
     // humans / the judge (committed as BENCH_DETAIL.json). Carries its
@@ -530,7 +574,7 @@ object Bench {
       .mkString("{", ",", "}")
     val isoJson = isolated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$es,"runs":$nRuns,"sweeps":$nSweeps,"selection":"$selection","isolated_child_jvm":$isoJson,"floor_sec":$floorSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$es,"runs":$nRuns,"sweeps":$nSweeps,"selection":"$selection","isolated_child_jvm":$isoJson,"floor_sec":$floorSec,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
     // A failed detail write must be LOUD: bench_proxy.py and the summary
     // line's "detail" pointer both read the committed artifact, so a
     // swallowed IOException leaves a stale file masquerading as current.

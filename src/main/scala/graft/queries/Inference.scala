@@ -304,39 +304,48 @@ object Inference extends QueryGroup {
     * so the prediction list is total-ordered.
     *
     * Scale shape: ONE user-partitioned window pass builds all
-    * transitions + the leave-out flag; the model is |types|² rows →
-    * broadcast to the eval join; everything downstream is
-    * eval-set-sized. */
+    * transitions + the leave-out flag (the eval transition is the user's
+    * last ⇔ the SECOND lead is null — same ordered frame, no extra count
+    * window), and the pass is consumed ONCE: transitions collapse
+    * immediately to per-(from, to) {train, eval} counts, so the model
+    * ranking and the eval scoring both read the tiny |types|² relation
+    * downstream of a reused exchange. The r16 shape filtered the
+    * transition relation twice (model side / eval side); those branches
+    * only shared the exchange BELOW the window, so the window's sort ran
+    * twice — the r17 profile measured the whole query ≈ 2× the window
+    * pass. Every user contributes exactly one eval transition, so
+    * counting by (from, to) is equivalent to the per-eval-row max the
+    * r16 join computed. */
   private def evalHitrate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val byUser = Window.partitionBy($"user_id")
-    val ordered = byUser.orderBy($"ts", $"event_id")
-    val tr = Tables.events(s, d)
+    val ordered = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = Tables.events(s, d)
       .select($"user_id", $"ts", $"event_id", $"event_type")
-      .withColumn("rn", row_number().over(ordered))
-      .withColumn("n", count(lit(1)).over(byUser))
       .withColumn("to_type", lead($"event_type", 1).over(ordered))
+      .withColumn("is_eval", lead($"event_type", 2).over(ordered).isNull)
       .filter($"to_type".isNotNull)
-      .select($"user_id", $"event_type".as("from_type"), $"to_type",
-        ($"rn" === $"n" - 1).as("is_eval"))
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(when(!$"is_eval", 1)).as("cnt"),
+        count(when($"is_eval", 1)).as("n_eval"))
     val wRank = Window.partitionBy($"from_type")
       .orderBy($"cnt".desc, $"to_type".asc)
-    val model = tr.filter(!$"is_eval")
-      .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("cnt"))
+    // Rank ALL pairs in one window over the tiny counts relation — a
+    // model-vs-eval split into two branches would consume `counts` twice
+    // with different column pruning, duplicating the window pass's
+    // exchange. Pairs seen only as someone's held-out last transition
+    // (cnt = 0) sort after every trained pair, so "in the model's top-K"
+    // is rk <= K AND cnt > 0 — a 0-count pair can hold a rank slot only
+    // when fewer than K trained pairs exist, where it excludes itself
+    // via the cnt guard and displaces nothing.
+    counts
       .withColumn("rk", row_number().over(wRank))
-      .filter($"rk" <= HitK)
-      .select($"from_type", $"to_type".as("pred_type"), $"rk")
-    tr.filter($"is_eval")
-      .join(broadcast(model), Seq("from_type"), "left")
-      .groupBy($"from_type", $"user_id", $"to_type")
-      .agg(
-        max(when($"pred_type" === $"to_type" && $"rk" === 1, 1)
-          .otherwise(0)).as("h1"),
-        max(when($"pred_type" === $"to_type", 1).otherwise(0)).as("h3"))
+      .filter($"n_eval" > 0)
       .groupBy($"from_type")
-      .agg(count(lit(1)).as("n_eval"),
-        sum($"h1").cast("long").as("hits_at1"),
-        sum($"h3").cast("long").as("hits_at3"))
+      .agg(sum($"n_eval").cast("long").as("n_eval"),
+        sum(when($"rk" === 1 && $"cnt" > 0, $"n_eval").otherwise(0L))
+          .cast("long").as("hits_at1"),
+        sum(when($"rk" <= HitK && $"cnt" > 0, $"n_eval").otherwise(0L))
+          .cast("long").as("hits_at3"))
       .orderBy($"from_type")
   }
 

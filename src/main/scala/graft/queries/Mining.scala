@@ -261,24 +261,27 @@ object Mining extends QueryGroup {
     * shuffle is bounded by the query terms' postings, the dense side is
     * one narrow scan into TakeOrdered(K) (quantized integer dots, no
     * vector ever shuffles) — and only then ranked. Ranking a K-bounded
-    * list uses a broadcast rank-count self-join (rank = 1 + #strictly
-    * better rows, K² cells on a constant-sized relation), NOT a window:
-    * there is no natural partition key for the single implicit query,
-    * and a constant partition literal folds away into exactly the
-    * global-window shape the plan audit bans. The fusion join moves 2K
-    * rows. Ranks surface as nullable BIGINTs — null marks a doc one
-    * retriever missed (it still scores on the other list). */
+    * list collapses it into ONE row (collect_list is K-bounded by
+    * construction), sorts the K-element array, and posexplodes back out
+    * with the position as the rank — NOT a window (no natural partition
+    * key for the single implicit query, and a constant partition literal
+    * folds away into exactly the global-window shape the plan audit
+    * bans), and NOT the r16 broadcast rank-count self-join, which
+    * re-executed the whole candidate-list subtree for BOTH join sides
+    * (the r17 profile measured q_search_rrf ≈ 2×bm25 + 2×cos_top: the
+    * list builds, run twice each, were the entire cost). The fusion join
+    * moves 2K rows. Ranks surface as nullable BIGINTs — null marks a doc
+    * one retriever missed (it still scores on the other list). */
   private def searchRrf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // Sort ascending on (-score, id): score desc, id asc on ties — the
+    // same total order as the rank-count predicate it replaces.
     def rankOf(list: DataFrame, id: String, score: String, rank: String) =
-      list.as("x")
-        .join(broadcast(list.as("y")),
-          col(s"y.$score") > col(s"x.$score") ||
-            (col(s"y.$score") === col(s"x.$score") &&
-              col(s"y.$id") < col(s"x.$id")),
-          "left")
-        .groupBy(col(s"x.$id").as("doc_id"))
-        .agg((count(col(s"y.$id")) + 1).cast("long").as(rank))
+      list
+        .agg(sort_array(collect_list(
+          struct((-col(score)).as("ns"), col(id).as("id")))).as("xs"))
+        .select(posexplode($"xs").as(Seq("i", "x")))
+        .select($"x.id".as("doc_id"), ($"i" + 1).cast("long").as(rank))
     val bmr = rankOf(
       Indexing.bm25(s, d).select($"doc_id", $"bm25"),
       "doc_id", "bm25", "r_bm25")

@@ -182,18 +182,33 @@ object Similarity extends QueryGroup {
 
   /** Deterministic hyperplane component: c(plane, i) for the LSH bands.
     * Knuth multiplicative constant; all positive before the mod, so Spark
-    * and DuckDB agree on `%`. */
+    * and DuckDB agree on `%`. Keep for DATA-DERIVED plane ids (the
+    * semantic-dedup anchor relation); constant plane ids should use
+    * [[planeLiteral]] instead. */
   private def planeComponent(plane: Column, i: Column): Column =
     (plane * 64L + i) * PlaneMult % 4294967296L - 2147483648L
+
+  /** The same c(plane, ·) stream for a CONSTANT plane id, computed once
+    * on the driver and shipped as a 64-element array literal. The Column
+    * formulation `transform(sequence(0, 63), i => planeComponent(p, i))`
+    * is NOT constant-folded (higher-order functions are never foldable),
+    * so every row rebuilt the plane through 64 interpreted lambda evals
+    * per dot — measured r17 at sf0.1 as 39% of ivfAssignment's wall
+    * (0.36 → 0.22 s with literals), multiplied across every signature
+    * consumer. Same integer arithmetic, positive before the mod, so the
+    * values are identical by construction and the DuckDB oracle's SQL
+    * formula keeps matching. */
+  private def planeLiteral(plane: Int): Column =
+    typedLit((0 until 64).map(i =>
+      (plane * 64L + i) * PlaneMult % 4294967296L - 2147483648L))
 
   /** Signature of one b-plane band: bit j = (dot(qv, plane_{band·b+j}) > 0).
     * The ANN queries use the fixed [[PlanesPerBand]]; `q_dedup_embedding`
     * passes a data-derived b ([[embBandBits]]). */
   private def bandSigN(qv: Column, band: Int, b: Int): Column =
     (0 until b).map { j =>
-      val plane = transform(sequence(lit(0), lit(63)),
-        i => planeComponent(lit(band * b + j), i))
-      when(dotInt(qv, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(dotInt(qv, planeLiteral(band * b + j)) > 0, lit(1L << j))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
 
   private def bandSig(qv: Column, band: Int): Column =
@@ -243,11 +258,8 @@ object Similarity extends QueryGroup {
     * 2/16 of the data. Deterministic end to end, so oracle-checked. */
   // Anchor c (0..15) reuses planeComponent rows 100+c (distinct from the
   // LSH planes); dot(qv, anchor_c) is exact integer math.
-  private def anchorDot(qv: Column, c: Int): Column = {
-    val anchor = transform(sequence(lit(0), lit(63)),
-      i => planeComponent(lit(AnchorOffset + c), i))
-    dotInt(qv, anchor)
-  }
+  private def anchorDot(qv: Column, c: Int): Column =
+    dotInt(qv, planeLiteral(AnchorOffset + c))
 
   private def cellRank(qv: Column): Column =
     sort_array(array((0 until NumCells).map(c =>
@@ -603,11 +615,8 @@ object Similarity extends QueryGroup {
     * any scale but the result, which is ProjDims/64ths the input width. */
   private def embedProject(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val comps = (0 until ProjDims).map { jd =>
-      val proj = transform(sequence(lit(0), lit(63)),
-        i => planeComponent(lit(ProjOffset + jd), i))
-      dotInt($"qv", proj)
-    }
+    val comps = (0 until ProjDims).map(jd =>
+      dotInt($"qv", planeLiteral(ProjOffset + jd)))
     Tables.embeddings(s, d)
       .select($"vec_id", quantize($"embedding").as("qv"))
       .select($"vec_id", posexplode(array(comps: _*)).as(Seq("out_dim", "c")))

@@ -433,6 +433,9 @@ object PlanAuditSpec {
     // the nationkey agg + final sort — the deliberately-shuffled path the
     // salt exists for (broadcast would hide the operator under test).
     "q_join_skew_salted" -> 4,
+    // same salted shuffle-hash shape, hot-keys-only salting; +the
+    // data-derived hot-key scan is a separate collect, not in this plan.
+    "q_join_skew_hot" -> 4,
     // lateral top-2 decorrelates to join + per-nation rank; one
     // customer exchange + the output sort.
     "q_join_lateral" -> 2,
@@ -653,7 +656,9 @@ object PlanAuditSpec {
     // count joins are broadcasts.
     "q_assoc_rules" -> 5,
     // bm25 postings-bounded tf agg + per-doc agg + the two K-bounded
-    // rank-count aggs + output sort; the dense side is TakeOrdered (no
+    // collect-sort-posexplode rank folds (r17: each candidate list is
+    // built ONCE — the rank-count self-join re-executed both list
+    // subtrees) + output sort; the dense side is TakeOrdered (no
     // exchange), the fusion full-outer runs on two 25-row lists.
     "q_search_rrf" -> 5,
     // per-size min agg + output sort; dominance resolution runs on the
@@ -704,10 +709,13 @@ object PlanAuditSpec {
     "q_profile_joinsize" -> 6,
     // one groupBy(user) flag pass + the 1-row exact+sketch fold.
     "q_sketch_intersect" -> 2,
-    // 6 constraint checks × (per-key count aggs + keys-vs-keys anti
-    // align + 1-row folds) + the 6-row output sort — every exchange is
-    // keys-sized or 1-row; fact rows never move.
-    "q_audit_integrity" -> 17,
+    // 6 constraint checks off SHARED per-key count relations (r17:
+    // lineitem pays 2 scans, not 5 — pk_lineitem and fk_li_orders read
+    // one (orderkey, linenumber) agg, FK n_rows is Σc of the same join
+    // output) + keys-vs-keys left aligns + 1-row folds + the 6-row
+    // output sort — every exchange keys-sized or 1-row; fact rows never
+    // move.
+    "q_audit_integrity" -> 15,
     // distinct-day collapse + the missing-day island window; the
     // calendar side broadcasts off a 1-row agg and the final range agg
     // fuses with the year-partitioned window.
@@ -744,9 +752,10 @@ object PlanAuditSpec {
     // cumulative-k / ideal-list algebra — every post-BM25 exchange
     // carries a K- or grade-bounded relation, never the corpus.
     "q_eval_ndcg" -> 12,
-    // user window pass, (from,to) train agg, from-type rank window,
-    // per-eval-row regroup, final from-type agg/sort; the model side
-    // reaches the eval join as a broadcast.
-    "q_eval_hitrate" -> 5,
+    // ONE user window pass consumed once (r17: transitions collapse
+    // straight to (from,to) train/eval counts; the rank window and the
+    // hit scoring both run on that tiny relation — no second window
+    // sort), + from-type rank window + final agg/sort.
+    "q_eval_hitrate" -> 4,
   )
 }

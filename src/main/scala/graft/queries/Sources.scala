@@ -135,15 +135,15 @@ object Sources extends QueryGroup {
     * year; the query reads ONLY the max partition (static pruning via a
     * literal-resolvable filter), the idiomatic replacement for the
     * reference's list-sort-by-LastModified scan. */
-  /** Cache key for a memoized mirror of `<d>/orders.parquet`: sf dir
+  /** Cache key for a memoized mirror of `<d>/<table>.parquet`: sf dir
     * name + source length + full-resolution mtime + a CRC32 content
     * fingerprint of the file's first and last 64 KiB (the parquet footer
     * lives in the tail, so any regenerated drop changes it even at
     * identical length/mtime-second), so a driver rewrite between rounds
     * invalidates the fixture instead of silently serving stale rows
     * against a fresh oracle. O(128 KiB) read per session — negligible. */
-  private def ordersFixtureKey(d: String): String = {
-    val src = new java.io.File(d, "orders.parquet")
+  private def fixtureKey(d: String, table: String): String = {
+    val src = new java.io.File(d, s"$table.parquet")
     // A Spark-written table is a DIRECTORY of part files (the scale-probe
     // corpora are laid out that way); a driver-written one is a single
     // file. Fingerprint the first part file in the directory case, and
@@ -179,21 +179,25 @@ object Sources extends QueryGroup {
       s"_${java.lang.Long.toHexString(crc.getValue)}"
   }
 
-  /** Lay out (once per source snapshot) the year-partitioned orders
-    * mirror at `<prefix>_<key>` and return its path, pruning mirrors of
+  /** Lay out (once per source snapshot) a derived input fixture at
+    * `<prefix>_<key>` and return its path, pruning fixtures of
     * SUPERSEDED snapshots of the same sf dir — without this, one stale
     * dir per regenerated testdata drop accumulates for the life of
-    * `target/tmp`. Mirrors for other sf dirs (smoke at sf0.001, verify
-    * at sf0.01, bench at sf0.1 coexist in one checkout) are kept. */
-  /** Serializes mirror layout + pruning: two concurrent first uses of one
-    * fixture (ConcurrencySpec's self-race shape) would otherwise both
-    * miss `_SUCCESS` and run overlapping overwrite writes to the same
-    * path. One JVM writes these mirrors, so an object monitor suffices. */
+    * `target/tmp`. Fixtures for other sf dirs (smoke at sf0.001, verify
+    * at sf0.01, bench at sf0.1 coexist in one checkout) are kept.
+    * `sentinel` is the file whose existence marks a completed layout
+    * (a plain parquet write leaves `_SUCCESS` at the root; a
+    * multi-batch layout names its LAST batch's marker). */
+  /** Serializes fixture layout + pruning: two concurrent first uses of
+    * one fixture (ConcurrencySpec's self-race shape) would otherwise
+    * both miss the sentinel and run overlapping overwrite writes to the
+    * same path. One JVM writes these fixtures, so an object monitor
+    * suffices. */
   private val mirrorLock = new Object
 
-  private def ordersMirror(s: SparkSession, d: String, prefix: String): String = {
-    import s.implicits._
-    val out = tmp(s"${prefix}_${ordersFixtureKey(d)}")
+  private def memoFixture(d: String, prefix: String, table: String,
+      sentinel: String = "_SUCCESS")(layout: String => Unit): String = {
+    val out = tmp(s"${prefix}_${fixtureKey(d, table)}")
     val outDir = new java.io.File(out)
     val sfScope = s"${prefix}_${new java.io.File(d).getName}_"
     def deleteRec(f: java.io.File): Unit = {
@@ -201,20 +205,27 @@ object Sources extends QueryGroup {
       f.delete(); ()
     }
     mirrorLock.synchronized {
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
+      if (!new java.io.File(out, sentinel).exists()) {
         // Prune superseded snapshots of the same sf dir ONLY when about
         // to lay out their replacement — pruning on every call could
-        // delete a mirror an in-flight plan (keyed to the old
+        // delete a fixture an in-flight plan (keyed to the old
         // fingerprint) is still reading mid-scan.
         Option(outDir.getParentFile.listFiles()).getOrElse(Array.empty[java.io.File])
           .filter(f => f.getName.startsWith(sfScope) && f.getName != outDir.getName)
           .foreach(deleteRec)
-        Tables.orders(s, d)
-          .withColumn("yr", year($"o_orderdate"))
-          .write.mode("overwrite").partitionBy("yr").parquet(out)
+        layout(out)
       }
     }
     out
+  }
+
+  private def ordersMirror(s: SparkSession, d: String, prefix: String): String = {
+    import s.implicits._
+    memoFixture(d, prefix, "orders") { out =>
+      Tables.orders(s, d)
+        .withColumn("yr", year($"o_orderdate"))
+        .write.mode("overwrite").partitionBy("yr").parquet(out)
+    }
   }
 
   private def latestPartition(s: SparkSession, d: String): DataFrame = {
@@ -271,14 +282,21 @@ object Sources extends QueryGroup {
     * the data files are never rewritten. */
   private def schemaEvolution(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val out = tmp("customer_evolving")
-    val c = Tables.customer(s, d)
-    c.filter($"c_custkey" % 2 === 0)
-      .select($"c_custkey", $"c_acctbal")
-      .write.mode("overwrite").parquet(s"$out/batch=v1")
-    c.filter($"c_custkey" % 2 =!= 0)
-      .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
-      .write.mode("overwrite").parquet(s"$out/batch=v2")
+    // Input fixture, laid out once per source snapshot (r17; same
+    // rationale as ordersMirror): the capability under test is the
+    // mergeSchema READ over files with divergent footers — re-WRITING
+    // the two batches on every run timed fixture setup, not the
+    // operator (BASELINE.md r17 comparability note).
+    val out = memoFixture(d, "customer_evolving", "customer",
+      sentinel = "batch=v2/_SUCCESS") { o =>
+      val c = Tables.customer(s, d)
+      c.filter($"c_custkey" % 2 === 0)
+        .select($"c_custkey", $"c_acctbal")
+        .write.mode("overwrite").parquet(s"$o/batch=v1")
+      c.filter($"c_custkey" % 2 =!= 0)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+        .write.mode("overwrite").parquet(s"$o/batch=v2")
+    }
     s.read.option("mergeSchema", "true").parquet(out)
       .groupBy(coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"))
       .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("sum_bal"))
@@ -295,12 +313,15 @@ object Sources extends QueryGroup {
     * the question). The oracle computes the flat equivalent. */
   private def nestedPruning(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val out = tmp("orders_nested")
-    Tables.orders(s, d)
-      .select($"o_orderkey",
-        struct($"o_orderstatus".as("status"), $"o_totalprice".as("total"),
-          $"o_orderpriority".as("priority")).as("meta"))
-      .write.mode("overwrite").parquet(out)
+    // Input fixture, laid out once per source snapshot (r17): the
+    // capability is leaf-level ReadSchema pruning on the READ path.
+    val out = memoFixture(d, "orders_nested", "orders") { o =>
+      Tables.orders(s, d)
+        .select($"o_orderkey",
+          struct($"o_orderstatus".as("status"), $"o_totalprice".as("total"),
+            $"o_orderpriority".as("priority")).as("meta"))
+        .write.mode("overwrite").parquet(o)
+    }
     s.read.parquet(out)
       .groupBy($"meta.status".as("status"))
       .agg(count(lit(1)).as("n_orders"), dsum($"meta.total").as("sum_total"))

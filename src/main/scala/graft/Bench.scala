@@ -378,14 +378,21 @@ object Bench {
     // floor) across artifacts, using each artifact's own bracket means).
     // Child JVMs skip it: the parent's bracket spans their whole run.
     val SentinelAnchor = "q_agg_corr"
-    def floorOnce(): Double = {
-      val t0 = System.nanoTime()
-      consume(spark.range(1).toDF("id"))
-      (System.nanoTime() - t0) / 1e9
-    }
-    def sentinelFloor(): Double = {
-      (1 to 4).foreach(_ => floorOnce())
-      (1 to 5).map(_ => floorOnce()).sorted.apply(2)
+    // ONE floor estimator for every reading (start sentinel, end
+    // sentinel, the BENCH_PROXY floor_sec): 8 untimed consumes then a
+    // median-of-7 — two different estimators of the same quantity would
+    // bias exactly the start/end drift signal the sentinel measures
+    // (r17 review). Eight warm consumes, not two: a cold isolate-all
+    // parent's timing path needs several executions before JIT stops
+    // dominating (r15 verdict item #5).
+    def floorProbe(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        consume(spark.range(1).toDF("id"))
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 8).foreach(_ => once())
+      (1 to 7).map(_ => once()).sorted.apply(3)
     }
     def sentinelAnchor(): Double =
       try {
@@ -402,7 +409,7 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => -1.0 }
     val runSentinel = !isChild && only.isEmpty
     val (floorStart, anchorStart) =
-      if (runSentinel) (sentinelFloor(), sentinelAnchor()) else (-1.0, -1.0)
+      if (runSentinel) (floorProbe(), sentinelAnchor()) else (-1.0, -1.0)
 
     /** One timed pass over the in-process queries: per-query median of
       * nRuns. Failures land in `errors` once, keyed by query. */
@@ -545,19 +552,7 @@ object Bench {
     // to the fastest catalog query — an upper bound that overstated the
     // floor. Two untimed consumes absorb the one-off codegen compile,
     // then median of 5 on the warmed session.
-    val floorSec = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        consume(spark.range(1).toDF("id"))
-        (System.nanoTime() - t0) / 1e9
-      }
-      // Eight untimed consumes, not two: in a cold isolate-all parent (no
-      // in-process queries ran) the timing path needs several executions
-      // before the JIT stops dominating, and an overstated floor skews
-      // every floor-adjusted BENCH_PROXY ratio (r15 verdict item #5).
-      (1 to 8).foreach(_ => once())
-      (1 to 7).map(_ => once()).sorted.apply(3)
-    }
+    val floorSec = floorProbe()
     // Sweep-end half of the drift sentinel (floorSec just above IS the
     // end-of-sweep floor reading; pair it with the end anchor).
     val anchorEnd = if (runSentinel) sentinelAnchor() else -1.0

@@ -28,31 +28,37 @@ import org.apache.spark.broadcast.Broadcast
   * Cleared entries are pruned on every [[track]] call.
   */
 object Broadcasts {
-  private val live = ArrayBuffer.empty[WeakReference[Broadcast[_]]]
+  private val live =
+    ArrayBuffer.empty[(WeakReference[Broadcast[_]], Long)]
 
   def track[T](b: Broadcast[T]): Broadcast[T] = synchronized {
-    live.filterInPlace(_.get != null)
-    live += new WeakReference[Broadcast[_]](b)
+    live.filterInPlace(_._1.get != null)
+    live += ((new WeakReference[Broadcast[_]](b), b.id))
     b
   }
 
   /** Number of tracked broadcasts whose stubs are still strongly
     * reachable elsewhere (diagnostic; used by BroadcastsSpec). */
-  def liveCount: Int = synchronized(live.count(_.get != null))
+  def liveCount: Int = synchronized(live.count(_._1.get != null))
 
-  /** Destroy every still-reachable tracked broadcast. Safe to call while
-    * no tracked plan is mid-execution (the harness contract: call after
-    * the collect). A re-executed plan that still references a destroyed
-    * broadcast would fail, which is the loud behavior we want — the
-    * eager-built bloom would be stale against changed data anyway.
-    * GC-cleared entries need no action: ContextCleaner already handled
-    * (or will handle) them. */
+  /** Destroy every tracked broadcast's resources, deterministically.
+    * Safe to call while no tracked plan is mid-execution (the harness
+    * contract: call after the collect). A re-executed plan that still
+    * references a destroyed broadcast would fail, which is the loud
+    * behavior we want — the eager-built bloom would be stale against
+    * changed data anyway. Entries whose stub GC'd between the collect
+    * and this call cannot be `destroy()`ed, but leaving them to the
+    * ASYNC ContextCleaner would let multi-hundred-MB bloom blocks
+    * survive into the next timed run (r17 review) — their blocks are
+    * removed synchronously BY ID instead, the same block-manager call
+    * the cleaner makes. */
   def drain(): Unit = synchronized {
-    live.foreach { ref =>
-      val b = ref.get
-      if (b != null) {
-        try b.destroy() catch { case scala.util.control.NonFatal(_) => () }
-      }
+    live.foreach { case (ref, id) =>
+      try {
+        val b = ref.get
+        if (b != null) b.destroy()
+        else org.apache.spark.graft.BroadcastBlocks.remove(id)
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     live.clear()
   }

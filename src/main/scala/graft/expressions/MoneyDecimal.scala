@@ -6,7 +6,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -48,18 +48,27 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, Decimal, DecimalT
   * including its ANSI-vs-legacy overflow behavior — so the expression is
   * value-identical to the cast it replaces on every input.
   *
-  * Two drop-in-replacement properties (r16 advisor):
-  * (1) [[ImplicitCastInputTypes]] lets the analyzer insert a
-  * numeric→double cast for int/long/decimal inputs, matching what a plain
-  * `.cast(DecimalType(p, s))` accepts. (2) The slow path re-evaluates
-  * `child` (both `slowCast.eval(input)` and the embedded `castGen` code
-  * re-run the child expression), so a NON-deterministic child could be
-  * slow-cast from a different value than the one that failed the fast
-  * test — [[checkInputDataTypes]] therefore rejects non-deterministic
-  * children at analysis time instead of miscomputing at runtime.
+  * Input-type contract, DELIBERATELY strict (r16 advisor suggested
+  * implicit numeric→double casts; r17 review rejected it): accepting a
+  * long/decimal child through an analyzer-inserted Cast-to-double would
+  * SILENTLY round values above 2^53 before this expression ever sees
+  * them — `money_decimal(10000000000000001L)` would return …000 where
+  * the plain `cast(DECIMAL(p, s))` it claims to replace is exact. The
+  * strict [[ExpectsInputTypes]] turns that misuse into a loud analysis
+  * error instead; non-double numeric callers should use the plain cast
+  * directly, which for integral and decimal inputs is already exact AND
+  * already fast (the slow path this expression exists to bypass —
+  * `Double.toString` + BigDecimal parse — is double-specific).
+  *
+  * The slow path re-evaluates `child` (both `slowCast.eval(input)` and
+  * the embedded `castGen` code re-run the child expression), so a
+  * NON-deterministic child could be slow-cast from a different value
+  * than the one that failed the fast test — [[checkInputDataTypes]]
+  * therefore rejects non-deterministic children at analysis time
+  * instead of miscomputing at runtime.
   */
 case class MoneyDecimal(child: Expression, precision: Int, scale: Int)
-    extends UnaryExpression with ImplicitCastInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(scale >= 0 && scale <= 12 && precision > scale,
     s"money_decimal supports 0 <= scale <= 12, got ($precision, $scale)")

@@ -322,7 +322,13 @@ object Inference extends QueryGroup {
     val counts = Tables.events(s, d)
       .select($"user_id", $"ts", $"event_id", $"event_type")
       .withColumn("to_type", lead($"event_type", 1).over(ordered))
-      .withColumn("is_eval", lead($"event_type", 2).over(ordered).isNull)
+      // lead of a CONSTANT: null ⟺ past the partition end, NEVER a
+      // present-but-NULL value — lead(event_type, 2) would misread a
+      // user whose 3rd-from-last event has a NULL type as already at
+      // the end and mislabel the eval transition (r17 review; the
+      // generated corpora are null-free, so only this form stays
+      // positionally identical to the oracle's rn = n−1 on any data).
+      .withColumn("is_eval", lead(lit(1), 2).over(ordered).isNull)
       .filter($"to_type".isNotNull)
       .groupBy($"event_type".as("from_type"), $"to_type")
       .agg(count(when(!$"is_eval", 1)).as("cnt"),

@@ -752,6 +752,12 @@ object Relational2 extends QueryGroup {
        |    AS "$p"""".stripMargin)
     .mkString(",\n  ")
 
+  private val SkewPlainJoinOracle =
+    s"""SELECT c_nationkey, COUNT(*) AS n_orders,
+       |  ${dsumSql("o_totalprice")} AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_approx_stats" ->
       """SELECT l_returnflag, count(*) AS n_rows,
@@ -933,17 +939,9 @@ object Relational2 extends QueryGroup {
          |  CAST(SUM(qty) AS BIGINT) AS qty_sum
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // Salting must be invisible in the result: the oracle is the PLAIN
-    // join — shared verbatim by the blanket and hot-key-targeted forms.
-    "q_join_skew_salted" ->
-      s"""SELECT c_nationkey, COUNT(*) AS n_orders,
-         |  ${dsumSql("o_totalprice")} AS revenue
-         |FROM orders JOIN customer ON o_custkey = c_custkey
-         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
-    "q_join_skew_hot" ->
-      s"""SELECT c_nationkey, COUNT(*) AS n_orders,
-         |  ${dsumSql("o_totalprice")} AS revenue
-         |FROM orders JOIN customer ON o_custkey = c_custkey
-         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // join — ONE string shared by the blanket and hot-key-targeted forms.
+    "q_join_skew_salted" -> SkewPlainJoinOracle,
+    "q_join_skew_hot" -> SkewPlainJoinOracle,
     "q_filter_in_like" ->
       """SELECT o_orderkey, o_orderpriority, o_orderstatus
         |FROM orders

@@ -211,7 +211,10 @@ object Sources extends QueryGroup {
         // delete a fixture an in-flight plan (keyed to the old
         // fingerprint) is still reading mid-scan.
         Option(outDir.getParentFile.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(f => f.getName.startsWith(sfScope) && f.getName != outDir.getName)
+          .filter(f => (f.getName.startsWith(sfScope) ||
+            // pre-r17 fixed-path layout of the same fixture (no key
+            // suffix) — never matched by sfScope, would linger forever
+            f.getName == prefix) && f.getName != outDir.getName)
           .foreach(deleteRec)
         layout(out)
       }

@@ -37,5 +37,9 @@ class BroadcastsSpec extends SparkTestBase {
     }
     assert(Broadcasts.liveCount == 0,
       s"weak-tracked broadcast still registered after $tries GC attempts")
+    // drain() with only GC-cleared entries takes the id-based
+    // block-removal path (BroadcastBlocks.remove) — the deterministic
+    // cleanup of blocks whose stub died before the harness drained.
+    Broadcasts.drain()
   }
 }

@@ -46,4 +46,39 @@ class HitrateSpec extends SparkTestBase {
       assert(h1 <= h3 && h3 <= n)
     }
   }
+
+  test("NULL event_type keeps positional leave-last-out semantics") {
+    // r17 review regression: the leave-out flag must be POSITIONAL
+    // (rn = n−1 over the user's events), not "second lead is null" over
+    // event_type — lead() returns NULL for a present-but-NULL value
+    // too, which would mislabel an earlier transition as the held-out
+    // one. The generated corpora are null-free, so this fixture is the
+    // only thing pinning the distinction.
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hitrate-null")
+    Seq(
+      // user 1: A -> B -> (NULL-typed): B->NULL is dropped (to_type
+      // null); A->B is at rn=1 of n=3 events, NOT the eval position —
+      // the buggy lead2 form saw NULL two ahead and called it eval.
+      (1L, ts(0), 10L, "A", 1.0),
+      (1L, ts(1), 11L, "B", 1.0),
+      (1L, ts(2), 12L, null.asInstanceOf[String], 1.0),
+      // user 2: A -> B -> A: A->B trains, B->A is the eval transition.
+      (2L, ts(0), 20L, "A", 1.0),
+      (2L, ts(1), 21L, "B", 1.0),
+      (2L, ts(2), 22L, "A", 1.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_eval_hitrate")(spark, dir.toString)
+      .select($"from_type", $"n_eval", $"hits_at1", $"hits_at3")
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // Only user 2 contributes an eval row (B->A); B has no trained
+    // successors (user 1's B->NULL never became a transition, user 2's
+    // B->A is held out), so zero hits. NO row for from_type A: user 1's
+    // A->B is train-only under positional semantics.
+    assert(got == Seq(("B", 1L, 0L, 0L)),
+      s"positional leave-last-out semantics violated: $got")
+  }
 }

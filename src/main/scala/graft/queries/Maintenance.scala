@@ -50,7 +50,11 @@ object Maintenance extends QueryGroup {
       .select(md5(rowStr).as("dg"))
       .select(
         substring($"dg", 1, 2).as("bucket"),
-        conv(substring($"dg", 3, 15), 16, 10).cast("long").as("sig"),
+        // Native hex parse — value-identical to conv(·,16,10).cast(long)
+        // on 15-char hex; Conv measured as ~1.0 s/600k rows (r17,
+        // expressions/HexToLong.scala scaladoc).
+        org.apache.spark.sql.graft.HexToLong
+          .hexToLong(substring($"dg", 3, 15)).as("sig"),
         $"dg")
       .groupBy($"bucket")
       .agg(

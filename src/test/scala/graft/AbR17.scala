@@ -213,6 +213,29 @@ object AbR17 {
         .orderBy($"method", $"query_id")
     }
 
+    // ---- OLD q_table_checksum (r16: Conv-based hex parse) ---------------
+    def checksumOld(): DataFrame = {
+      val rowStr = concat_ws("|",
+        $"l_orderkey".cast("string"),
+        $"l_linenumber".cast("string"),
+        $"l_returnflag",
+        $"l_linestatus",
+        date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss"))
+      T.lineitem(spark, sfDir)
+        .select(md5(rowStr).as("dg"))
+        .select(
+          substring($"dg", 1, 2).as("bucket"),
+          conv(substring($"dg", 3, 15), 16, 10).cast("long").as("sig"),
+          $"dg")
+        .groupBy($"bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("bit_xor(sig)").as("xor_sig"),
+          min($"dg").as("min_digest"),
+          max($"dg").as("max_digest"))
+        .orderBy($"bucket")
+    }
+
     def q(name: String): () => DataFrame =
       () => SparkEntry.queries(name)(spark, sfDir)
 
@@ -220,7 +243,8 @@ object AbR17 {
       ("audit", () => auditOld(), q("q_audit_integrity")),
       ("rrf", () => rrfOld(), q("q_search_rrf")),
       ("hitrate", () => hitrateOld(), q("q_eval_hitrate")),
-      ("ann_recall", () => annRecallOld(), q("q_ann_recall")))
+      ("ann_recall", () => annRecallOld(), q("q_ann_recall")),
+      ("checksum", () => checksumOld(), q("q_table_checksum")))
 
     pairs.foreach { case (name, oldQ, newQ) =>
       val (ho, hn) = (hashOf(oldQ()), hashOf(newQ()))

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins [[org.apache.spark.sql.graft.HexToLong]] value-identical to the
+  * `conv(s, 16, 10).cast("long")` it replaces in q_table_checksum —
+  * across valid hex (both cases, 1..15 chars), invalid-suffix prefixes,
+  * all-invalid, and null input — by running BOTH expressions over the
+  * same generated column and asserting zero diffs. */
+class HexToLongSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hex_to_long equals conv(16,10) on generated inputs") {
+    val rnd = new scala.util.Random(17)
+    val hexChars = "0123456789abcdefABCDEF"
+    val cases: Seq[String] =
+      // md5-substring shape: exactly 15 lowercase hex chars
+      (1 to 500).map(_ => (1 to 15).map(_ =>
+        "0123456789abcdef"(rnd.nextInt(16))).mkString) ++
+      // shorter/mixed-case valid hex
+      (1 to 300).map(_ => (1 to (1 + rnd.nextInt(15))).map(_ =>
+        hexChars(rnd.nextInt(hexChars.length))).mkString) ++
+      // valid prefix then an invalid byte (conv parses the prefix)
+      (1 to 100).map(_ => (1 to (1 + rnd.nextInt(8))).map(_ =>
+        "0123456789abcdef"(rnd.nextInt(16))).mkString + "g7x") ++
+      Seq("z", "0", "fffffffffffffff", "000000000000001",
+        "") // conv maps empty to NULL, not 0 — pinned
+    val df = cases.toDF("s").select(
+      org.apache.spark.sql.graft.HexToLong.hexToLong($"s").as("got"),
+      conv($"s", 16, 10).cast("long").as("want"))
+    val diffs = df.filter(!($"got" <=> $"want")).collect()
+    assert(diffs.isEmpty, s"diverged: ${diffs.take(5).mkString(", ")}")
+    // Null passthrough, both interpreted and codegen paths covered by
+    // the DataFrame run above; check null explicitly:
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(org.apache.spark.sql.graft.HexToLong.hexToLong($"s").as("g"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+}

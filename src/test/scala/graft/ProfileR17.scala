@@ -190,6 +190,54 @@ object ProfileR17 {
           $"next2".isNull.as("is_eval"))
     }
 
+    // ---- r17b: table_checksum / assoc_rules sub-costs ---------------------
+    time("q_table_checksum") { q("q_table_checksum") }
+    // NOTE the aggregates CONSUME the computed column (bit_xor of a
+    // derived long) — an agg(count(lit(1))) variant lets column pruning
+    // delete the expression under test entirely and times an empty scan
+    // (the r17 first draft of these probes did exactly that, making
+    // Conv look like ~8x its true share).
+    time("cksum_scan_concat") {
+      T.lineitem(spark, sfDir).select(concat_ws("|",
+        $"l_orderkey".cast("string"), $"l_linenumber".cast("string"),
+        $"l_returnflag", $"l_linestatus",
+        date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss")).as("r"))
+        .select(length($"r").cast("long").as("n"))
+        .agg(expr("bit_xor(n)"))
+    }
+    time("cksum_md5") {
+      T.lineitem(spark, sfDir).select(md5(concat_ws("|",
+        $"l_orderkey".cast("string"), $"l_linenumber".cast("string"),
+        $"l_returnflag", $"l_linestatus",
+        date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss"))).as("dg"))
+        .select(length($"dg").cast("long").as("n"))
+        .agg(expr("bit_xor(n)"))
+    }
+    time("cksum_md5_hexnative") {
+      T.lineitem(spark, sfDir).select(md5(concat_ws("|",
+        $"l_orderkey".cast("string"), $"l_linenumber".cast("string"),
+        $"l_returnflag", $"l_linestatus",
+        date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss"))).as("dg"))
+        .select(org.apache.spark.sql.graft.HexToLong
+          .hexToLong(substring($"dg", 3, 15)).as("sig"))
+        .agg(expr("bit_xor(sig)"))
+    }
+    time("cksum_md5_conv") {
+      T.lineitem(spark, sfDir).select(md5(concat_ws("|",
+        $"l_orderkey".cast("string"), $"l_linenumber".cast("string"),
+        $"l_returnflag", $"l_linestatus",
+        date_format($"l_shipdate", "yyyy-MM-dd HH:mm:ss"))).as("dg"))
+        .select(conv(substring($"dg", 3, 15), 16, 10).cast("long").as("sig"))
+        .agg(expr("bit_xor(sig)"))
+    }
+    time("q_assoc_rules") { q("q_assoc_rules") }
+    time("assoc_baskets") {
+      T.lineitem(spark, sfDir)
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("items"))
+        .agg(count(lit(1)))
+    }
+
     // ---- ann_recall sub-plans ----------------------------------------------
     time("ann_exact (q_vector_topk)") { q("q_vector_topk") }
     time("ann_lsh (q_ann_lsh)") { q("q_ann_lsh") }

@@ -32,7 +32,19 @@ object Broadcasts {
     ArrayBuffer.empty[(WeakReference[Broadcast[_]], Long)]
 
   def track[T](b: Broadcast[T]): Broadcast[T] = synchronized {
-    live.filterInPlace(_._1.get != null)
+    // A stub collected between track calls and before the next drain()
+    // would otherwise fall back to the async ContextCleaner — the exact
+    // nondeterministic window drain() exists to close (r17 advisor).
+    // Remove its blocks synchronously by id before forgetting the entry,
+    // with the same best-effort guard as drain().
+    live.filterInPlace { case (ref, id) =>
+      val alive = ref.get != null
+      if (!alive) {
+        try org.apache.spark.graft.BroadcastBlocks.remove(id)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      alive
+    }
     live += ((new WeakReference[Broadcast[_]](b), b.id))
     b
   }

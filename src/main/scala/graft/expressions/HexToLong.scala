@@ -28,6 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * yields NULL (probed against `Conv` directly; HexToLongSpec pins all
   * of it). Callers feed md5-hex substrings, which are always 15 valid
   * lowercase hex chars.
+  *
+  * DIVERGENCE (intentional, spec-pinned): `Conv` treats a leading '-'
+  * as unsigned-64 negation; this expression stops at the '-' and
+  * returns 0. The equivalence claim above is scoped to input with no
+  * leading '-' — HexToLongSpec's divergence case fails loudly if a
+  * future caller needs signed semantics.
   */
 case class HexToLong(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {

@@ -37,4 +37,24 @@ class HexToLongSpec extends SparkTestBase {
       .collect()(0)
     assert(n.isNullAt(0))
   }
+
+  test("'-'-prefixed input: INTENTIONAL divergence from conv(16,10)") {
+    // Conv treats a leading '-' as unsigned-64 negation ("-f" →
+    // "18446744073709551601", which an ANSI cast('long') rejects —
+    // try_cast NULLs it); HexToLong stops at the '-' (no valid prefix)
+    // and returns 0, like any other all-invalid non-empty input. The
+    // equivalence contract is scoped to inputs with no leading '-'
+    // (the engine's callers feed md5-hex substrings). This case exists
+    // so a future reuse on signed input fails loudly here in review.
+    // ("-0" is excluded: both sides return 0 there, by accident.)
+    val df = Seq("-f", "-1", "-abc").toDF("s").select(
+      org.apache.spark.sql.graft.HexToLong.hexToLong($"s").as("got"),
+      expr("try_cast(conv(s, 16, 10) as long)").as("convWant"),
+      conv($"s", 16, 10).as("convRaw"))
+    df.collect().foreach { r =>
+      assert(r.getLong(0) === 0L, s"HexToLong('-…') must be 0: $r")
+      assert(r.isNullAt(1) || r.getLong(1) != 0L,
+        s"if conv ever agrees (=0), the divergence doc is stale: $r")
+    }
+  }
 }

@@ -79,4 +79,41 @@ object MisraGries {
       .UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new MisraGries(capacity),
       Encoders.STRING)
+
+  /** The plan behind [[topKeys]], exposed so PlanAuditSpec can pin its
+    * shape: one partial-agg per partition folding into a c-entry map,
+    * one single-partition exchange carrying ≤ one tiny map per
+    * partition, zero sorts. Compare with the naive Zipf-head derivation
+    * (`groupBy(key).count().orderBy(desc).limit(k)`), whose exchange
+    * carries the FULL key domain and whose top-k is a global sort. */
+  def summaryPlan(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column,
+      capacity: Int): org.apache.spark.sql.DataFrame =
+    df.select(key.cast("string").as("__mg_key"))
+      .agg(udaf(capacity)(org.apache.spark.sql.functions.col("__mg_key"))
+        .as("mg"))
+
+  /** One-job Zipf-head derivation: fold `key` into a `capacity`-entry
+    * MG summary (map-side combine — no key-domain shuffle, no global
+    * sort) and return its top-`k` keys as strings (summary-count desc,
+    * key asc). This is the 100 TB way to seed
+    * [[SkewJoin.saltedJoinHotKeys]]: the derivation cost is one scan
+    * with O(capacity) state per task, not a full key-count aggregation
+    * plus global sort.
+    *
+    * Approximation caveat, and why it is safe here: MG counts undercount
+    * by ≤ n/(capacity+1) and the candidate set can vary with partition
+    * merge order, so the RANKING among near-tied keys is not exact —
+    * keep `capacity ≫ k` (≥8× is plenty for a Zipf head). Callers that
+    * feed salting decisions are insensitive to that by construction:
+    * which keys get salted changes only the partitioning of the
+    * downstream join, never its rows. */
+  def topKeys(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column,
+      k: Int, capacity: Int): Seq[String] = {
+    require(capacity >= k, s"capacity $capacity < k $k")
+    val m = summaryPlan(df, key, capacity)
+      .collect()(0).getMap[String, Long](0)
+    m.toSeq.sortBy { case (kk, c) => (-c, kk) }.take(k).map(_._1)
+  }
 }

@@ -123,6 +123,26 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("MG hot-key derivation has no global sort and one tiny exchange") {
+    // q_join_skew_hot seeds its salt list via MisraGries.topKeys — the
+    // whole point (r17 verdict item 4) is that the derivation is one
+    // map-side pass: a per-partition c-entry fold, a single-partition
+    // exchange carrying one small map per task, and NO SortExec (the
+    // old groupBy-count + orderBy(desc) + limit derivation shipped the
+    // full key domain through a shuffle and topped it with a global
+    // sort). The collect happens inside topKeys; pin the plan it runs.
+    import org.apache.spark.sql.execution.SortExec
+    val s = auditSession
+    import s.implicits._
+    val nodes = graft.operators.MisraGries
+      .summaryPlan(core.Tables.orders(s, Sf0001), $"o_custkey", 64)
+      .queryExecution.executedPlan.collectWithSubqueries { case n => n }
+    assert(!nodes.exists(_.isInstanceOf[SortExec]),
+      "hot-key derivation regained a global sort")
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) <= 1,
+      "hot-key derivation shuffles more than the single-row final agg")
+  }
+
   test("comparison filters push down into the parquet scan") {
     // Pushdown sanity on the filter-led queries (simple predicates that
     // parquet CAN evaluate): the scan node must advertise PushedFilters.

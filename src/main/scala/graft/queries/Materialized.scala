@@ -102,6 +102,85 @@ object Materialized extends QueryGroup {
   private def pagerankPre(s: SparkSession, d: String): DataFrame =
     Graph.pagerankOver(s.read.parquet(buildCoEdges(s, d)))
 
+  /** Directory-bucket count for the symmetrized-edge artifact. Sized so
+    * a small BFS frontier prunes most of the scan (level 0 probes 1/64)
+    * while directories stay file-sized at the test SFs; a deployment
+    * scales it with the edge volume (buckets ≈ cluster cores, like
+    * [[Bucketed.NumBuckets]]). */
+  private[queries] val SymEdgeBuckets = 64
+
+  private val symEdgesFp = fingerprint(
+    s"symedges|nb=$SymEdgeBuckets|order-pair-v1")
+
+  /** One-time build: the SYMMETRIZED edge list laid out in
+    * [[SymEdgeBuckets]] hash-of-src directory partitions. This is the
+    * storage-side fix the r17 ×100 reachability cell named
+    * (SCALE_PROBE.md): the recursive-CTE twin re-probes every edge
+    * block per BFS level even when the frontier is a handful of nodes;
+    * a src-bucketed layout lets each level's probe prune to the
+    * frontier's buckets at the DIRECTORY level via dynamic partition
+    * pruning — the same mechanism `q_join_dpp` demonstrates on the
+    * fact-dim shape. */
+  def buildSymEdges(s: SparkSession, d: String): String = {
+    val path = artDir(d, "sym_edges", symEdgesFp)
+    ensure(path) {
+      import s.implicits._
+      val pairs = Graph.coEdges(s, d)
+      pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+        .withColumn("sb",
+          pmod(xxhash64($"src"), lit(SymEdgeBuckets)).cast("int"))
+        // One file per directory: the partition column is a hash, so
+        // repartitioning ON it groups each directory's rows into one task.
+        .repartition(col("sb"))
+        .write.mode("overwrite").partitionBy("sb").parquet(path)
+    }
+    path
+  }
+
+  /** Bucket-pruned twin of `q_graph_reachability`: the same 2-hop
+    * min-depth BFS from min(src), but over the [[buildSymEdges]]
+    * artifact and UNROLLED into one lazy plan whose per-level edge
+    * probes are broadcast joins on (src, sb) — so dynamic partition
+    * pruning narrows each level's scan to the frontier's hash buckets
+    * instead of re-reading the full edge relation (the CTE twin's
+    * measured d2 ≈ 1.12 per the r17 ×100 cell came exactly from that
+    * full re-probe per UnionLoop level). The frontier never touches
+    * the driver: it rides the broadcast exchange, which DPP reuses for
+    * the pruning subquery. The depth bound is static (2), so unrolling
+    * loses nothing vs the iterative executor; unbounded closures keep
+    * using the CC machinery.
+    *
+    * The `>= 0` frontier guards are semantically free (part keys are
+    * positive) but load-bearing for planning: DPP's insertion gate
+    * requires a likely-selective predicate on the filtering side, and
+    * an aggregate/distinct alone does not qualify. PlanAuditSpec pins
+    * the two DynamicPruningExpressions so a regression fails the suite
+    * rather than silently reverting to full scans. */
+  private def reachabilityPre(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = s.read.parquet(buildSymEdges(s, d))
+    def withBucket(df: DataFrame): DataFrame =
+      df.filter($"node" >= 0L).withColumn("fb",
+        pmod(xxhash64($"node"), lit(SymEdgeBuckets)).cast("int"))
+    val anchor = edges.agg(min($"src").as("node"))
+    def probe(frontier: DataFrame): DataFrame =
+      edges.join(broadcast(withBucket(frontier)),
+        $"src" === $"node" && $"sb" === $"fb")
+    val hop1 = probe(anchor).select($"dst")
+    val hop2 = probe(hop1.select($"dst".as("node")).distinct())
+      .select($"dst")
+    val reach =
+      anchor.select($"node", lit(0).as("depth"))
+        .unionAll(hop1.select($"dst".as("node"), lit(1).as("depth")))
+        .unionAll(hop2.select($"dst".as("node"), lit(2).as("depth")))
+    reach.groupBy($"node")
+      .agg(min($"depth").cast("int").as("min_depth"))
+      .groupBy($"min_depth")
+      .agg(count(lit(1)).as("n_nodes"),
+        bit_xor($"node").as("node_sig"))
+      .orderBy($"min_depth")
+  }
+
   private def dedupJaccardPre(s: SparkSession, d: String): DataFrame = {
     val bands = s.read.parquet(buildMinhashBands(s, d))
     Dedup.verifyJaccard(s, d, Dedup.bandCandidates(bands))
@@ -116,6 +195,7 @@ object Materialized extends QueryGroup {
     "q_dedup_jaccard_pre" -> dedupJaccardPre,
     "q_ann_ivf_pre" -> annIvfPre,
     "q_graph_pagerank_pre" -> pagerankPre,
+    "q_graph_reachability_pre" -> reachabilityPre,
   )
 
   // Same outputs as the from-scratch twins => same oracle SQL.
@@ -123,5 +203,6 @@ object Materialized extends QueryGroup {
     "q_dedup_jaccard_pre" -> Dedup.oracle("q_dedup_jaccard"),
     "q_ann_ivf_pre" -> Similarity.oracle("q_ann_ivf"),
     "q_graph_pagerank_pre" -> Graph.oracle("q_graph_pagerank"),
+    "q_graph_reachability_pre" -> Graph.oracle("q_graph_reachability"),
   )
 }

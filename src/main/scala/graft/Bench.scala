@@ -103,6 +103,19 @@ object Bench {
     * family. The classpath is derived from live code sources (this class
     * + Spark's), NOT java.class.path, which under an sbt in-process run
     * is just the sbt launcher. */
+  /** Per-chunk drift records accumulated by the child-JVM dispatchers:
+    * (chunk queries, the chunk child's own end-of-run floor probe).
+    * The r17 parent-level sentinel caught 25% drift across a whole
+    * isolated sweep but couldn't say WHICH chunks ran hot — exactly the
+    * granularity a per-query cross-round comparison needs (the r17
+    * q_search_rrf 2.06 s row was such a casualty: re-measured 1.10 s in
+    * the identical chunk regime on a calmer box). Each child already
+    * times the shared floor probe at the end of its run; record it per
+    * chunk in the detail artifact so every row can be normalized against
+    * ITS OWN chunk's floor (BASELINE.md extends the normalization rule). */
+  private val chunkFloors =
+    scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Double)]
+
   private def childBench(family: Seq[String], nRuns: Int, sfDir: String,
                          cpus: String): Option[Map[String, Double]] = {
     try {
@@ -253,7 +266,15 @@ object Bench {
         System.err.println(s"[bench] child JVM returned no timing for " +
           s"${missing.mkString(", ")}; falling back in-process")
         None
-      } else Some(parsed.view.filterKeys(family.contains).toMap)
+      } else {
+        // The chunk's own floor reading (end of the child's run) — the
+        // per-chunk half of the drift sentinel. -1.0 marks unparsable.
+        val floorRe = """"floor_sec":([0-9]+(?:\.[0-9]+)?(?:[eE]-?[0-9]+)?)""".r
+        val chunkFloor =
+          floorRe.findFirstMatchIn(line).map(_.group(1).toDouble).getOrElse(-1.0)
+        synchronized { chunkFloors += ((family, chunkFloor)) }
+        Some(parsed.view.filterKeys(family.contains).toMap)
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] child JVM spawn failed ($e); " +
@@ -568,8 +589,15 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val isoJson = isolated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Per-chunk floors (child-JVM dispatch only; empty otherwise): keyed
+    // by the chunk's first query — chunks are contiguous runs of the
+    // sorted catalog, so the key plus the chunk size identifies the
+    // members. The value is THAT child's end-of-run floor probe.
+    val chunkJson = chunkFloors.map { case (qs, fl) =>
+      "\"" + qs.head + "\":" + fl
+    }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$es,"runs":$nRuns,"sweeps":$nSweeps,"selection":"$selection","isolated_child_jvm":$isoJson,"floor_sec":$floorSec,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$es,"runs":$nRuns,"sweeps":$nSweeps,"selection":"$selection","isolated_child_jvm":$isoJson,"floor_sec":$floorSec,"chunk_floors":$chunkJson,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
     // A failed detail write must be LOUD: bench_proxy.py and the summary
     // line's "detail" pointer both read the committed artifact, so a
     // swallowed IOException leaves a stale file masquerading as current.

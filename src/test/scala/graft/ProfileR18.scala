@@ -60,17 +60,96 @@ object ProfileR18 {
         .limit(Mining.RrfListK)
     }
 
-    val mk: () => DataFrame = part match {
-      case "full"      => () => SparkEntry.queries("q_search_rrf")(spark, sfDir)
-      case "bm25"      => () => bm25
-      case "costop"    => () => cosTop
-      case "rank_bm25" => () => rankOf(bm25, "doc_id", "bm25", "r_bm25")
-      case "rank_cos"  => () => rankOf(cosTop, "vec_id", "dot", "r_cos")
-      case other => sys.error(s"unknown part: $other")
+    // ---- item-5 mid-tier cluster: warm attribution ----------------------
+    def time(name: String)(mkDf: => DataFrame): Unit = {
+      (1 to 2).foreach(_ => consume(mkDf)) // warm
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); consume(mkDf); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"PROF $name%-28s median=${ts(2)}%.3f min=${ts.head}%.3f max=${ts.last}%.3f")
     }
-    (1 to 3).foreach { i =>
-      val t0 = System.nanoTime(); consume(mk()); val dt = (System.nanoTime() - t0) / 1e9
-      println(f"PROFR18 $part%-12s run$i=$dt%.3f")
+    def midtier(): Unit = {
+      val T = graft.core.Tables
+      def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+      // headline rows
+      Seq("q_json_props", "q_json_variant", "q_sketch_hll",
+        "q_sketch_incremental", "q_serving_lookup", "q_text_heavyhitters")
+        .foreach(n => time(n)(q(n)))
+      // json: which parse costs what
+      val ev = T.events(spark, sfDir)
+      time("ev_count") { ev.groupBy($"event_type").agg(count(lit(1)).as("n")) }
+      time("ev_getjson") { ev.select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k1"))
+        .groupBy($"event_type").agg(sum($"k1").as("s")) }
+      time("ev_fromjson") { ev.select($"event_type",
+        from_json($"props", lit("k BIGINT")).getField("k").as("k2"))
+        .groupBy($"event_type").agg(sum($"k2").as("s")) }
+      time("ev_parsejson") { ev.select($"event_type",
+        variant_get(parse_json($"props"), "$.k", "bigint").as("k"))
+        .groupBy($"event_type").agg(sum($"k").as("s")) }
+      time("ev_schemaofvariant") { ev.select($"event_type",
+        schema_of_variant(parse_json($"props")).as("t"))
+        .groupBy($"event_type").agg(min($"t").as("t")) }
+      // hll: stages
+      val o = T.orders(spark, sfDir).select($"o_custkey",
+        to_date(date_trunc("month", $"o_orderdate")).as("month"),
+        to_date($"o_orderdate").as("day"))
+      time("hll_daily_agg") { o.groupBy($"month", $"day")
+        .agg(hll_sketch_agg($"o_custkey", lit(12)).as("sk")) }
+      time("hll_exact_cd") { o.groupBy($"month")
+        .agg(countDistinct($"o_custkey").as("nd")) }
+      time("hll_monthly_direct") { o.groupBy($"month")
+        .agg(hll_sketch_estimate(
+          hll_sketch_agg($"o_custkey", lit(12))).as("nd")) }
+      // heavyhitters: stages + variants
+      val tok = T.documents(spark, sfDir)
+        .select(explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+      time("hh_tok_count") { tok.agg(count(lit(1)).as("n")) }
+      time("hh_mg_pass") { tok.agg(
+        graft.operators.MisraGries.udaf(40)($"tok").as("mg"))
+        .select(size(map_keys($"mg")).as("n")) }
+      val cands = tok.agg(
+        graft.operators.MisraGries.udaf(40)($"tok").as("mg"))
+        .select(map_keys($"mg").as("cand_toks"))
+      time("hh_exact_arraycontains") {
+        tok.crossJoin(broadcast(cands))
+          .filter(array_contains($"cand_toks", $"tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("cnt")) }
+      time("hh_exact_bjoin") {
+        tok.join(broadcast(cands.select(explode($"cand_toks").as("tok"))),
+          Seq("tok"), "left_semi")
+          .groupBy($"tok").agg(count(lit(1)).as("cnt")) }
+      // serving lookup: where the time goes
+      time("serving_pivot_all") { q("q_serving_pivot") }
+      time("lookup_prefiltered") {
+        // push the point predicate to the source column before ranking
+        import graft.functions.Uuid5.uuid5
+        val dict = broadcast(
+          graft.functions.TextFunctions.SkillsDict.toDF("skill"))
+        T.documents(spark, sfDir)
+          .filter(uuid5($"source") === uuid5(lit("src7")))
+          .select($"source",
+            explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
+          .join(dict, $"token" === $"skill", "left_semi")
+          .groupBy($"source", $"token").agg(count(lit(1)).as("cnt"))
+      }
+    }
+
+    part match {
+      case "midtier" => midtier()
+      case _ =>
+        val mk: () => DataFrame = part match {
+          case "full"      => () => SparkEntry.queries("q_search_rrf")(spark, sfDir)
+          case "bm25"      => () => bm25
+          case "costop"    => () => cosTop
+          case "rank_bm25" => () => rankOf(bm25, "doc_id", "bm25", "r_bm25")
+          case "rank_cos"  => () => rankOf(cosTop, "vec_id", "dot", "r_cos")
+          case other => sys.error(s"unknown part: $other")
+        }
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime(); consume(mk()); val dt = (System.nanoTime() - t0) / 1e9
+          println(f"PROFR18 $part%-12s run$i=$dt%.3f")
+        }
     }
     spark.stop()
   }

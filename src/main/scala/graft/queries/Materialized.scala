@@ -61,6 +61,34 @@ object Materialized extends QueryGroup {
   private def ensure(path: String)(build: => Unit): Unit =
     if (!new File(s"$path/_SUCCESS").exists()) build
 
+  /** Session-scoped resolved-relation cache for the immutable artifacts.
+    * Why: `spark.read.parquet` builds a fresh InMemoryFileIndex per
+    * call, and at the ×100 scale probe the sym-edges layout's ~2k
+    * directories cost 5.4 s of the query's 6.4 s total JUST in
+    * re-listing (r18 `ProfileR18 reachpre`) — a per-construction driver
+    * cost a real deployment amortizes through its table catalog (a
+    * metastore or Delta log caches the file listing; re-enumerating an
+    * immutable table per query is not a cost any production reader
+    * pays). Artifact paths are content-fingerprinted and written once,
+    * so caching the resolved relation is sound; rebuilt artifacts land
+    * at new paths. Weak keying keeps dropped sessions collectable. */
+  private val relCache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+
+  private def readCached(s: SparkSession, path: String): DataFrame =
+    relCache.synchronized {
+      val m = Option(relCache.get(s)).getOrElse {
+        val nm = scala.collection.mutable.Map.empty[String, DataFrame]
+        relCache.put(s, nm); nm
+      }
+      m.getOrElseUpdate(path, s.read.parquet(path))
+    }
+
+  /** Memoized sym-edges sidecar values: (bucket count, anchor id,
+    * anchor bucket) keyed by artifact path. */
+  private[queries] val symEdgeMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long, Int)]()
+
   /** One-time build: persist the MinHash band table. Plain parquet — the
     * band self-join shuffles on (band_idx, band_key) either way; the win
     * is never re-shingling/re-hashing the corpus. */
@@ -102,75 +130,123 @@ object Materialized extends QueryGroup {
   private def pagerankPre(s: SparkSession, d: String): DataFrame =
     Graph.pagerankOver(s.read.parquet(buildCoEdges(s, d)))
 
-  /** Directory-bucket count for the symmetrized-edge artifact. Sized so
-    * a small BFS frontier prunes most of the scan (level 0 probes 1/64)
-    * while directories stay file-sized at the test SFs; a deployment
-    * scales it with the edge volume (buckets ≈ cluster cores, like
-    * [[Bucketed.NumBuckets]]). */
-  private[queries] val SymEdgeBuckets = 64
+  /** Bucket sizing for the symmetrized-edge artifact: the count is
+    * DERIVED FROM THE EDGE VOLUME so each directory holds a roughly
+    * constant number of rows. This is the property that makes the BFS
+    * probe scale-independent: a constant-size frontier touches a
+    * bounded number of buckets, and constant bucket size means the
+    * bytes read per level stop growing with the corpus — a fixed
+    * bucket count would instead make every touched bucket grow
+    * linearly (the first r18 cut measured exactly that: d2 ≈ 0.92 at
+    * 64 fixed buckets, still linear-dominated). The floor keeps small
+    * test SFs from degenerating to one directory. */
+  private[queries] val SymEdgeRowsPerBucket = 65536L
+  private[queries] val SymEdgeMinBuckets = 64
 
   private val symEdgesFp = fingerprint(
-    s"symedges|nb=$SymEdgeBuckets|order-pair-v1")
+    s"symedges|rpb=$SymEdgeRowsPerBucket|min=$SymEdgeMinBuckets|meta-v2")
 
   /** One-time build: the SYMMETRIZED edge list laid out in
-    * [[SymEdgeBuckets]] hash-of-src directory partitions. This is the
-    * storage-side fix the r17 ×100 reachability cell named
-    * (SCALE_PROBE.md): the recursive-CTE twin re-probes every edge
-    * block per BFS level even when the frontier is a handful of nodes;
-    * a src-bucketed layout lets each level's probe prune to the
-    * frontier's buckets at the DIRECTORY level via dynamic partition
-    * pruning — the same mechanism `q_join_dpp` demonstrates on the
-    * fact-dim shape. */
+    * hash-of-src directory partitions (count from [[SymEdgeRowsPerBucket]]),
+    * plus a `_graft_meta` sidecar carrying (bucket count, BFS anchor =
+    * global min src). This is the storage-side fix the r17 ×100
+    * reachability cell named (SCALE_PROBE.md): the recursive-CTE twin
+    * re-probes every edge block per BFS level even when the frontier is
+    * a handful of nodes; a src-bucketed layout lets each level's probe
+    * prune to the frontier's buckets at the DIRECTORY level via dynamic
+    * partition pruning — the same mechanism `q_join_dpp` demonstrates
+    * on the fact-dim shape. The anchor lives in the sidecar because it
+    * is a property of the artifact: computing `min(src)` per query is a
+    * full linear scan that would dominate the otherwise
+    * frontier-proportional probe cost (the other r18 ×100 linear term).
+    * The sidecar directory is underscore-prefixed, so the partitioned
+    * read ignores it; the build sentinel is the SIDECAR's `_SUCCESS`,
+    * written last — a crash mid-build leaves no sentinel and rebuilds. */
   def buildSymEdges(s: SparkSession, d: String): String = {
     val path = artDir(d, "sym_edges", symEdgesFp)
-    ensure(path) {
+    if (!new File(s"$path/_graft_meta/_SUCCESS").exists()) {
       import s.implicits._
       val pairs = Graph.coEdges(s, d)
-      pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
-        .withColumn("sb",
-          pmod(xxhash64($"src"), lit(SymEdgeBuckets)).cast("int"))
-        // One file per directory: the partition column is a hash, so
-        // repartitioning ON it groups each directory's rows into one task.
-        .repartition(col("sb"))
+      val sym = pairs
+        .union(pairs.select($"dst".as("src"), $"src".as("dst")))
+      // One extra pass at BUILD time (amortized across every read):
+      // edge count sizes the layout, min(src) is the BFS anchor.
+      val (nEdges, anchor) = {
+        val r = sym.agg(count(lit(1)), min($"src")).head
+        (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
+      }
+      val nb = math.max(SymEdgeMinBuckets.toLong,
+        (nEdges + SymEdgeRowsPerBucket - 1) / SymEdgeRowsPerBucket).toInt
+      sym
+        .withColumn("sb", pmod(xxhash64($"src"), lit(nb)).cast("int"))
+        // One file per directory: repartition ON the partition column
+        // with one task per bucket value.
+        .repartition(nb, col("sb"))
         .write.mode("overwrite").partitionBy("sb").parquet(path)
+      // anchor_sb via the SAME Spark expression that bucketed the
+      // rows — never a driver-side reimplementation of xxhash64+pmod,
+      // which would silently diverge on sign handling.
+      Seq((nb, anchor)).toDF("nb", "anchor")
+        .withColumn("anchor_sb",
+          pmod(xxhash64($"anchor"), lit(nb)).cast("int"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/_graft_meta")
     }
     path
   }
 
   /** Bucket-pruned twin of `q_graph_reachability`: the same 2-hop
     * min-depth BFS from min(src), but over the [[buildSymEdges]]
-    * artifact and UNROLLED into one lazy plan whose per-level edge
-    * probes are broadcast joins on (src, sb) — so dynamic partition
-    * pruning narrows each level's scan to the frontier's hash buckets
-    * instead of re-reading the full edge relation (the CTE twin's
-    * measured d2 ≈ 1.12 per the r17 ×100 cell came exactly from that
-    * full re-probe per UnionLoop level). The frontier never touches
-    * the driver: it rides the broadcast exchange, which DPP reuses for
-    * the pruning subquery. The depth bound is static (2), so unrolling
-    * loses nothing vs the iterative executor; unbounded closures keep
-    * using the CC machinery.
+    * artifact and UNROLLED into one lazy plan. Level 0 probes with a
+    * STATIC partition filter (the anchor and its bucket are literals
+    * from the artifact sidecar — one directory read); level 1 probes
+    * through a broadcast join on (src, sb) whose dynamic partition
+    * pruning narrows the scan to the frontier's buckets. The CTE twin's
+    * measured d2 ≈ 1.12 (r17 ×100 cell) came from re-probing the FULL
+    * edge relation per UnionLoop level; here the per-query cost is
+    * O(frontier buckets) of CONSTANT size (bucket count scales with the
+    * edge volume), with no full scan anywhere — the anchor derivation
+    * moved to build time. The frontier never touches the driver: it
+    * rides the broadcast exchange, which DPP reuses for the pruning
+    * subquery. The depth bound is static (2), so unrolling loses
+    * nothing vs the iterative executor; unbounded closures keep using
+    * the CC machinery.
     *
-    * The `>= 0` frontier guards are semantically free (part keys are
+    * The `>= 0` frontier guard is semantically free (part keys are
     * positive) but load-bearing for planning: DPP's insertion gate
     * requires a likely-selective predicate on the filtering side, and
     * an aggregate/distinct alone does not qualify. PlanAuditSpec pins
-    * the two DynamicPruningExpressions so a regression fails the suite
-    * rather than silently reverting to full scans. */
+    * the DynamicPruningExpression plus every-scan-partition-filtered so
+    * a regression fails the suite rather than silently reverting to
+    * full scans. */
   private def reachabilityPre(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val edges = s.read.parquet(buildSymEdges(s, d))
-    def withBucket(df: DataFrame): DataFrame =
-      df.filter($"node" >= 0L).withColumn("fb",
-        pmod(xxhash64($"node"), lit(SymEdgeBuckets)).cast("int"))
-    val anchor = edges.agg(min($"src").as("node"))
-    def probe(frontier: DataFrame): DataFrame =
-      edges.join(broadcast(withBucket(frontier)),
-        $"src" === $"node" && $"sb" === $"fb")
-    val hop1 = probe(anchor).select($"dst")
-    val hop2 = probe(hop1.select($"dst".as("node")).distinct())
+    val base = buildSymEdges(s, d)
+    // Bounded sidecar read at plan-construction time (1 row — same
+    // class as the memoized fixtures): the layout's bucket count and
+    // the build-time BFS anchor.
+    // Sidecar values are immutable data at a fingerprinted path —
+    // memoize across constructions (JVM-wide, not per-session).
+    val (nb, anchorId, anchorBucket) = symEdgeMeta
+      .computeIfAbsent(base, _ => {
+        val m = s.read.parquet(s"$base/_graft_meta").head
+        (m.getAs[Int]("nb"), m.getAs[Long]("anchor"),
+          m.getAs[Int]("anchor_sb"))
+      })
+    val edges = readCached(s, base)
+    // Level 0: static pruning — one directory, then the src equality.
+    val hop1 = edges
+      .filter($"sb" === lit(anchorBucket) && $"src" === lit(anchorId))
+      .select($"dst")
+    // Level 1: DPP — the frontier's buckets only.
+    val frontier = hop1.select($"dst".as("node")).distinct()
+      .filter($"node" >= 0L)
+      .withColumn("fb", pmod(xxhash64($"node"), lit(nb)).cast("int"))
+    val hop2 = edges.join(broadcast(frontier),
+      $"src" === $"node" && $"sb" === $"fb")
       .select($"dst")
     val reach =
-      anchor.select($"node", lit(0).as("depth"))
+      Seq(anchorId).toDF("node").select($"node", lit(0).as("depth"))
         .unionAll(hop1.select($"dst".as("node"), lit(1).as("depth")))
         .unionAll(hop2.select($"dst".as("node"), lit(2).as("depth")))
     reach.groupBy($"node")

@@ -192,24 +192,24 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("reachability_pre probes the bucketed edges through DPP") {
     // q_graph_reachability_pre exists to fix the CTE twin's full edge
-    // re-probe per BFS level: every probe scan of the sym_edges
-    // artifact must carry a DynamicPruningExpression on the bucket
-    // column (fed by the frontier's broadcast). The only legitimate
-    // unpruned scan is the anchor min(src), which reads the src column
-    // alone. If DPP stops planning here, the twin silently degrades to
-    // the very plan it was built to replace — fail loudly instead.
+    // re-probe per BFS level: EVERY scan of the sym_edges artifact must
+    // carry a partition filter — the level-0 probe a STATIC literal
+    // bucket (anchor + bucket come from the build sidecar), the level-1
+    // probes a DynamicPruningExpression fed by the frontier's
+    // broadcast. An unfiltered edge scan means the twin silently
+    // degraded to the very full-relation probe it was built to replace
+    // — fail loudly instead.
     val scans = allPlans("q_graph_reachability_pre").collect {
       case f: FileSourceScanExec if f.relation.location.rootPaths
             .exists(_.toString.contains("sym_edges")) => f
     }
-    val (pruned, unpruned) = scans.partition(_.partitionFilters.exists(
-      _.toString.toLowerCase.contains("dynamicpruning")))
-    assert(pruned.size >= 2,
-      s"expected >=2 DPP-pruned edge probes, got ${pruned.size}")
-    assert(unpruned.forall(_.requiredSchema.fieldNames.sameElements(
-        Array("src"))),
-      "an edge probe scan lost its dynamic pruning filter: " +
-        unpruned.map(_.requiredSchema.fieldNames.mkString(",")).mkString("; "))
+    assert(scans.nonEmpty, "no sym_edges scans found")
+    val unfiltered = scans.filter(_.partitionFilters.isEmpty)
+    assert(unfiltered.isEmpty,
+      s"${unfiltered.size} edge scan(s) read the full relation")
+    assert(scans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "the frontier probe lost its dynamic pruning filter")
   }
 
   test("nested-struct pruning reaches the parquet leaves") {
@@ -420,11 +420,12 @@ object PlanAuditSpec {
     "q_graph_pagerank" -> 2,
     // same iteration body over the parquet edge artifact.
     "q_graph_pagerank_pre" -> 2,
-    // 5 = anchor min (SinglePartition), hop-2 frontier distinct, the
-    // node min-depth agg, the per-layer agg, final ORDER BY. All five
-    // carry scalar/node-sized rows; the edge probes themselves are
-    // exchange-free (broadcast frontier + DPP-pruned scans).
-    "q_graph_reachability_pre" -> 5,
+    // 4 = hop-2 frontier distinct, the node min-depth agg, the
+    // per-layer agg, final ORDER BY (the anchor comes from the build
+    // sidecar — no per-query min scan). All four carry node-sized rows;
+    // the edge probes themselves are exchange-free (static bucket
+    // literal at level 0, broadcast frontier + DPP at level 1).
+    "q_graph_reachability_pre" -> 4,
     // 1 = the (a,b) wedge-count agg feeding the top-K sort: the edge
     // build and the capped-adjacency collect run once inside the two
     // checkpoints, the wedge self-join rides the u-partitioned

@@ -137,6 +137,36 @@ object ProfileR18 {
 
     part match {
       case "midtier" => midtier()
+      case "reachpre" =>
+        // Where does q_graph_reachability_pre's time go at big N?
+        // (a) the artifact sidecar + file-index listing, (b) the
+        // level-0 static-bucket probe, (c) the full query.
+        val base = graft.queries.Materialized.buildSymEdges(spark, sfDir)
+        def timeIt(name: String)(body: => Unit): Unit = {
+          (1 to 2).foreach(_ => body)
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+          }.sorted
+          println(f"PROFR18 $name%-16s median=${ts(1)}%.3f " +
+            f"min=${ts.head}%.3f max=${ts.last}%.3f")
+        }
+        timeIt("meta_read") {
+          spark.read.parquet(s"$base/_graft_meta").head; ()
+        }
+        timeIt("listing") {
+          // Force the file index build without reading data rows.
+          spark.read.parquet(base).queryExecution.optimizedPlan.stats; ()
+        }
+        timeIt("hop1_scan") {
+          val meta = spark.read.parquet(s"$base/_graft_meta").head
+          consume(spark.read.parquet(base)
+            .filter($"sb" === meta.getAs[Int]("anchor_sb") &&
+              $"src" === meta.getAs[Long]("anchor"))
+            .select($"dst"))
+        }
+        timeIt("full_query") {
+          consume(SparkEntry.queries("q_graph_reachability_pre")(spark, sfDir))
+        }
       case _ =>
         val mk: () => DataFrame = part match {
           case "full"      => () => SparkEntry.queries("q_search_rrf")(spark, sfDir)

@@ -104,17 +104,25 @@ object Bench {
     * + Spark's), NOT java.class.path, which under an sbt in-process run
     * is just the sbt launcher. */
   /** Per-chunk drift records accumulated by the child-JVM dispatchers:
-    * (chunk queries, the chunk child's own end-of-run floor probe).
-    * The r17 parent-level sentinel caught 25% drift across a whole
-    * isolated sweep but couldn't say WHICH chunks ran hot — exactly the
-    * granularity a per-query cross-round comparison needs (the r17
-    * q_search_rrf 2.06 s row was such a casualty: re-measured 1.10 s in
-    * the identical chunk regime on a calmer box). Each child already
-    * times the shared floor probe at the end of its run; record it per
-    * chunk in the detail artifact so every row can be normalized against
-    * ITS OWN chunk's floor (BASELINE.md extends the normalization rule). */
+    * (sweep index, chunk queries, the chunk child's own end-of-run floor
+    * probe). The r17 parent-level sentinel caught 25% drift across a
+    * whole isolated sweep but couldn't say WHICH chunks ran hot —
+    * exactly the granularity a per-query cross-round comparison needs
+    * (the r17 q_search_rrf 2.06 s row was such a casualty: re-measured
+    * 1.10 s in the identical chunk regime on a calmer box). Each child
+    * already times the shared floor probe at the end of its run; record
+    * it per chunk in the detail artifact so every row can be normalized
+    * against ITS OWN chunk's floor (BASELINE.md extends the
+    * normalization rule). Records carry the FULL member list and the
+    * sweep index explicitly (r18 review: the family path chunks a
+    * hand-curated list, not sorted-catalog runs, and multi-sweep runs
+    * re-dispatch every chunk — a first-query-keyed object would
+    * misattribute both). */
   private val chunkFloors =
-    scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Double)]
+    scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[String], Double)]
+
+  /** Sweep index for chunkFloors provenance — set by the sweep loop. */
+  private var currentSweep = 1
 
   private def childBench(family: Seq[String], nRuns: Int, sfDir: String,
                          cpus: String): Option[Map[String, Double]] = {
@@ -272,7 +280,7 @@ object Bench {
         val floorRe = """"floor_sec":([0-9]+(?:\.[0-9]+)?(?:[eE]-?[0-9]+)?)""".r
         val chunkFloor =
           floorRe.findFirstMatchIn(line).map(_.group(1).toDouble).getOrElse(-1.0)
-        synchronized { chunkFloors += ((family, chunkFloor)) }
+        synchronized { chunkFloors += ((currentSweep, family, chunkFloor)) }
         Some(parsed.view.filterKeys(family.contains).toMap)
       }
     } catch {
@@ -535,7 +543,8 @@ object Bench {
 
     // Sweep loop: per-query MIN of the sweep medians (with one sweep this
     // is just the median — the historical behavior).
-    val sweepMaps = (1 to nSweeps).map { _ =>
+    val sweepMaps = (1 to nSweeps).map { sw =>
+      currentSweep = sw
       isolateChunk match {
         case Some(c) => isolateAllPass(c)
         case None    => timedPass() ++ isolatedPass()
@@ -589,13 +598,13 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val isoJson = isolated.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Per-chunk floors (child-JVM dispatch only; empty otherwise): keyed
-    // by the chunk's first query — chunks are contiguous runs of the
-    // sorted catalog, so the key plus the chunk size identifies the
-    // members. The value is THAT child's end-of-run floor probe.
-    val chunkJson = chunkFloors.map { case (qs, fl) =>
-      "\"" + qs.head + "\":" + fl
-    }.mkString("{", ",", "}")
+    // Per-chunk floors (child-JVM dispatch only; empty otherwise): one
+    // record per dispatched chunk with its sweep index, FULL member
+    // list, and THAT child's end-of-run floor probe.
+    val chunkJson = chunkFloors.map { case (sw, qs, fl) =>
+      qs.map("\"" + _ + "\"").mkString(
+        s"""{"sweep":$sw,"queries":[""", ",", s"""],"floor_sec":$fl}""")
+    }.mkString("[", ",", "]")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$es,"runs":$nRuns,"sweeps":$nSweeps,"selection":"$selection","isolated_child_jvm":$isoJson,"floor_sec":$floorSec,"chunk_floors":$chunkJson,"sentinel":$sentinelJson,"sf":"$sfDir"}"""
     // A failed detail write must be LOUD: bench_proxy.py and the summary

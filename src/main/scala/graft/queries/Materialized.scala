@@ -71,18 +71,24 @@ object Materialized extends QueryGroup {
     * immutable table per query is not a cost any production reader
     * pays). Artifact paths are content-fingerprinted and written once,
     * so caching the resolved relation is sound; rebuilt artifacts land
-    * at new paths. Weak keying keeps dropped sessions collectable. */
-  private val relCache = new java.util.WeakHashMap[
-    SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
-
-  private def readCached(s: SparkSession, path: String): DataFrame =
-    relCache.synchronized {
-      val m = Option(relCache.get(s)).getOrElse {
-        val nm = scala.collection.mutable.Map.empty[String, DataFrame]
-        relCache.put(s, nm); nm
-      }
-      m.getOrElseUpdate(path, s.read.parquet(path))
+    * at new paths.
+    *
+    * Mechanism: a TEMP VIEW in the session's own catalog, named from
+    * the path's fingerprint — the analyzed plan (and its file index)
+    * is stored by the session and `s.table` reuses it, so the cache's
+    * lifecycle IS the session's. The earlier cut used an external
+    * `WeakHashMap[SparkSession, DataFrame]`, which can never collect:
+    * the cached DataFrame strongly references its session through
+    * `queryExecution`, defeating the weak key (r18 review — the same
+    * unbounded-driver-leak shape the r16 Broadcasts advisor hit). */
+  private def readCached(s: SparkSession, path: String): DataFrame = {
+    val vn = "graft_artifact_" + fingerprint(path)
+    synchronized {
+      if (!s.catalog.tableExists(vn))
+        s.read.parquet(path).createOrReplaceTempView(vn)
     }
+    s.table(vn)
+  }
 
   /** Memoized sym-edges sidecar values: (bucket count, anchor id,
     * anchor bucket) keyed by artifact path. */
@@ -173,7 +179,14 @@ object Materialized extends QueryGroup {
       // edge count sizes the layout, min(src) is the BFS anchor.
       val (nEdges, anchor) = {
         val r = sym.agg(count(lit(1)), min($"src")).head
-        (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
+        // Loud guard (r18 review): an edge-free corpus would write an
+        // empty partitioned artifact (unreadable — no schema) and a
+        // phantom anchor; the CTE twin is the right surface for
+        // degenerate graphs.
+        require(r.getLong(0) > 0L,
+          s"buildSymEdges($d): no co-purchase edges — " +
+            "use q_graph_reachability (the CTE twin) on this corpus")
+        (r.getLong(0), r.getLong(1))
       }
       val nb = math.max(SymEdgeMinBuckets.toLong,
         (nEdges + SymEdgeRowsPerBucket - 1) / SymEdgeRowsPerBucket).toInt

@@ -137,6 +137,35 @@ object ProfileR18 {
 
     part match {
       case "midtier" => midtier()
+      case "skewhot" =>
+        // Interleaved A/B of the two hot-key derivations (the only delta
+        // between the r17 and r18 q_join_skew_hot): A = groupBy-count +
+        // global sort + limit-4 collect (r17), B = one-pass Misra-Gries
+        // summary (r18). Alternating in one JVM, median-of-7 each.
+        val T = graft.core.Tables
+        def derA(): Seq[Any] = T.orders(spark, sfDir)
+          .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"o_custkey")
+          .limit(4).select($"o_custkey")
+          .collect().toSeq.map(_.get(0))
+        def derB(): Seq[Any] = graft.operators.MisraGries
+          .topKeys(T.orders(spark, sfDir), $"o_custkey", k = 4, capacity = 64)
+          .map(java.lang.Long.valueOf)
+        (1 to 2).foreach { _ => derA(); derB() } // warm both arms
+        val (ta, tb) = (scala.collection.mutable.ArrayBuffer.empty[Double],
+          scala.collection.mutable.ArrayBuffer.empty[Double])
+        (1 to 7).foreach { _ =>
+          val t0 = System.nanoTime(); val a = derA()
+          ta += (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime(); val b = derB()
+          tb += (System.nanoTime() - t1) / 1e9
+          // Arms must agree on the head at this SF (exact vs MG order
+          // can differ on ties; compare sets loosely, print divergence).
+          if (a.toSet != b.toSet) println(s"ARMS DIFFER: $a vs $b")
+        }
+        def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+        println(f"PROFR18 derA_groupBySort median=${med(ta.toSeq)}%.3f")
+        println(f"PROFR18 derB_misraGries median=${med(tb.toSeq)}%.3f")
       case "reachpre" =>
         // Where does q_graph_reachability_pre's time go at big N?
         // (a) the artifact sidecar + file-index listing, (b) the

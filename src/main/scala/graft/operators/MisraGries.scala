@@ -107,7 +107,14 @@ object MisraGries {
     * keep `capacity ≫ k` (≥8× is plenty for a Zipf head). Callers that
     * feed salting decisions are insensitive to that by construction:
     * which keys get salted changes only the partitioning of the
-    * downstream join, never its rows. */
+    * downstream join, never its rows.
+    *
+    * MAY RETURN FEWER THAN k KEYS — including NONE: on a near-uniform
+    * stream every true count is below n/(capacity+1), and the
+    * decrement-all and merge-subtract steps can legitimately empty the
+    * summary (observed on 1.5M near-singleton keys, r18 ×10 sweep).
+    * That is the correct "no heavy hitters" verdict, not an error —
+    * callers must branch on it (e.g. skip salting entirely). */
   def topKeys(df: org.apache.spark.sql.DataFrame,
       key: org.apache.spark.sql.Column,
       k: Int, capacity: Int): Seq[String] = {

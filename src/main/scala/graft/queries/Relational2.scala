@@ -330,12 +330,21 @@ object Relational2 extends QueryGroup {
     val big = Tables.orders(s, d).hint("shuffle_hash")
     val dim = Tables.customer(s, d)
       .select($"c_custkey", $"c_nationkey").hint("shuffle_hash")
-    // The Zipf head: top-4 customers by approximate order count.
+    // The Zipf head: top-4 customers by approximate order count. MG may
+    // return FEWER than 4 — including zero: on a near-uniform key
+    // distribution every count is below n/(capacity+1) and the
+    // decrement/merge steps can empty the summary entirely (the r18
+    // ×10 sweep hit exactly that — 1.5M near-singleton keys). An empty
+    // verdict means "no heavy hitters", and the production response is
+    // to NOT salt: join plain, same rows either way.
     val hot: Seq[Any] = graft.operators.MisraGries
       .topKeys(Tables.orders(s, d), $"o_custkey", k = 4, capacity = 64)
       .map(java.lang.Long.valueOf)
-    graft.operators.SkewJoin
-      .saltedJoinHotKeys(big, dim, $"o_custkey", $"c_custkey", hot, salts = 8)
+    val joined =
+      if (hot.isEmpty) big.join(dim, $"o_custkey" === $"c_custkey")
+      else graft.operators.SkewJoin
+        .saltedJoinHotKeys(big, dim, $"o_custkey", $"c_custkey", hot, salts = 8)
+    joined
       .groupBy($"c_nationkey")
       .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
       .orderBy($"c_nationkey")

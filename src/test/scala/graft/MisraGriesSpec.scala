@@ -38,6 +38,28 @@ class MisraGriesSpec extends SparkTestBase {
     }
   }
 
+  test("a uniform stream can legally empty the summary; topKeys is Nil") {
+    // capacity c, then c+1 distinct singletons: the (c+1)-th triggers
+    // decrement-all and every counter hits zero — the summary is EMPTY,
+    // which is the correct "no heavy hitters" verdict (threshold
+    // n/(c+1) = 1 and no key exceeds it). The r18 ×10 sweep hit this on
+    // 1.5M near-singleton order keys and q_join_skew_hot crashed on the
+    // empty hot list; the query now branches to a plain join. Pin both
+    // the operator-level verdict and topKeys' empty return here so the
+    // contract ("MAY RETURN FEWER THAN k, including NONE") stays load-
+    // bearing.
+    val mg = new MisraGries(2)
+    val folded = Seq("a", "b", "c").foldLeft(mg.zero)(mg.reduce)
+    assert(folded.isEmpty, s"expected empty summary, got $folded")
+    // End-to-end through the Spark plan: one partition so the fold
+    // order is the sequence above repeated — 3k distinct singletons
+    // with capacity 2 end empty.
+    val keys = (0 until 999).map(i => s"k$i")
+    val got = graft.operators.MisraGries.topKeys(
+      keys.toDF("tok").repartition(1), $"tok", k = 2, capacity = 2)
+    assert(got.isEmpty, s"expected Nil from topKeys, got $got")
+  }
+
   test("merge truncation keeps the additive error bound") {
     val mg = new MisraGries(2)
     val a = Map("x" -> 10L, "y" -> 4L)

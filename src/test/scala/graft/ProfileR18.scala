@@ -137,6 +137,39 @@ object ProfileR18 {
 
     part match {
       case "midtier" => midtier()
+      case "cluster2" =>
+        val T = graft.core.Tables
+        def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+        Seq("q_join_star", "q_quantile_approx", "q_approx_stats",
+          "q_profile_stats", "q_profile_joinsize").foreach(n => time(n)(q(n)))
+        // join_star attribution
+        val li = T.lineitem(spark, sfDir); val o = T.orders(spark, sfDir)
+        val c = T.customer(spark, sfDir)
+        time("star_join_countonly") {
+          li.join(o, $"l_orderkey" === $"o_orderkey")
+            .join(c, $"o_custkey" === $"c_custkey")
+            .groupBy($"c_nationkey").agg(count(lit(1)).as("n")) }
+        time("star_lo_join_only") {
+          li.select($"l_orderkey").join(o.select($"o_orderkey"),
+            $"l_orderkey" === $"o_orderkey")
+            .agg(count(lit(1)).as("n")) }
+        time("star_dsum_nojoin") {
+          li.groupBy($"l_returnflag")
+            .agg(graft.queries.Catalog.dsum(
+              $"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev")) }
+        time("star_bcast_orders") {
+          li.join(broadcast(o), $"l_orderkey" === $"o_orderkey")
+            .join(broadcast(c), $"o_custkey" === $"c_custkey")
+            .groupBy($"c_nationkey").agg(count(lit(1)).as("n")) }
+        // quantile_approx attribution
+        time("qa_agg_only") {
+          T.lineitem(spark, sfDir).select($"l_extendedprice".as("v"))
+            .agg(percentile_approx($"v", array(lit(0.5), lit(0.9), lit(0.99)),
+              lit(10000)).as("avs")) }
+        time("qa_agg_acc1000") {
+          T.lineitem(spark, sfDir).select($"l_extendedprice".as("v"))
+            .agg(percentile_approx($"v", array(lit(0.5), lit(0.9), lit(0.99)),
+              lit(1000)).as("avs")) }
       case "skewhot" =>
         // Interleaved A/B of the two hot-key derivations (the only delta
         // between the r17 and r18 q_join_skew_hot): A = groupBy-count +

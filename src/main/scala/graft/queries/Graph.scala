@@ -479,6 +479,22 @@ object Graph extends QueryGroup {
     * symmetrize and the final anti-join instead of rebuilding the
     * lineitem self-join twice. Everything that shuffles is (node,
     * id-pair) skinny. */
+  /** Adjacency-row threshold above which linkPred forces SHUFFLED HASH
+    * joins instead of letting the planner pick. Below it (every test SF
+    * and the canonical bench) the broadcast plans PlanAuditSpec pins
+    * are strictly best. Above it the planner flips to SortMergeJoin —
+    * correct on strategy but it SORTS the multi-hundred-million-row
+    * wedge stream and the pair-keyed anti sides (the r18 ×100 cell:
+    * 346 s, d2 1.30; the partition-count probe bounded spill geometry
+    * at 1.6× of that, leaving the sorts as the superlinear term). Both
+    * joins are hash-friendly by construction: the wedge join's sides
+    * are the SAME u-partitioned checkpoint (SHJ inherits co-location,
+    * zero exchange, no sort), and the anti join builds on the skinny
+    * edge list. 8M rows ≈ the ×10/×100 boundary: ×10 (6.4M) keeps the
+    * measured-fine committed plan, ×100 (64M) takes the sort-free
+    * path (measured 199 s vs 303 s SMJ at 256 parts — SCALE_PROBE r18). */
+  private[queries] val LinkPredShuffleJoinMinRows = 8000000L
+
   private def linkPred(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = coEdges(s, d).materialized
@@ -487,11 +503,15 @@ object Graph extends QueryGroup {
       .agg(slice(sort_array(collect_set($"dst")), 1, LinkPredCap).as("nbrs"))
       .select($"src".as("u"), explode($"nbrs").as("v"))
       .repartition($"u").materialized
-    capped.as("e1")
-      .join(capped.as("e2"), $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
+    // One cheap count of the just-checkpointed blocks sizes the join
+    // transport (the triangles scalar-vs-broadcast precedent).
+    val shj = capped.count() > LinkPredShuffleJoinMinRows
+    def h(df: DataFrame): DataFrame = if (shj) df.hint("shuffle_hash") else df
+    h(capped.as("e1"))
+      .join(h(capped.as("e2")), $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
       .groupBy($"e1.v".as("node_a"), $"e2.v".as("node_b"))
       .agg(count(lit(1)).as("n_common"))
-      .join(pairs,
+      .join(h(pairs),
         $"node_a" === $"src" && $"node_b" === $"dst", "left_anti")
       .orderBy($"n_common".desc, $"node_a", $"node_b")
       .limit(LinkPredTopK)

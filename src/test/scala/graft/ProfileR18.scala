@@ -170,6 +170,41 @@ object ProfileR18 {
           T.lineitem(spark, sfDir).select($"l_extendedprice".as("v"))
             .agg(percentile_approx($"v", array(lit(0.5), lit(0.9), lit(0.99)),
               lit(1000)).as("avs")) }
+      case "linkpred_plan" =>
+        // Planning-only: which join strategies does linkpred get at this
+        // SF? (The x100 cell's d2=1.30 suspect is a broadcast that
+        // should be a co-partitioned shuffle join at size.)
+        val ps = spark.newSession()
+        ps.conf.set("spark.sql.adaptive.enabled", "false")
+        val df = SparkEntry.queries("q_graph_linkpred")(ps, sfDir)
+        val nodes = df.queryExecution.executedPlan
+          .collectWithSubqueries { case n => n }
+        nodes.foreach {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+            println(s"PROFR18 JOIN BroadcastHashJoin ${j.joinType}")
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+            println(s"PROFR18 JOIN ShuffledHashJoin ${j.joinType}")
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+            println(s"PROFR18 JOIN SortMergeJoin ${j.joinType}")
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            println(s"PROFR18 EXCHANGE ${e.outputPartitioning}")
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+            println(s"PROFR18 BCAST_EXCHANGE")
+          case _ => ()
+        }
+      case "linkpred_parts" =>
+        // Hypothesis probe for the x100 d2=1.30: the ~1B-row wedge
+        // shuffle through 32 partitions spills; at a real cluster's
+        // partition count the per-partition groupBy state fits. One
+        // timed run each at 32 and 256 shuffle partitions (AQE on,
+        // bench-identical otherwise).
+        Seq("32", "256").foreach { np =>
+          val ps = spark.newSession()
+          ps.conf.set("spark.sql.shuffle.partitions", np)
+          val t0 = System.nanoTime()
+          consume(SparkEntry.queries("q_graph_linkpred")(ps, sfDir))
+          println(f"PROFR18 linkpred_parts=$np%-4s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
       case "skewhot" =>
         // Interleaved A/B of the two hot-key derivations (the only delta
         // between the r17 and r18 q_join_skew_hot): A = groupBy-count +

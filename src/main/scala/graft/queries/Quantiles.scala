@@ -41,11 +41,11 @@ object Quantiles extends QueryGroup {
   private val Pcts = Seq(50, 90, 99)
   private val BinWidth = 100.0
   /** Internal edges of the 8-bucket equi-depth histogram. */
-  private val EdgePcts = Seq(12, 25, 37, 50, 62, 75, 87)
+  private[queries] val EdgePcts = Seq(12, 25, 37, 50, 62, 75, 87)
 
   /** The shared two-phase selection core: exact values at the given
     * integer percentiles of l_extendedprice, as a (pct, value) relation. */
-  private def percentiles(s: SparkSession, d: String,
+  private[queries] def percentiles(s: SparkSession, d: String,
       pcts: Seq[Int]): DataFrame = {
     import s.implicits._
     val v = Tables.lineitem(s, d)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.core.Checkpoints.MaterializeOps
 import Catalog._
 
 /** Exact global order statistics WITHOUT a global sort — SURVEY.md §2B
@@ -51,7 +52,12 @@ object Quantiles extends QueryGroup {
     val v = Tables.lineitem(s, d)
       .select($"l_extendedprice".as("v"),
         floor($"l_extendedprice" / BinWidth).cast("long").as("bin"))
-    val bins = v.groupBy($"bin").agg(count(lit(1)).as("cnt"))
+    // The bin histogram is TINY (value domain / width) but has three
+    // consumers (both sides of the cumulative self-join + the total),
+    // each of which re-ran the 600k-row binning aggregation — the r18
+    // profile had the whole percentile core re-scanning lineitem 3×
+    // for it. Checkpoint the ~1k-row relation once.
+    val bins = v.groupBy($"bin").agg(count(lit(1)).as("cnt")).materialized
     val cum = bins.as("a")
       .join(broadcast(bins.as("b")), $"b.bin" <= $"a.bin")
       .groupBy($"a.bin", $"a.cnt")
@@ -84,11 +90,17 @@ object Quantiles extends QueryGroup {
     * `q_histogram` bins can be. Built by composition: the two-phase
     * selection supplies the 7 exact internal edges (a 7-row relation),
     * the edges collapse to ONE broadcast array row, and bucket assignment
-    * is a row-local higher-order `filter` over that array (bucket =
-    * #edges strictly below v) — no per-row join fan-out, no global sort,
-    * one final |buckets|-sized aggregation. The DuckDB oracle derives the
-    * same edges from the global-window specification and buckets by a
-    * correlated count over them. */
+    * is a row-local STATIC-WIDTH comparison sum over that array (bucket =
+    * #edges strictly below v, as Σᵢ (v > edges[i]) over the fixed 7
+    * positions) — no per-row join fan-out, no global sort, one final
+    * |buckets|-sized aggregation. The comparison sum replaced a
+    * higher-order `filter` lambda in r18: HOFs run interpreted per row
+    * (never codegen'd — the r17 ANN plane lesson), and the r18 profile
+    * priced the two formulations at 1.06 vs 0.66 s over the 600k-row
+    * scan. Identical count by construction; |EdgePcts| is a compile-time
+    * constant, so the unrolled sum is exactly as general as the lambda.
+    * The DuckDB oracle derives the same edges from the global-window
+    * specification and buckets by a correlated count over them. */
   private def histogramEquidepth(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val edges = percentiles(s, d, EdgePcts)
@@ -97,7 +109,9 @@ object Quantiles extends QueryGroup {
       .select($"l_extendedprice".as("v"))
       .crossJoin(broadcast(edges))
       .select($"v",
-        size(filter($"edges", e => $"v" > e)).cast("long").as("bucket"))
+        EdgePcts.indices
+          .map(i => ($"v" > $"edges".getItem(i)).cast("long"))
+          .reduce(_ + _).as("bucket"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"), min($"v").as("min_v"), max($"v").as("max_v"))
       .orderBy($"bucket")

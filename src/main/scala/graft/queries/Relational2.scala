@@ -398,6 +398,11 @@ object Relational2 extends QueryGroup {
     // deterministic and the oracle spec unchanged. */
     // Phase 0: collapse to per-(flag, price) weights — map-side combined,
     // spread across the full key space; bounds ride the same pass shape.
+    // NOT checkpointed (r18 negative result): the collapsed relation has
+    // three consumers, but AQE's runtime stage reuse already shares the
+    // (flag, price) exchange among them — the interleaved A/B priced a
+    // localCheckpoint at 0.99× (flat), and at scale it would pin an
+    // O(distinct prices) relation in executor storage for nothing.
     val pp = Tables.lineitem(s, d)
       .select($"l_returnflag", $"l_extendedprice",
         $"l_quantity".cast("long").as("w"))

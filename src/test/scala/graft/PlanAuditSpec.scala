@@ -547,7 +547,11 @@ object PlanAuditSpec {
     // array broadcast) + output sort; scoring is row-local codegen, the
     // corpus never shuffles.
     "q_quality_classifier" -> 2,
-    "q_quantile_global" -> 6,
+    // 4 (r18): the bin histogram is checkpointed once (its three
+    // consumers re-ran the binning agg before), so the selection core
+    // keeps the checkpoint's agg pair + the hit-bin window exchange +
+    // output sort.
+    "q_quantile_global" -> 4,
     // 3: one-row percentile_approx agg (partial+final) + the 3-row
     // posexplode/pct agg; the rank-check pass broadcasts the cut points,
     // so lineitem never shuffles.
@@ -565,10 +569,12 @@ object PlanAuditSpec {
     // month sketch + the exact countDistinct pair + the 3-way month join
     // reuse; same sketch-or-pair-only wire property as q_sketch_hll.
     "q_sketch_incremental" -> 6,
-    // the 6 selection-core exchanges (shared shape with q_quantile_global)
-    // + the bucket agg + output sort; every post-scan exchange carries
-    // bin/bucket relations bounded by the domain, never rows.
-    "q_histogram_equidepth" -> 8,
+    // the selection-core exchanges (shared shape with q_quantile_global,
+    // 4 after the r18 bin-histogram checkpoint) + the bucket agg + output
+    // sort; every post-scan exchange carries bin/bucket relations bounded
+    // by the domain, never rows. Bucket assignment is a codegen
+    // comparison sum (r18), not a per-row interpreted HOF.
+    "q_histogram_equidepth" -> 6,
     // (day,type) agg + type baseline + corpus total + per-day totals +
     // the per-day fold + output sort — all domain-bounded relations.
     "q_drift_chisq" -> 6,
@@ -698,11 +704,12 @@ object PlanAuditSpec {
     // DECIMAL(38,0) BigInteger buffer round-trip from the per-lineitem
     // hot path (isolated median 1.05 → 0.70 s at sf0.1).
     "q_agg_corr" -> 3,
-    // ONE fact shuffle (the per-order basket-set agg) + the 1-row basket
-    // count + item-count agg + pair agg + output sort; pair generation is
-    // a row-local sorted-array explode and the a-priori frequent set +
-    // count joins are broadcasts.
-    "q_assoc_rules" -> 5,
+    // The per-order basket-set agg and the frequent-item table are
+    // checkpointed (r18), so the plan keeps only the item-count agg off
+    // the checkpointed baskets + pair agg + output sort; pair generation
+    // is a row-local sorted-array explode and the a-priori frequent set +
+    // count joins are broadcasts of the checkpointed relation.
+    "q_assoc_rules" -> 3,
     // bm25 postings-bounded tf agg + per-doc agg + the two K-bounded
     // collect-sort-posexplode rank folds (r17: each candidate list is
     // built ONCE — the rank-count self-join re-executed both list
@@ -795,11 +802,14 @@ object PlanAuditSpec {
     "q_eval_auc" -> 5,
     // margin⋈gold exchange pair + the |bins|-sized agg/sort.
     "q_eval_calibration" -> 3,
-    // BM25's postings shuffle + rank-count, two margin-relation scans
-    // (retrieved gains + global grade counts), and the ≤10-row
-    // cumulative-k / ideal-list algebra — every post-BM25 exchange
-    // carries a K- or grade-bounded relation, never the corpus.
-    "q_eval_ndcg" -> 12,
+    // BM25's postings shuffle + the K-bounded collect-sort-posexplode
+    // rank fold (r18: the rank-count self-join re-executed the bm25
+    // subtree for both sides), the checkpointed graded-relevance
+    // relation (r18: its three consumers re-ran classifier inference),
+    // and the ≤10-row cumulative-k / ideal-list algebra — every
+    // post-BM25 exchange carries a K- or grade-bounded relation, never
+    // the corpus.
+    "q_eval_ndcg" -> 11,
     // ONE user window pass consumed once (r17: transitions collapse
     // straight to (from,to) train/eval counts; the rank window and the
     // hit scoring both run on that tiny relation — no second window

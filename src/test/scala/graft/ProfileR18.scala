@@ -300,6 +300,256 @@ object ProfileR18 {
                 .reduce(_ + _).as("bucket"))
             .groupBy($"bucket").agg(count(lit(1)).as("n"))
         }
+      case "ab4" =>
+        // Drift-proof interleaved A/B for the four cluster-3 rewrites:
+        // arm A = the pre-r18 formulation (reconstructed inline from
+        // dbe4e29), arm B = the shipped query. Alternating in one JVM,
+        // median-of-7 per arm, arms hash-asserted identical before
+        // timing. The warm before/after medians moved far less than the
+        // sub-probe arithmetic predicted (ReuseExchange was already
+        // sharing the repeated subtrees' shuffle outputs), so the A/B is
+        // the recording instrument and the keep/revert gate.
+        val T4 = graft.core.Tables
+        import graft.core.Checkpoints.MaterializeOps
+        def ndcgOld(): DataFrame = {
+          val hits = Indexing.bm25(spark, sfDir).select($"doc_id", $"bm25")
+          val pos = hits.as("x")
+            .join(broadcast(hits.as("y")),
+              $"y.bm25" > $"x.bm25" ||
+                ($"y.bm25" === $"x.bm25" && $"y.doc_id" < $"x.doc_id"), "left")
+            .groupBy($"x.doc_id".as("doc_id"))
+            .agg((count($"y.doc_id") + 1).cast("int").as("pos"))
+          val rels = Inference.margins(spark, sfDir).select($"doc_id",
+            when($"margin" > Inference.RelHi, 3L)
+              .when($"margin" > Inference.RelMid, 2L)
+              .when($"margin" > Inference.RelLo, 1L).otherwise(0L).as("rel"))
+          val w = Inference.NdcgW.toDF("pos", "w")
+          val gains = rels.join(broadcast(pos), "doc_id")
+            .join(broadcast(w), "pos")
+            .select($"pos", ($"rel" * $"w").as("g"))
+          val ks = (1 to Inference.NdcgK).map(_.toLong).toDF("k")
+          val dcg = ks.join(broadcast(gains), $"pos" <= $"k")
+            .groupBy($"k").agg(sum($"g").as("dcg_fp"))
+          val gcnt = rels.groupBy($"rel").agg(count(lit(1)).as("c"))
+          val cntGe = gcnt.as("a")
+            .join(broadcast(gcnt.as("b")), $"b.rel" >= $"a.rel")
+            .groupBy($"a.rel").agg(sum($"b.c").as("c_ge"))
+            .select($"rel", $"c_ge")
+          val irel = ks.select($"k".cast("int").as("pos"))
+            .join(broadcast(cntGe), $"c_ge" >= $"pos")
+            .groupBy($"pos").agg(max($"rel").as("irel"))
+          val idcg = ks.join(
+              broadcast(irel.join(broadcast(w), "pos")
+                .select($"pos", ($"irel" * $"w").as("g"))),
+              $"pos" <= $"k")
+            .groupBy($"k").agg(sum($"g").as("idcg_fp"))
+          dcg.join(idcg, "k")
+            .select($"k", $"dcg_fp", $"idcg_fp",
+              expr("dcg_fp * 1000000 div nullif(idcg_fp, 0)").as("ndcg_fp"))
+            .orderBy($"k")
+        }
+        def assocOld(): DataFrame = {
+          val perOrder = T4.lineitem(spark, sfDir)
+            .groupBy($"l_orderkey")
+            .agg(sort_array(collect_set($"l_partkey")).as("items"))
+            .select($"items")
+          val nb = perOrder.agg(count(lit(1)).as("n_baskets"))
+          val itemCnt = perOrder.select(explode($"items").as("l_partkey"))
+            .groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+          val freq = itemCnt.filter($"c" >= Mining.MinItemSup)
+          val pairs = perOrder
+            .select(explode(flatten(transform($"items", (x, i) =>
+              transform(slice($"items", i + lit(2), size($"items")),
+                y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+            .select($"p.pa".as("pa"), $"p.pb".as("pb"))
+            .join(broadcast(freq.select($"l_partkey".as("pa"))), "pa")
+            .join(broadcast(freq.select($"l_partkey".as("pb"))), "pb")
+            .groupBy($"pa", $"pb")
+            .agg(count(lit(1)).as("c_ab"))
+            .filter($"c_ab" >= Mining.MinPairSup)
+          val rules = pairs.select($"pa".as("ant"), $"pb".as("cons"), $"c_ab")
+            .unionAll(pairs.select($"pb".as("ant"), $"pa".as("cons"), $"c_ab"))
+          rules
+            .join(broadcast(freq.select($"l_partkey".as("ant"),
+              $"c".as("c_ant"))), "ant")
+            .join(broadcast(freq.select($"l_partkey".as("cons"),
+              $"c".as("c_cons"))), "cons")
+            .crossJoin(broadcast(nb))
+            .select($"ant", $"cons", $"c_ab",
+              expr("(100000 * c_ab) div c_ant").as("conf_fp"),
+              expr("(1000000 * c_ab * n_baskets) div (c_ant * c_cons)")
+                .as("lift_fp"))
+            .orderBy($"lift_fp".desc, $"conf_fp".desc, $"ant", $"cons")
+            .limit(Mining.RulesTopK)
+        }
+        def percentilesOld(pcts: Seq[Int]): DataFrame = {
+          val v = T4.lineitem(spark, sfDir)
+            .select($"l_extendedprice".as("v"),
+              floor($"l_extendedprice" / 100.0).cast("long").as("bin"))
+          val bins = v.groupBy($"bin").agg(count(lit(1)).as("cnt"))
+          val cum = bins.as("a")
+            .join(broadcast(bins.as("b")), $"b.bin" <= $"a.bin")
+            .groupBy($"a.bin", $"a.cnt")
+            .agg(sum($"b.cnt").as("cum"))
+            .select($"bin", $"cnt", $"cum")
+          val total = bins.agg(sum($"cnt").as("n"))
+          val ks = pcts.toDF("pct")
+            .crossJoin(broadcast(total))
+            .select($"pct",
+              floor(($"pct" * $"n" + 99) / 100.0).cast("long").as("k"))
+          val hit = ks.join(broadcast(cum), $"cum" >= $"k")
+            .groupBy($"pct", $"k").agg(min($"bin").as("bin"))
+          val tgt = hit.join(broadcast(cum), Seq("bin"))
+            .select($"pct", $"bin", ($"k" - ($"cum" - $"cnt")).as("off"))
+          v.join(broadcast(tgt), Seq("bin"))
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy($"pct").orderBy($"v")))
+            .filter($"rn" === $"off")
+            .select($"pct", $"v".as("value"))
+        }
+        def hequiOld(): DataFrame = {
+          val edges = percentilesOld(Quantiles.EdgePcts)
+            .agg(array_sort(collect_list($"value")).as("edges"))
+          T4.lineitem(spark, sfDir)
+            .select($"l_extendedprice".as("v"))
+            .crossJoin(broadcast(edges))
+            .select($"v",
+              size(filter($"edges", e => $"v" > e)).cast("long").as("bucket"))
+            .groupBy($"bucket")
+            .agg(count(lit(1)).as("n"), min($"v").as("min_v"),
+              max($"v").as("max_v"))
+            .orderBy($"bucket")
+        }
+        def medwOld(): DataFrame = {
+          val pp = T4.lineitem(spark, sfDir)
+            .select($"l_returnflag", $"l_extendedprice",
+              $"l_quantity".cast("long").as("w"))
+            .groupBy($"l_returnflag", $"l_extendedprice")
+            .agg(sum($"w").as("wv"))
+          val bounds = pp.agg(min($"l_extendedprice").as("lo"),
+            max($"l_extendedprice").as("hi"))
+          val bucketed = pp.crossJoin(broadcast(bounds))
+            .withColumn("b", least(lit(1023),
+              floor(($"l_extendedprice" - $"lo").cast("double") * 1024 /
+                (($"hi" - $"lo").cast("double") + 1e-9)).cast("int")))
+            .select($"l_returnflag", $"l_extendedprice", $"wv", $"b")
+          val W = org.apache.spark.sql.expressions.Window
+          val byFlag = W.partitionBy($"l_returnflag")
+          val preB = byFlag.orderBy($"b")
+            .rowsBetween(Long.MinValue, 0)
+          val bases = bucketed.groupBy($"l_returnflag", $"b")
+            .agg(sum($"wv").as("bw"))
+            .withColumn("base", sum($"bw").over(preB) - $"bw")
+            .withColumn("totw", sum($"bw").over(byFlag))
+            .select($"l_returnflag", $"b", $"base", $"totw")
+          val inBucket = W.partitionBy($"l_returnflag", $"b")
+            .orderBy($"l_extendedprice")
+            .rowsBetween(Long.MinValue, 0)
+          bucketed.join(broadcast(bases), Seq("l_returnflag", "b"))
+            .withColumn("cumw", $"base" + sum($"wv").over(inBucket))
+            .filter($"cumw" * 2 >= $"totw" && ($"cumw" - $"wv") * 2 < $"totw")
+            .select($"l_returnflag", $"l_extendedprice".as("wmedian_price"),
+              $"totw".as("total_qty"))
+            .orderBy($"l_returnflag")
+        }
+        def hashOf(df: DataFrame): Long = {
+          val h = xxhash64(df.columns.map(col): _*)
+          df.select(h.as("h")).agg(expr("bit_xor(h)"))
+            .collect()(0).getLong(0)
+        }
+        def ab(name: String, mkOld: () => DataFrame, qname: String): Unit = {
+          def mkNew() = SparkEntry.queries(qname)(spark, sfDir)
+          assert(hashOf(mkOld()) == hashOf(mkNew()),
+            s"$name arms differ — A/B invalid")
+          (1 to 2).foreach { _ => consume(mkOld()); consume(mkNew()) }
+          val (ta, tb) = (scala.collection.mutable.ArrayBuffer.empty[Double],
+            scala.collection.mutable.ArrayBuffer.empty[Double])
+          (1 to 7).foreach { _ =>
+            val t0 = System.nanoTime(); consume(mkOld())
+            ta += (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime(); consume(mkNew())
+            tb += (System.nanoTime() - t1) / 1e9
+          }
+          def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+          val (ma, mb) = (med(ta.toSeq), med(tb.toSeq))
+          println(f"PROFR18 ab4 $name%-10s old=$ma%.3f new=$mb%.3f " +
+            f"factor=${mb / ma}%.2f")
+        }
+        ab("ndcg", ndcgOld _, "q_eval_ndcg")
+        ab("assoc", assocOld _, "q_assoc_rules")
+        ab("hequi", hequiOld _, "q_histogram_equidepth")
+        ab("medw", medwOld _, "q_agg_median_weighted")
+      case "assoc2" =>
+        // Is the basket pair explode (nested interpreted transform
+        // lambdas building structs per element) beatable by a
+        // generator-only two-level explode (posexplode + slice explode —
+        // GenerateExec, no lambda interpretation)? Same pair multiset by
+        // construction. Time both off the SAME checkpointed baskets.
+        import graft.core.Checkpoints.MaterializeOps
+        val T5 = graft.core.Tables
+        val baskets = T5.lineitem(spark, sfDir)
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"l_partkey")).as("items"))
+          .select($"items").materialized
+        time("pairs_hof") {
+          baskets.select(explode(flatten(transform($"items", (x, i) =>
+            transform(slice($"items", i + lit(2), size($"items")),
+              y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+            .select($"p.pa".as("pa"), $"p.pb".as("pb"))
+            .groupBy($"pa", $"pb").agg(count(lit(1)).as("c_ab"))
+        }
+        time("pairs_gen") {
+          baskets
+            .select($"items", posexplode($"items").as(Seq("i", "pa")))
+            .select($"pa", explode(slice($"items", $"i" + lit(2),
+              size($"items"))).as("pb"))
+            .groupBy($"pa", $"pb").agg(count(lit(1)).as("c_ab"))
+        }
+      case "ablp" =>
+        // Price the r18 linkPred transport-sizing count (the one extra
+        // job per execution below the SHJ threshold): arm A = the plan
+        // WITHOUT the count+hint machinery (pre-snapshot form), arm B =
+        // the shipped query. Identical join plans at sf0.1 (threshold
+        // disengaged), so the delta IS the count job.
+        def lpOld(): DataFrame = {
+          import graft.core.Checkpoints.MaterializeOps
+          val pairs = Graph.coEdges(spark, sfDir).materialized
+          val sym = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
+          val capped = sym.groupBy($"src")
+            .agg(slice(sort_array(collect_set($"dst")), 1,
+              Graph.LinkPredCap).as("nbrs"))
+            .select($"src".as("u"), explode($"nbrs").as("v"))
+            .repartition($"u").materialized
+          capped.as("e1")
+            .join(capped.as("e2"), $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
+            .groupBy($"e1.v".as("node_a"), $"e2.v".as("node_b"))
+            .agg(count(lit(1)).as("n_common"))
+            .join(pairs,
+              $"node_a" === $"src" && $"node_b" === $"dst", "left_anti")
+            .orderBy($"n_common".desc, $"node_a", $"node_b")
+            .limit(Graph.LinkPredTopK)
+        }
+        def lpNew(): DataFrame =
+          SparkEntry.queries("q_graph_linkpred")(spark, sfDir)
+        def hOf(df: DataFrame): Long = {
+          val h = xxhash64(df.columns.map(col): _*)
+          df.select(h.as("h")).agg(expr("bit_xor(h)"))
+            .collect()(0).getLong(0)
+        }
+        assert(hOf(lpOld()) == hOf(lpNew()), "linkpred arms differ")
+        (1 to 1).foreach { _ => consume(lpOld()); consume(lpNew()) }
+        val (la, lb) = (scala.collection.mutable.ArrayBuffer.empty[Double],
+          scala.collection.mutable.ArrayBuffer.empty[Double])
+        (1 to 5).foreach { _ =>
+          val t0 = System.nanoTime(); consume(lpOld())
+          la += (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime(); consume(lpNew())
+          lb += (System.nanoTime() - t1) / 1e9
+        }
+        def medl(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+        println(f"PROFR18 ablp old=${medl(la.toSeq)}%.3f " +
+          f"new=${medl(lb.toSeq)}%.3f factor=${medl(lb.toSeq) / medl(la.toSeq)}%.2f")
       case "reachpre" =>
         // Where does q_graph_reachability_pre's time go at big N?
         // (a) the artifact sidecar + file-index listing, (b) the

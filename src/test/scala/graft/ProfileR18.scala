@@ -550,6 +550,25 @@ object ProfileR18 {
         def medl(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
         println(f"PROFR18 ablp old=${medl(la.toSeq)}%.3f " +
           f"new=${medl(lb.toSeq)}%.3f factor=${medl(lb.toSeq) / medl(la.toSeq)}%.2f")
+      case "lpcount" =>
+        // Bare cost of the linkPred transport-sizing count: one count()
+        // job over the just-checkpointed capped adjacency at sf0.1.
+        import graft.core.Checkpoints.MaterializeOps
+        val pairsLc = Graph.coEdges(spark, sfDir).materialized
+        val symLc = pairsLc.union(
+          pairsLc.select($"dst".as("src"), $"src".as("dst")))
+        val cappedLc = symLc.groupBy($"src")
+          .agg(slice(sort_array(collect_set($"dst")), 1,
+            Graph.LinkPredCap).as("nbrs"))
+          .select($"src".as("u"), explode($"nbrs").as("v"))
+          .repartition($"u").materialized
+        (1 to 3).foreach(_ => cappedLc.count())
+        val cts = (1 to 7).map { _ =>
+          val t0 = System.nanoTime(); cappedLc.count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"PROFR18 lpcount median=${cts(3)}%.4f min=${cts.head}%.4f " +
+          f"max=${cts.last}%.4f rows=${cappedLc.count()}")
       case "reachpre" =>
         // Where does q_graph_reachability_pre's time go at big N?
         // (a) the artifact sidecar + file-index listing, (b) the

@@ -550,6 +550,62 @@ object ProfileR18 {
         def medl(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
         println(f"PROFR18 ablp old=${medl(la.toSeq)}%.3f " +
           f"new=${medl(lb.toSeq)}%.3f factor=${medl(lb.toSeq) / medl(la.toSeq)}%.2f")
+      case "coe" =>
+        // Interleaved A/B of the coEdges pair explode: old nested
+        // transform lambdas vs the shipped generator form, both ending
+        // in the same distinct. Plus one end-to-end consumer (pagerank).
+        val T6 = graft.core.Tables
+        def coeOld(): DataFrame = T6.lineitem(spark, sfDir)
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"l_partkey")).as("items"))
+          .select(explode(flatten(transform($"items", (x, i) =>
+            transform(slice($"items", i + lit(2), size($"items")),
+              y => struct(x.as("src"), y.as("dst")))))).as("p"))
+          .select($"p.src".as("src"), $"p.dst".as("dst"))
+          .distinct()
+        def coeNew(): DataFrame = Graph.coEdges(spark, sfDir)
+        def hc(df: DataFrame): Long = {
+          val h = xxhash64(df.columns.map(col): _*)
+          df.select(h.as("h")).agg(expr("bit_xor(h)"))
+            .collect()(0).getLong(0)
+        }
+        assert(hc(coeOld()) == hc(coeNew()), "coEdges arms differ")
+        (1 to 2).foreach { _ => consume(coeOld()); consume(coeNew()) }
+        val (ca, cb) = (scala.collection.mutable.ArrayBuffer.empty[Double],
+          scala.collection.mutable.ArrayBuffer.empty[Double])
+        (1 to 7).foreach { _ =>
+          val t0 = System.nanoTime(); consume(coeOld())
+          ca += (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime(); consume(coeNew())
+          cb += (System.nanoTime() - t1) / 1e9
+        }
+        def medc(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+        println(f"PROFR18 coe old=${medc(ca.toSeq)}%.3f " +
+          f"new=${medc(cb.toSeq)}%.3f factor=${medc(cb.toSeq) / medc(ca.toSeq)}%.2f")
+        time("q_graph_pagerank (new coEdges)") {
+          SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
+        }
+      case "coeplan" =>
+        // Formatted plans of the two coEdges formulations (the graph
+        // queries checkpoint the edges at construction time, so their
+        // FINAL plans cannot show this stage — dump the relation
+        // itself). OLD is the pre-37fc1a4 nested-transform form,
+        // reconstructed verbatim.
+        val T7 = graft.core.Tables
+        val old7 = T7.lineitem(spark, sfDir)
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"l_partkey")).as("items"))
+          .select(explode(flatten(transform($"items", (x, i) =>
+            transform(slice($"items", i + lit(2), size($"items")),
+              y => struct(x.as("src"), y.as("dst")))))).as("p"))
+          .select($"p.src".as("src"), $"p.dst".as("dst"))
+          .distinct()
+        println("================ coedges OLD (nested transform lambdas) ================")
+        println(old7.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        println("================ coedges NEW (generators) ================")
+        println(Graph.coEdges(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       case "lpcount" =>
         // Bare cost of the linkPred transport-sizing count: one count()
         // job over the just-checkpointed capped adjacency at sf0.1.

@@ -491,17 +491,17 @@ object Graph extends QueryGroup {
   /** Adjacency-row threshold above which linkPred forces SHUFFLED HASH
     * joins instead of letting the planner pick. Below it (every test SF
     * and the canonical bench) the broadcast plans PlanAuditSpec pins
-    * are strictly best. Above it the planner flips to SortMergeJoin —
-    * correct on strategy but it SORTS the multi-hundred-million-row
-    * wedge stream and the pair-keyed anti sides (the r18 ×100 cell:
-    * 346 s, d2 1.30; the partition-count probe bounded spill geometry
-    * at 1.6× of that, leaving the sorts as the superlinear term). Both
-    * joins are hash-friendly by construction: the wedge join's sides
-    * are the SAME u-partitioned checkpoint (SHJ inherits co-location,
-    * zero exchange, no sort), and the anti join builds on the skinny
-    * edge list. 8M rows ≈ the ×10/×100 boundary: ×10 (6.4M) keeps the
-    * measured-fine committed plan, ×100 (64M) takes the sort-free
-    * path (measured 199 s vs 303 s SMJ at 256 parts — SCALE_PROBE r18). */
+    * are strictly best, and the gate's only cost is the 0.12 s sizing
+    * count (ProfileR18 lpcount; full-query A/B 1.04×). Above it the
+    * planner flips to SortMergeJoin — correct on strategy but it SORTS
+    * the multi-ten-million-row wedge stream and the pair-keyed anti
+    * sides. Both joins are hash-friendly by construction: the wedge
+    * join's sides are the SAME u-partitioned checkpoint (SHJ inherits
+    * co-location, zero exchange, no sort), and the anti join builds on
+    * the skinny edge list. 8M rows ≈ the ×10/×100 boundary: ×10 (6.4M)
+    * keeps the measured-fine committed plan; at ×20 (12.8M) SHJ is
+    * 0.95× of SMJ, at ×100 (64M) ~0.55–0.65× (per-arm minima 170 vs
+    * 324 s) — SCALE_PROBE.md "r18 (optimization round)" section. */
   private[queries] val LinkPredShuffleJoinMinRows = 8000000L
 
   private def linkPred(s: SparkSession, d: String): DataFrame = {

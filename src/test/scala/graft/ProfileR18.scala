@@ -585,6 +585,43 @@ object ProfileR18 {
         time("q_graph_pagerank (new coEdges)") {
           SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
         }
+      case "ablp1" =>
+        // Lightweight ×100 variant of ablp: arm equality is already
+        // hash-asserted at sf0.1 and ×20 (same code path), so skip the
+        // assert runs; one warm + two timed alternations per arm keeps
+        // the cell affordable at ~5-min-per-run scale.
+        def lpOld1(): DataFrame = {
+          import graft.core.Checkpoints.MaterializeOps
+          val pairs = Graph.coEdges(spark, sfDir).materialized
+          val sym1 = pairs.union(
+            pairs.select($"dst".as("src"), $"src".as("dst")))
+          val capped = sym1.groupBy($"src")
+            .agg(slice(sort_array(collect_set($"dst")), 1,
+              Graph.LinkPredCap).as("nbrs"))
+            .select($"src".as("u"), explode($"nbrs").as("v"))
+            .repartition($"u").materialized
+          capped.as("e1")
+            .join(capped.as("e2"), $"e1.u" === $"e2.u" && $"e1.v" < $"e2.v")
+            .groupBy($"e1.v".as("node_a"), $"e2.v".as("node_b"))
+            .agg(count(lit(1)).as("n_common"))
+            .join(pairs,
+              $"node_a" === $"src" && $"node_b" === $"dst", "left_anti")
+            .orderBy($"n_common".desc, $"node_a", $"node_b")
+            .limit(Graph.LinkPredTopK)
+        }
+        def lpNew1(): DataFrame =
+          SparkEntry.queries("q_graph_linkpred")(spark, sfDir)
+        Seq(("old", () => lpOld1()), ("new", () => lpNew1())).foreach {
+          case (nm, mk) =>
+            val t0 = System.nanoTime(); consume(mk())
+            val w = (System.nanoTime() - t0) / 1e9
+            val ts = (1 to 2).map { _ =>
+              val t1 = System.nanoTime(); consume(mk())
+              (System.nanoTime() - t1) / 1e9
+            }
+            println(f"PROFR18 ablp1 $nm warm=$w%.1f " +
+              f"timed=${ts.map(t => f"$t%.1f").mkString(",")}")
+        }
       case "coeplan" =>
         // Formatted plans of the two coEdges formulations (the graph
         // queries checkpoint the edges at construction time, so their
